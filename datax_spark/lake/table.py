@@ -1,0 +1,296 @@
+"""Manifest-committed, hash-bucketed ACID parquet table ("lake table").
+
+This is the engine's exactly-once sink. No lakehouse jar (Iceberg/Delta)
+ships in this sandbox, so we implement the minimal subset of that design
+from scratch, mirroring the commit semantics the reference implements by
+hand per writer plugin:
+
+- DataX hdfswriter publishes atomically via tmp-dir + rename
+  (hdfswriter/.../HdfsWriter.java:149-191); here: snapshot manifests
+  published by atomic hard-link (exclusive create = compare-and-set).
+- DataX odpswriter fences failed-over writers so a zombie task cannot
+  commit (odpswriter/.../OdpsWriter.java:327-354); here: per-stream
+  ``last_batch_id`` recorded in snapshot properties — replaying an
+  already-applied batch is a no-op (exactly-once under retry).
+- DataX otsstreamreader checkpoints per-shard positions
+  (otsstreamreader/.../model/ShardCheckpoint.java:8-51); here: per-bucket
+  ``max_seq`` lineage recorded in every snapshot.
+
+Layout::
+
+    table_dir/
+      _manifests/v00000001.json     # one immutable snapshot per commit
+      data/commit-<uuid>/_bucket=<b>/part-*.parquet
+
+Data files are immutable and written ONCE under a per-commit staging dir;
+a snapshot is just a JSON mapping ``bucket -> [data files]`` plus schema,
+properties, and lineage. Commit = write-temp + ``os.link`` to the next
+version number: the link fails if that version already exists, which gives
+single-winner optimistic concurrency (same idea as an Iceberg catalog
+swap). Readers list the manifest dir and read the highest version — always
+a consistent snapshot.
+
+Scale notes (100 TB / 1000 executors): rows are hash-bucketed by a key
+column (``repo``) into ``num_buckets`` buckets; a MERGE rewrites only the
+buckets its batch touches (copy-on-write), carrying every other bucket's
+files forward by reference. Bucket count is chosen at table creation so
+one bucket ~ one executor-sized unit of rewrite work; the per-commit
+driver work is O(num_buckets), never O(rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+BUCKET_COL = "_bucket"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this commit was based on."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: dict[str, Any]
+    buckets: dict[str, list[str]]  # bucket id (str) -> data file relpaths
+    properties: dict[str, Any] = field(default_factory=dict)
+    lineage: dict[str, Any] = field(default_factory=dict)  # bucket -> stats
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.schema_json)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema": self.schema_json,
+                "buckets": self.buckets,
+                "properties": self.properties,
+                "lineage": self.lineage,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Snapshot":
+        d = json.loads(text)
+        return Snapshot(
+            version=d["version"],
+            schema_json=d["schema"],
+            buckets=d["buckets"],
+            properties=d.get("properties", {}),
+            lineage=d.get("lineage", {}),
+        )
+
+
+def bucket_expr(bucket_key: str, num_buckets: int):
+    """Deterministic bucket id for a row: pmod(xxhash64(key), B).
+
+    xxhash64 runs JVM-side in whole-stage codegen — the analog of DataX's
+    pk-range split (plugin-rdbms-util/.../SingleTableSplitUtil.java:33-124)
+    but hash- rather than range-based, so hot key ranges can't land in one
+    slice.
+    """
+    return F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned parquet table with CAS commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        key_cols: list[str],
+        bucket_key: str,
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        path = os.path.abspath(path)
+        os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=False)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=1,
+            schema_json=schema.jsonValue(),
+            buckets={},
+            properties={
+                "key_cols": key_cols,
+                "bucket_key": bucket_key,
+                "num_buckets": num_buckets,
+                "streams": {},
+            },
+        )
+        table = cls(spark, path)
+        table._write_manifest(snap)
+        return table
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.isdir(os.path.join(os.path.abspath(path), MANIFEST_DIR))
+
+    # ------------------------------------------------------------- snapshots
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        names = [
+            n
+            for n in os.listdir(os.path.join(self.path, MANIFEST_DIR))
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        if not names:
+            raise FileNotFoundError(f"no snapshots in {self.path}")
+        return max(int(n[1:-5]) for n in names)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = version if version is not None else self.current_version()
+        with open(self._manifest_path(v)) as f:
+            return Snapshot.from_json(f.read())
+
+    def _write_manifest(self, snap: Snapshot) -> None:
+        """Atomically publish ``snap`` as the next version via link-CAS."""
+        final = self._manifest_path(snap.version)
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # fails with EEXIST if version taken: CAS
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {snap.version} already committed at {self.path}"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # ---------------------------------------------------------------- reads
+    def _abs_files(self, snap: Snapshot, buckets: list[int] | None = None) -> list[str]:
+        sel = (
+            snap.buckets.items()
+            if buckets is None
+            else ((str(b), snap.buckets.get(str(b), [])) for b in buckets)
+        )
+        return [os.path.join(self.path, rel) for _, files in sel for rel in files]
+
+    def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+        """Read a consistent snapshot (optionally only some buckets).
+
+        The manifest schema is passed explicitly so files written before an
+        additive schema evolution read with nulls in the new columns — the
+        DataX column-mapping analog (SURVEY.md §1.2) without a rewrite.
+        """
+        snap = self.snapshot(version)
+        files = self._abs_files(snap, buckets)
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        return self.spark.read.schema(snap.schema).parquet(*files)
+
+    # --------------------------------------------------------------- commits
+    def write_bucket_data(self, df: DataFrame, num_buckets: int, bucket_key: str) -> str:
+        """Write ``df`` partitioned by bucket under a fresh staging dir.
+
+        Returns the staging dir relpath. One Spark write job; files land
+        directly in their final location (immutable), so publish is
+        manifest-only — no rename storm (contrast DataX's per-file rename
+        two-phase commit, hdfswriter/.../HdfsHelper.java:207-248).
+        """
+        commit_rel = os.path.join(DATA_DIR, f"commit-{uuid.uuid4().hex}")
+        out = os.path.join(self.path, commit_rel)
+        (
+            df.withColumn(BUCKET_COL, bucket_expr(bucket_key, num_buckets))
+            .repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .parquet(out)
+        )
+        return commit_rel
+
+    @staticmethod
+    def _list_staged(table_path: str, commit_rel: str) -> dict[str, list[str]]:
+        """Map bucket -> staged parquet file relpaths (driver-side listing)."""
+        out: dict[str, list[str]] = {}
+        base = os.path.join(table_path, commit_rel)
+        for entry in sorted(os.listdir(base)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            files = sorted(
+                os.path.join(commit_rel, entry, f)
+                for f in os.listdir(os.path.join(base, entry))
+                if f.endswith(".parquet")
+            )
+            if files:
+                out[b] = files
+        return out
+
+    def commit_replace_buckets(
+        self,
+        base_version: int,
+        commit_rel: str,
+        replaced_buckets: list[int],
+        schema: StructType | None = None,
+        stream_updates: dict[str, Any] | None = None,
+        lineage_updates: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Publish a snapshot replacing ``replaced_buckets`` with staged files.
+
+        Untouched buckets carry forward by reference. Raises CommitConflict
+        if ``base_version`` is no longer current (optimistic concurrency).
+        """
+        base = self.snapshot(base_version)
+        if self.current_version() != base_version:
+            raise CommitConflict(
+                f"base version {base_version} superseded at {self.path}"
+            )
+        staged = (
+            self._list_staged(self.path, commit_rel) if commit_rel else {}
+        )
+        buckets = dict(base.buckets)
+        for b in replaced_buckets:
+            sb = str(b)
+            if sb in staged:
+                buckets[sb] = staged[sb]
+            else:
+                buckets.pop(sb, None)  # bucket emptied (all rows deleted)
+        props = json.loads(json.dumps(base.properties))
+        if stream_updates:
+            props.setdefault("streams", {}).update(stream_updates)
+        lineage = dict(base.lineage)
+        for b, stats in (lineage_updates or {}).items():
+            lineage[str(b)] = stats
+        snap = Snapshot(
+            version=base_version + 1,
+            schema_json=(schema or base.schema).jsonValue(),
+            buckets=buckets,
+            properties=props,
+            lineage=lineage,
+        )
+        self._write_manifest(snap)
+        return snap
+
+    # ------------------------------------------------------------ properties
+    def last_batch_id(self, stream_id: str) -> int | None:
+        streams = self.snapshot().properties.get("streams", {})
+        entry = streams.get(stream_id)
+        return None if entry is None else entry.get("last_batch_id")
+
+    def count(self) -> int:
+        return self.read().count()

@@ -1,0 +1,174 @@
+"""Copy-on-write MERGE of deduplicated change events into a LakeTable.
+
+Semantics (the Iceberg ``MERGE INTO`` we would write if the jar shipped,
+and the analog of DataX writeMode replace/update,
+plugin-rdbms-util/.../writer/WriterUtil.java:114-199):
+
+    WHEN MATCHED AND final_op = 'delete' THEN DELETE
+    WHEN MATCHED                         THEN UPDATE *   (latest image wins)
+    WHEN NOT MATCHED AND op != 'delete'  THEN INSERT *   (update == upsert)
+    delete of a non-existent key                          (no-op)
+
+Physical plan, sized for 100 TB:
+
+1. changes are already one-row-per-key (operators/dedup.py);
+2. affected buckets = distinct bucket ids in the batch — O(num_buckets)
+   driver-side, never O(rows);
+3. ONLY those buckets' files are read back; every other bucket carries
+   forward by manifest reference (copy-on-write at bucket granularity);
+4. survivors = existing LEFT ANTI JOIN change-keys  ∪  non-delete change
+   images. The change-key side of a CDC batch is small relative to the
+   table, so it is broadcast (DataX has no joins; this one exists only to
+   subtract matched keys) — no shuffle of the 100 TB side;
+5. one partitionBy(bucket) write + one manifest CAS publish.
+
+Exactly-once: the commit records ``last_batch_id`` per stream in snapshot
+properties; a replayed batch id returns without writing (fencing — the
+odpswriter failover-state analog, odpswriter/.../OdpsWriter.java:327-354).
+Retries are safe because data files are immutable and manifest publish is
+a compare-and-set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datax_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
+
+OP_COL = "op"
+DELETE_OP = "delete"
+# Change-log bookkeeping columns that never enter the target table.
+CDC_META_COLS = {OP_COL, "seq", "ts", "batch_file", BUCKET_COL}
+
+
+@dataclass
+class MergeResult:
+    version: int | None  # None => fenced no-op
+    applied: bool
+    affected_buckets: list[int]
+    upserts: int = 0
+    deletes: int = 0
+
+
+def merge_apply(
+    table: LakeTable,
+    deduped_changes: DataFrame,
+    batch_id: int,
+    stream_id: str = "default",
+    broadcast_keys: bool | None = None,
+) -> MergeResult:
+    """Apply one deduplicated change batch to ``table`` exactly once."""
+    base_version = table.current_version()
+    snap = table.snapshot(base_version)
+    props = snap.properties
+    key_cols: list[str] = props["key_cols"]
+    bucket_key: str = props["bucket_key"]
+    num_buckets: int = props["num_buckets"]
+    seq_col = "seq"
+
+    last = (props.get("streams", {}).get(stream_id) or {}).get("last_batch_id")
+    if last is not None and batch_id <= last:
+        return MergeResult(version=None, applied=False, affected_buckets=[])
+
+    changes = deduped_changes.withColumn(
+        BUCKET_COL, bucket_expr(bucket_key, num_buckets)
+    )
+    # Cache: reused for bucket listing, stats, anti-join, and union.
+    changes = changes.persist()
+    try:
+        # Driver-side O(num_buckets) aggregate: affected buckets + lineage.
+        stats_rows = (
+            changes.groupBy(BUCKET_COL)
+            .agg(
+                F.max(seq_col).alias("max_seq"),
+                F.sum(F.when(F.col(OP_COL) == DELETE_OP, 1).otherwise(0)).alias(
+                    "deletes"
+                ),
+                F.count(F.lit(1)).alias("events"),
+            )
+            .collect()
+        )
+        if not stats_rows:
+            # Empty batch still advances the fence so replays stay no-ops.
+            new_snap = table.commit_replace_buckets(
+                base_version,
+                commit_rel="",
+                replaced_buckets=[],
+                stream_updates={stream_id: {"last_batch_id": batch_id}},
+            )
+            return MergeResult(version=new_snap.version, applied=True, affected_buckets=[])
+
+        affected = sorted(int(r[BUCKET_COL]) for r in stats_rows)
+        deletes = sum(r["deletes"] for r in stats_rows)
+        events = sum(r["events"] for r in stats_rows)
+
+        existing = table.read(buckets=affected, version=base_version)
+
+        change_keys = changes.select(*key_cols)
+        if broadcast_keys is None:
+            broadcast_keys = True  # CDC batch keys << table; let AQE demote if not
+        if broadcast_keys:
+            change_keys = F.broadcast(change_keys)
+
+        survivors = existing.join(change_keys, on=key_cols, how="left_anti")
+        # Additive schema evolution: payload columns in the batch that the
+        # table lacks widen the schema; old rows read as null on the next
+        # read-with-schema. CDC bookkeeping columns never evolve in.
+        merged_schema = _evolve_schema(snap.schema, changes.schema)
+        upsert_images = changes.filter(F.col(OP_COL) != DELETE_OP)
+        survivors = _conform(survivors, merged_schema)
+        upsert_images = _conform(upsert_images, merged_schema)
+        merged = survivors.unionByName(upsert_images)
+
+        commit_rel = table.write_bucket_data(merged, num_buckets, bucket_key)
+        lineage = {
+            str(int(r[BUCKET_COL])): {
+                "max_seq": int(r["max_seq"]),
+                "batch_id": batch_id,
+            }
+            for r in stats_rows
+        }
+        new_snap = table.commit_replace_buckets(
+            base_version,
+            commit_rel,
+            replaced_buckets=affected,
+            schema=merged_schema,
+            stream_updates={stream_id: {"last_batch_id": batch_id}},
+            lineage_updates=lineage,
+        )
+        return MergeResult(
+            version=new_snap.version,
+            applied=True,
+            affected_buckets=affected,
+            upserts=events - deletes,
+            deletes=deletes,
+        )
+    finally:
+        changes.unpersist()
+
+
+def _evolve_schema(table_schema, batch_schema):
+    """Union of table schema + new batch columns (additive evolution only)."""
+    from pyspark.sql.types import StructType
+
+    existing = {f.name for f in table_schema.fields}
+    fields = list(table_schema.fields)
+    for f in batch_schema.fields:
+        if f.name not in existing and f.name not in CDC_META_COLS:
+            fields.append(f)
+    return StructType(fields)
+
+
+def _conform(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` to ``schema`` order, nulling absent columns."""
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,161 @@
+"""Deterministic synthetic CDC change-log generator.
+
+The engine-side analog of the reference's ``streamreader`` synthetic
+source (streamreader/.../StreamReader.java:98-164,222+: per-column
+constant/random specs, sliceRecordCount rows per task) — but fully
+vectorized: one ``spark.range`` plus hash-derived columns, so generation
+itself scales to 10^10 rows with zero per-row Python. All randomness is
+``xxhash64`` of the row id + a salt literal, so the log is byte-identical
+for a given (n_events, n_keys, seed) regardless of partitioning or
+parallelism (rand(seed) would NOT be: it depends on partition layout).
+
+Schema (FIXTURES.md §2 / BASELINE.json input_hint):
+    repo, path, commit, lang, content  — payload (key = repo+path+commit)
+    op   ∈ {insert, update, delete}    — ~1% corrupted to exercise quarantine
+    seq  — globally unique monotone long (== event index)
+    ts   — event time derived from seq
+    batch_file — log segment number (drives micro-batch boundaries)
+
+Skew: repo id is drawn from a power-law transform of a uniform hash so a
+few repos are hot (zipf-ish), per FIXTURES.md — this is what exercises
+skew handling in dedup/merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["python", "java", "go", "rust", "js", "md"]
+EXTS = ["py", "java", "go", "rs", "js", "md"]
+EPOCH = "2024-01-01 00:00:00"
+
+
+def _u(col, salt: str, mod: int = 1_000_000):
+    """Deterministic uniform int in [0, mod) from the row id."""
+    return F.pmod(F.xxhash64(F.lit(salt), col), F.lit(mod))
+
+
+def generate_changelog(
+    spark: SparkSession,
+    n_events: int,
+    n_keys: int,
+    n_repos: int | None = None,
+    seed: int = 42,
+    dirty_pct: float = 0.01,
+    events_per_segment: int | None = None,
+    repo_skew: float = 2.0,
+    content_max_len: int = 4000,
+    evolve_after: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the change-event DataFrame. Pure expressions; lazily evaluated."""
+    n_repos = n_repos or max(4, n_keys // 50)
+    events_per_segment = events_per_segment or max(1, n_events // 8)
+    rng = spark.range(0, n_events, numPartitions=partitions)
+    sid = str(seed)
+    i = F.col("id")
+
+    # --- key identity -----------------------------------------------------
+    key_id = _u(i, sid + ":key", n_keys)
+    # zipf-ish hot repos: uniform u in [0,1) -> floor(R * u^skew) piles
+    # probability mass onto low repo ids.
+    u_repo = _u(key_id, sid + ":repo") / F.lit(1_000_000.0)
+    repo_id = F.floor(F.lit(n_repos) * F.pow(u_repo, F.lit(repo_skew))).cast("int")
+    ext_id = F.pmod(key_id, F.lit(len(EXTS))).cast("int")
+    df = rng.select(
+        i.alias("seq"),
+        key_id.alias("_kid"),
+        repo_id.alias("_rid"),
+        ext_id.alias("_eid"),
+    )
+    repo = F.concat(F.lit("org"), F.pmod(F.col("_rid"), F.lit(97)), F.lit("/repo"), F.col("_rid"))
+    path = F.concat(
+        F.lit("src/dir"),
+        F.pmod(F.col("_kid"), F.lit(31)),
+        F.lit("/file"),
+        F.col("_kid"),
+        F.lit("."),
+        F.element_at(F.array(*[F.lit(e) for e in EXTS]), F.col("_eid") + 1),
+    )
+    commit = F.sha1(F.concat(F.lit(sid + ":commit"), F.col("_kid").cast("string")))
+    lang = F.element_at(F.array(*[F.lit(x) for x in LANGS]), F.col("_eid") + 1)
+
+    # --- op + payload -----------------------------------------------------
+    opu = _u(F.col("seq"), sid + ":op", 100)
+    op = (
+        F.when(opu < 50, F.lit("insert"))
+        .when(opu < 85, F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    # content: repeated sha2 block trimmed to a deterministic 50..max length
+    base = F.sha2(F.concat(F.lit(sid + ":content"), F.col("seq").cast("string")), 256)
+    length = (_u(F.col("seq"), sid + ":len", content_max_len - 50) + 50).cast("int")
+    reps = (content_max_len // 64) + 2
+    content = F.when(
+        op == "delete", F.lit(None).cast("string")
+    ).otherwise(F.substring(F.repeat(base, reps), 1, content_max_len).substr(F.lit(1), length))
+
+    df = df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+        op.alias("op"),
+        F.col("seq"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit(EPOCH).cast("timestamp")) + F.col("seq")
+        ).alias("ts"),
+        F.floor(F.col("seq") / F.lit(events_per_segment)).cast("int").alias("batch_file"),
+    )
+
+    # --- dirty corruption (~dirty_pct) ------------------------------------
+    if dirty_pct > 0:
+        dmod = max(1, int(round(1 / dirty_pct)))
+        dsel = _u(F.col("seq"), sid + ":dirty", dmod) == 0
+        dkind = _u(F.col("seq"), sid + ":dkind", 3)
+        df = df.select(
+            F.when(dsel & (dkind == 0), F.lit(None).cast("string"))
+            .otherwise(F.col("repo"))
+            .alias("repo"),
+            "path",
+            "commit",
+            "lang",
+            F.when(dsel & (dkind == 2), F.lit("\\N"))
+            .otherwise(F.col("content"))
+            .alias("content"),
+            F.when(dsel & (dkind == 1), F.lit("frobnicate"))
+            .otherwise(F.col("op"))
+            .alias("op"),
+            "seq",
+            "ts",
+            "batch_file",
+        )
+
+    # --- additive schema evolution mid-log --------------------------------
+    if evolve_after is not None:
+        df = df.withColumn(
+            "size_bytes",
+            F.when(F.col("seq") > evolve_after, F.length("content").cast("long")),
+        )
+    return df
+
+
+def write_segments(df: DataFrame, out_dir: str) -> list[str]:
+    """Materialize the log as one parquet dir per segment, in seq order.
+
+    Sequential writes give monotonically increasing file mtimes, so a
+    Structured Streaming file source replays segments in log order with
+    ``maxFilesPerTrigger`` — the analog of the reference's time-range
+    bounded shard tail (otsstreamreader/.../RecordProcessor.java:206-229).
+    """
+    import os
+
+    segs = [r[0] for r in df.select("batch_file").distinct().orderBy("batch_file").collect()]
+    paths = []
+    for s in segs:
+        p = os.path.join(out_dir, f"seg={int(s)}")
+        df.filter(F.col("batch_file") == s).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return paths

@@ -1,0 +1,196 @@
+"""The CDC apply pipeline: quarantine -> dedup -> MERGE, batch + streaming.
+
+This is the engine's equivalent of DataX's whole JobContainer/TaskGroup
+data plane (SURVEY.md §3): the reader->channel->writer record flow
+collapses into one declarative micro-batch function ``apply_batch``,
+which Structured Streaming (``tail_and_apply``) or a deterministic
+segment loop (``apply_segments``) drives.
+
+Exactly-once composition:
+- Structured Streaming's checkpoint gives at-least-once batch replay with
+  stable batch ids (the ShardCheckpoint analog, SURVEY.md §2.7);
+- merge_apply's batch-id fence turns that into exactly-once (a replayed
+  batch id is a committed no-op);
+- data files are immutable and the manifest commit is CAS, so a crashed
+  attempt leaves only unreferenced orphan files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datax_spark.lake.table import LakeTable
+from datax_spark.operators.dedup import dedup_latest
+from datax_spark.operators.merge import MergeResult, merge_apply
+from datax_spark.quality.quarantine import (
+    ErrorLimit,
+    append_quarantine,
+    split_dirty,
+)
+
+KEY_COLS = ["repo", "path", "commit"]
+
+
+@dataclass
+class BatchMetrics:
+    """DataX Communication counter vocabulary per micro-batch
+    (core/.../communication/CommunicationTool.java:16-50)."""
+
+    batch_id: int
+    total_records: int = 0
+    clean_records: int = 0
+    dirty_records: int = 0
+    deduped_keys: int = 0
+    upserts: int = 0
+    deletes: int = 0
+    affected_buckets: int = 0
+    applied: bool = False
+    version: int | None = None
+    records_per_sec: float = 0.0
+    bytes_estimate: int = 0
+    seconds: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+
+@dataclass
+class PipelineConfig:
+    quarantine_dir: str | None = None
+    error_limit: ErrorLimit = field(default_factory=ErrorLimit)
+    stream_id: str = "default"
+    metrics_path: str | None = None
+
+
+def apply_batch(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: int,
+    config: PipelineConfig | None = None,
+) -> BatchMetrics:
+    """Apply one micro-batch of change events to the lake table."""
+    cfg = config or PipelineConfig()
+    t0 = time.monotonic()
+    m = BatchMetrics(batch_id=batch_id)
+
+    # Fence FIRST: a replayed batch id must be a complete no-op — no
+    # re-quarantine, no error-limit re-check (exactly-once includes the
+    # side channels, not just the merge).
+    last = table.last_batch_id(cfg.stream_id)
+    if last is not None and batch_id <= last:
+        m.applied = False
+        return m
+
+    clean, dirty = split_dirty(events)
+    clean = clean.persist()
+    try:
+        if cfg.quarantine_dir:
+            m.dirty_records = append_quarantine(dirty, cfg.quarantine_dir, batch_id)
+        else:
+            m.dirty_records = dirty.count()
+        m.clean_records = clean.count()  # pre-dedup, DataX readSucceedRecords
+        m.total_records = m.clean_records + m.dirty_records
+
+        deduped = dedup_latest(clean, KEY_COLS)
+        result: MergeResult = merge_apply(
+            table, deduped, batch_id=batch_id, stream_id=cfg.stream_id
+        )
+    finally:
+        clean.unpersist()
+    m.applied = result.applied
+    m.version = result.version
+    m.upserts = result.upserts
+    m.deletes = result.deletes
+    m.deduped_keys = result.upserts + result.deletes
+    m.affected_buckets = len(result.affected_buckets)
+    m.seconds = time.monotonic() - t0
+    if m.seconds > 0:
+        m.records_per_sec = m.total_records / m.seconds
+
+    # Error limits are enforced AFTER quarantine capture (the reference
+    # checks post-schedule too, JobContainer.java:962-966) so the dirty
+    # sample is inspectable even when the job aborts.
+    cfg.error_limit.check(m.dirty_records, max(m.total_records, 1))
+
+    if cfg.metrics_path:
+        with open(cfg.metrics_path, "a") as f:
+            f.write(m.to_json() + "\n")
+    return m
+
+
+def apply_segments(
+    spark: SparkSession,
+    table: LakeTable,
+    log_dir: str,
+    config: PipelineConfig | None = None,
+    start_after_batch: int | None = None,
+) -> list[BatchMetrics]:
+    """Deterministic batch driver: one micro-batch per log segment dir.
+
+    The batch-mode twin of ``tail_and_apply`` (DataX's time-range bounded
+    tail, RecordProcessor.java:206-229). ``start_after_batch`` resumes
+    mid-log; combined with the merge fence, re-running from 0 is also
+    safe, just slower.
+    """
+    segs = sorted(
+        (int(d.split("=", 1)[1]), os.path.join(log_dir, d))
+        for d in os.listdir(log_dir)
+        if d.startswith("seg=")
+    )
+    out = []
+    resume_from = table.last_batch_id(
+        (config or PipelineConfig()).stream_id
+    ) if start_after_batch is None else start_after_batch
+    for seg_id, seg_path in segs:
+        if resume_from is not None and seg_id <= resume_from:
+            continue
+        events = spark.read.parquet(seg_path)
+        out.append(apply_batch(table, events, batch_id=seg_id, config=config))
+    return out
+
+
+def tail_and_apply(
+    spark: SparkSession,
+    table_path: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    schema,
+    config: PipelineConfig | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: float = 120.0,
+):
+    """Structured Streaming tail of the change log -> fenced MERGE apply.
+
+    File source with ``maxFilesPerTrigger`` gives bounded, ordered
+    micro-batches (rate limiting — the Channel bps/tps throttle analog,
+    core/.../transport/channel/Channel.java:176-239); the checkpoint dir
+    persists batch offsets for resume.
+    """
+    cfg = config or PipelineConfig()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        table = LakeTable(batch_df.sparkSession, table_path)
+        apply_batch(table, batch_df, batch_id, cfg)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(log_dir + "/seg=*")
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    return query

@@ -1,0 +1,131 @@
+"""Structured Streaming tail -> fenced MERGE apply, incl. kill/resume."""
+
+import os
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from datax_spark.lake.table import LakeTable
+from datax_spark.oracle import replay_oracle_pandas, state_fingerprint
+from datax_spark.sources.changelog import generate_changelog, write_segments
+from datax_spark.streaming.pipeline import PipelineConfig, tail_and_apply
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+        StructField("op", StringType()),
+        StructField("seq", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("batch_file", IntegerType()),
+    ]
+)
+
+TABLE_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def stream_log(spark, tmp_path_factory):
+    df = generate_changelog(spark, n_events=6000, n_keys=700, events_per_segment=1500)
+    d = str(tmp_path_factory.mktemp("streamlog"))
+    write_segments(df, d)
+    return d, df.toPandas()
+
+
+def _mk_table(spark, path):
+    return LakeTable.create(
+        spark,
+        path,
+        TABLE_SCHEMA,
+        key_cols=["repo", "path", "commit"],
+        bucket_key="repo",
+        num_buckets=4,
+    )
+
+
+def _state_fp(table):
+    pdf = (
+        table.read()
+        .select("repo", "path", "commit", "lang", "content")
+        .orderBy("repo", "path", "commit")
+        .toPandas()
+    )
+    return state_fingerprint(pdf), len(pdf)
+
+
+def test_stream_tail_matches_oracle(spark, stream_log, tmp_path):
+    log_dir, events_pdf = stream_log
+    table = _mk_table(spark, str(tmp_path / "tbl"))
+    tail_and_apply(
+        spark,
+        table.path,
+        log_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=EVENT_SCHEMA,
+        config=PipelineConfig(quarantine_dir=str(tmp_path / "quar")),
+        max_files_per_trigger=2,
+    )
+    oracle = replay_oracle_pandas(events_pdf)
+    fp, n = _state_fp(table)
+    assert n == len(oracle)
+    assert fp == state_fingerprint(oracle)
+
+
+def test_stream_restart_resumes_and_stays_exactly_once(spark, stream_log, tmp_path):
+    """Run the stream twice over the same checkpoint: second run applies
+    nothing new and the state is unchanged (offsets + fence compose)."""
+    log_dir, events_pdf = stream_log
+    table = _mk_table(spark, str(tmp_path / "tbl2"))
+    ckpt = str(tmp_path / "ckpt2")
+    cfg = PipelineConfig(quarantine_dir=str(tmp_path / "quar2"))
+    tail_and_apply(spark, table.path, log_dir, ckpt, EVENT_SCHEMA, cfg, 1)
+    fp1, n1 = _state_fp(table)
+    v1 = table.current_version()
+    # "restart": same checkpoint dir, no new files
+    tail_and_apply(spark, table.path, log_dir, ckpt, EVENT_SCHEMA, cfg, 1)
+    fp2, n2 = _state_fp(table)
+    assert (fp2, n2) == (fp1, n1)
+    assert table.current_version() == v1
+    oracle = replay_oracle_pandas(events_pdf)
+    assert fp1 == state_fingerprint(oracle)
+
+
+def test_stream_late_segment_arrival(spark, stream_log, tmp_path):
+    """New segments landing after a run are picked up by the next run."""
+    log_dir, events_pdf = stream_log
+    import shutil
+
+    partial = str(tmp_path / "partial_log")
+    os.makedirs(partial)
+    segs = sorted(d for d in os.listdir(log_dir) if d.startswith("seg="))
+    for s in segs[:2]:
+        shutil.copytree(os.path.join(log_dir, s), os.path.join(partial, s))
+    table = _mk_table(spark, str(tmp_path / "tbl3"))
+    ckpt = str(tmp_path / "ckpt3")
+    tail_and_apply(spark, table.path, partial, ckpt, EVENT_SCHEMA, None, 1)
+    _, n_partial = _state_fp(table)
+    for s in segs[2:]:
+        shutil.copytree(os.path.join(log_dir, s), os.path.join(partial, s))
+    tail_and_apply(spark, table.path, partial, ckpt, EVENT_SCHEMA, None, 1)
+    fp, n = _state_fp(table)
+    oracle = replay_oracle_pandas(events_pdf)
+    assert n == len(oracle)
+    assert fp == state_fingerprint(oracle)
