@@ -1,0 +1,156 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is a pure Column expression over built-in
+``pyspark.sql.functions`` — JVM-side, whole-stage codegen, zero Python in
+the hot path — so a 100 TB `documents` scan stays a single vectorized
+parquet-scan + project stage with full column pruning.
+
+Design constraint: every function must be reproducible by an ANSI-SQL
+oracle (DuckDB), so hashing uses md5 (not xxhash64, which DuckDB lacks)
+and tokenization is a plain character-class regex.
+
+DataX parity: the reference's only text ops are the transformer chain
+(SURVEY.md §2.3); this module is the "beyond the reference" surface a
+training-data pipeline needs (lang-ID, quality, tokens, fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+# GPT2-ish pre-tokenizer classes: letter runs, single digits, punct runs.
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+# Marker stopwords per language for the n-gram/stopword lang-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "en"),
+    "it": ("il", "di", "che", "la", "per"),
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def h32(col: Column | str, seed: str) -> Column:
+    """Deterministic 32-bit hash both Spark and DuckDB can compute.
+
+    ``int(md5(seed || '|' || s)[:8], 16)`` — the seed gives a cheap hash
+    *family* for MinHash. md5 runs JVM-side (codegen); conv() parses hex.
+    """
+    hexs = F.substring(F.md5(F.concat(F.lit(seed + "|"), _c(col))), 1, 8)
+    return F.conv(hexs, 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased alnum tokens: regexp_extract_all('[a-z0-9]+')."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(TOKEN_RE), 0)
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank string counts 0."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish pre-token count (letter runs / digits / punct runs)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_RE), 0))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lower, collapse ws, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """64-bit-ish document fingerprint: first 16 hex of sha256(normalized)."""
+    return F.substring(F.sha2(normalize_text(col), 256), 1, 16)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (empty when < n tokens).
+
+    Built from sequence+transform+slice so it stays one codegen stage; the
+    guard avoids sequence(0, negative) producing a descending range.
+    """
+    t = tokens(col)
+    sz = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-stopword hit count per language (with multiplicity)."""
+    t = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def lang_predict(col: Column | str) -> Column:
+    """Argmax language by marker hits; ties break in LANG_MARKERS order."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    expr = F.lit(langs[-1])
+    # Build the chain back-to-front so earlier langs win ties (>=).
+    for lang in reversed(langs[:-1]):
+        later = [scores[x] for x in langs[langs.index(lang) + 1 :]]
+        cond = None
+        for s in later:
+            c = scores[lang] >= s
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Length / alpha-ratio / stopword-ratio style quality features.
+
+    All ratios are double, rounded to 6 dp so the oracle compares stably.
+    """
+    c = _c(col)
+    n_chars = F.length(c)
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    t = tokens(c)
+    n_tokens = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)).cast("double"), 6)
+    stop_ratio = F.round(
+        stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
+    )
+    mean_tok = F.round(
+        F.aggregate(
+            t, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+        )
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        6,
+    )
+    quality = F.round(
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio,
+        6,
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "alpha_ratio": alpha_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_tok,
+        "quality": quality,
+    }

@@ -1,0 +1,233 @@
+"""Job-spec compiler: the DataX ``job.json`` analog.
+
+DataX drives every job from one JSON config —
+``content[0].reader / .transformer[] / .writer`` plus ``setting.speed`` /
+``setting.errorLimit`` (core/src/main/job/job.json:1-50, parsed by
+core/.../util/ConfigParser.java). Here the same declarative spec compiles
+to a *DataFrame logical plan* and lets Catalyst do what DataX's
+JobContainer did by hand (split/schedule/channel, SURVEY.md §3.4):
+
+- reader  -> ``spark.read.<format>`` with projection/predicate expressed
+             declaratively so pushdown + pruning are free
+             (SingleTableSplitUtil.buildQuerySql:126-139 analog);
+- transformer[] -> operators/transforms.apply_transform_chain;
+- writer  -> ``df.write.<format>`` (file sinks = Spark's committed
+             two-phase output, the hdfswriter tmp+rename analog), a
+             console sink (streamwriter analog), or the exactly-once
+             ``lake`` MERGE sink (rdbms upsert-writer analog);
+- setting.speed.channel -> reader numPartitions / repartition hint
+             (JobContainer.adjustChannelNumber:416-486 analog);
+- setting.errorLimit -> quality/quarantine.ErrorLimit.
+
+Readers with no live backend in this sandbox (jdbc) compile to the exact
+``spark.read`` option dict and are covered by unit tests on the compiled
+options; everything else executes for real.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datax_spark.operators.transforms import TransformSpec, apply_transform_chain
+from datax_spark.quality.quarantine import ErrorLimit
+
+FILE_FORMATS = {"parquet", "csv", "json", "orc", "text"}
+
+
+@dataclass
+class JobSpec:
+    """One DataX-style job: reader -> transformer chain -> writer."""
+
+    reader: dict[str, Any]
+    writer: dict[str, Any]
+    transformers: list[TransformSpec] = field(default_factory=list)
+    channel: int | None = None  # setting.speed.channel
+    error_limit: ErrorLimit = field(default_factory=ErrorLimit)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "JobSpec":
+        """Parse the DataX job.json shape (content[0] + setting)."""
+        content = d["job"]["content"][0]
+        setting = d["job"].get("setting", {})
+        transforms = [
+            TransformSpec(
+                name=t["name"],
+                column=t.get("parameter", {}).get("column"),
+                parameters={
+                    k: v
+                    for k, v in t.get("parameter", {}).items()
+                    if k != "column"
+                },
+            )
+            for t in content.get("transformer", [])
+        ]
+        el = setting.get("errorLimit", {})
+        return JobSpec(
+            reader=content["reader"],
+            writer=content["writer"],
+            transformers=transforms,
+            channel=setting.get("speed", {}).get("channel"),
+            error_limit=ErrorLimit(
+                record=el.get("record"), percentage=el.get("percentage")
+            ),
+        )
+
+
+def jdbc_read_options(param: dict[str, Any]) -> dict[str, str]:
+    """Compile a DataX rdbms-reader parameter block to spark.read.jdbc options.
+
+    Mirrors CommonRdbmsReader/SingleTableSplitUtil semantics
+    (plugin-rdbms-util/.../reader/CommonRdbmsReader.java:42-353):
+    - column list + where  -> pushed-down dbtable subquery;
+    - splitPk + channel    -> partitionColumn/numPartitions (Spark computes
+      even ranges like RangeSplitUtil.doLongSplit:33-93; lower/upper bounds
+      supplied or discovered by a min/max probe upstream);
+    - querySql             -> verbatim subquery (no split, like DataX).
+    """
+    cols = ",".join(param.get("column", ["*"]))
+    table = param["table"]
+    where = param.get("where")
+    if param.get("querySql"):
+        dbtable = f"({param['querySql']}) dx_q"
+    else:
+        q = f"SELECT {cols} FROM {table}"
+        if where:
+            q += f" WHERE {where}"
+        dbtable = f"({q}) dx_q"
+    opts = {
+        "url": param["jdbcUrl"],
+        "dbtable": dbtable,
+        "user": param.get("username", ""),
+        "password": param.get("password", ""),
+    }
+    split_pk = param.get("splitPk")
+    if split_pk and not param.get("querySql"):
+        opts["partitionColumn"] = split_pk
+        opts["numPartitions"] = str(param.get("numPartitions", 4))
+        if "lowerBound" in param:
+            opts["lowerBound"] = str(param["lowerBound"])
+        if "upperBound" in param:
+            opts["upperBound"] = str(param["upperBound"])
+    return opts
+
+
+def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | None = None) -> DataFrame:
+    """reader spec -> DataFrame (declarative: pushdown/pruning apply)."""
+    name = reader["name"]
+    param = reader.get("parameter", {})
+    if name in {f"{f}reader" for f in FILE_FORMATS} or name in (
+        "txtfilereader",
+        "hdfsreader",
+        "ossreader",
+        "ftpreader",
+    ):
+        fmt = param.get("fileType", name.replace("reader", ""))
+        if fmt in ("txtfile", "hdfs", "oss", "ftp", "txt"):
+            fmt = param.get("fileType", "csv")
+        r = spark.read.format(fmt)
+        if fmt == "csv":
+            r = r.option("sep", param.get("fieldDelimiter", ","))
+            r = r.option("header", str(param.get("header", False)).lower())
+            if param.get("nullFormat") is not None:
+                r = r.option("nullValue", param["nullFormat"])
+            if param.get("schema"):
+                r = r.schema(param["schema"])
+            else:
+                r = r.option("inferSchema", "true")
+        if param.get("compress"):
+            r = r.option("compression", param["compress"])
+        if param.get("pathGlobFilter"):
+            r = r.option("pathGlobFilter", param["pathGlobFilter"])
+        paths = param["path"]
+        df = r.load(*paths if isinstance(paths, list) else [paths])
+    elif name == "streamreader":
+        # Synthetic generator (streamreader/.../StreamReader.java:98-164):
+        # column specs {value,type} constants or {random:"a,b"} ranges.
+        n = int(param.get("sliceRecordCount", 1000)) * (channel or 1)
+        df = spark.range(0, n, numPartitions=channel)
+        cols = []
+        for i, c in enumerate(param.get("column", [])):
+            t = c.get("type", "string")
+            if "random" in c:
+                lo, hi = (int(x) for x in str(c["random"]).split(","))
+                expr = (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(hi - lo + 1))
+                    + F.lit(lo)
+                ).cast("long" if t == "long" else "string")
+            else:
+                expr = F.lit(c.get("value")).cast(
+                    {"long": "long", "double": "double", "bool": "boolean",
+                     "date": "timestamp", "bytes": "binary"}.get(t, "string")
+                )
+            cols.append(expr.alias(f"col{i}"))
+        df = df.select(*cols) if cols else df
+    elif name.endswith("reader") and "jdbcUrl" in param:
+        opts = jdbc_read_options(param)
+        df = spark.read.format("jdbc").options(**opts).load()
+    else:
+        raise KeyError(f"unknown reader {name!r}")
+    if param.get("column") and name not in ("streamreader",) and not param.get("querySql") and "jdbcUrl" not in param:
+        wanted = [c for c in param["column"] if c != "*"]
+        if wanted and all(isinstance(c, str) for c in wanted):
+            have = set(df.columns)
+            sel = [c for c in wanted if c in have]
+            if sel:
+                df = df.select(*sel)
+    if param.get("where") and "jdbcUrl" not in param:
+        df = df.filter(param["where"])
+    if channel:
+        # adjustChannelNumber analog: floor parallelism at `channel`.
+        if df.rdd.getNumPartitions() < channel:
+            df = df.repartition(channel)
+    return df
+
+
+def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
+    """writer spec -> executed write; returns writer-specific result."""
+    name = writer["name"]
+    param = writer.get("parameter", {})
+    if name == "streamwriter" or name == "console":
+        limit = int(param.get("recordNumBeforePrint", 20))
+        df.show(limit, truncate=False)
+        return None
+    if name == "lakewriter":
+        from datax_spark.lake.table import LakeTable
+        from datax_spark.operators.dedup import dedup_latest
+        from datax_spark.operators.merge import merge_apply
+
+        table = LakeTable(df.sparkSession, param["path"])
+        deduped = dedup_latest(
+            df, key_cols=param.get("keyCols"), seq_col=param.get("seqCol", "seq")
+        )
+        return merge_apply(
+            table, deduped, batch_id=int(param.get("batchId", 0)),
+            stream_id=param.get("streamId", "default"),
+        )
+    fmt = param.get("fileType", name.replace("writer", ""))
+    if fmt in ("txtfile", "hdfs", "oss", "ftp", "txt"):
+        fmt = param.get("fileType", "csv")
+    mode = {"append": "append", "nonConflict": "errorifexists", "truncate": "overwrite",
+            "overwrite": "overwrite"}.get(param.get("writeMode", "append"), "append")
+    w = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        w = w.option("sep", param.get("fieldDelimiter", ","))
+        w = w.option("header", str(param.get("header", False)).lower())
+        if param.get("nullFormat") is not None:
+            w = w.option("nullValue", param["nullFormat"])
+    if param.get("compress"):
+        w = w.option("compression", param["compress"])
+    w.save(param["path"])
+    return param["path"]
+
+
+def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any]) -> Any:
+    """Execute a full reader -> transforms -> writer job."""
+    if isinstance(spec, dict):
+        spec = JobSpec.from_dict(spec)
+    df = compile_reader(spark, spec.reader, spec.channel)
+    df = apply_transform_chain(df, spec.transformers)
+    return compile_writer(df, spec.writer)

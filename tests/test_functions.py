@@ -1,0 +1,148 @@
+"""Tests for the training-data function library (text/dedup/similarity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.functions import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    exact_dup_clusters,
+    fingerprint,
+    ivf_topk,
+    lang_predict,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    quality_metrics,
+    shingles,
+    simhash16,
+    token_count_bpe,
+    token_count_ws,
+)
+from datax_spark.functions.multimodal import decode_stub, to_media
+from datax_spark.functions.text import h32
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_h32_matches_python(spark):
+    df = spark.createDataFrame([("hello",)], ["s"])
+    got = df.select(h32("s", "seed").alias("h")).first()["h"]
+    want = int(hashlib.md5(b"seed|hello").hexdigest()[:8], 16)
+    assert got == want
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c", 3), ("", 0), ("  ", 0), ("one", 1)], ["s", "want"]
+    )
+    rows = df.select("want", token_count_ws("s").alias("got")).collect()
+    assert all(r["got"] == r["want"] for r in rows)
+    bpe = spark.createDataFrame([("ab 12 c!?",)], ["s"]).select(
+        token_count_bpe("s").alias("n")
+    ).first()["n"]
+    # [ab][1][2][c][!?]
+    assert bpe == 5
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([("The quick brown fox",), ("ab",)], ["s"])
+    rows = df.select(shingles("s", 3).alias("sh"), fingerprint("s").alias("fp")).collect()
+    assert rows[0]["sh"] == ["the quick brown", "quick brown fox"]
+    assert rows[1]["sh"] == []
+    norm = "the quick brown fox"
+    assert rows[0]["fp"] == hashlib.sha256(norm.encode()).hexdigest()[:16]
+
+
+def test_lang_and_quality(docs):
+    out = docs.select(
+        "doc_id", lang_predict("text").alias("pred"),
+        *[v.alias(k) for k, v in quality_metrics("text").items()],
+    )
+    r = out.first()
+    assert r["pred"] in ("en", "de", "fr", "es", "it")
+    assert 0.0 <= r["alpha_ratio"] <= 1.0
+    assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_exact_dup_clusters(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["digest"]: r for r in exact_dup_clusters(df).collect()}
+    counts = sorted(r["dup_count"] for r in out.values())
+    assert counts == [1, 2]  # normalization collapses 1 and 2
+
+
+def test_minhash_lsh_finds_neardups(docs):
+    pairs = lsh_candidate_pairs(docs)
+    n = pairs.count()
+    assert n > 0
+    jac = ngram_jaccard_pairs(docs, pairs)
+    top = jac.orderBy(F.col("jaccard").desc()).first()
+    assert top["jaccard"] > 0.8  # LSH candidates really are near-dups
+
+
+def test_minhash_identical_docs_identical_sig(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    rows = df.select(*minhash_signature("text")).collect()
+    assert rows[0] == rows[1]
+
+
+def test_simhash_close_for_similar(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated words here entirely different"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash16(df).collect()}
+    d12 = bin(out[1] ^ out[2]).count("1")
+    d13 = bin(out[1] ^ out[3]).count("1")
+    assert d12 < d13
+
+
+def test_brute_force_topk(emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rows = brute_force_topk(emb, qv, k=5).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine_sim"] == 1.0
+    sims = [r["cosine_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_subset_of_bucket(emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rows = ivf_topk(emb, qv, k=5).collect()
+    assert rows[0]["vec_id"] == 0  # query's own bucket contains itself
+
+
+def test_embedding_neardup(emb):
+    out = embedding_neardup_pairs(emb, threshold=0.2, block_col="label")
+    rows = out.collect()
+    assert all(r["cosine"] >= 0.2 and r["vec_a"] < r["vec_b"] for r in rows)
+
+
+def test_multimodal_decode_stub(docs):
+    dec = decode_stub(to_media(docs))
+    r = dec.join(docs, "doc_id").select("doc_id", "byte_len", "content_sha", "text").first()
+    assert r["byte_len"] == len(r["text"].encode())
+    assert r["content_sha"] == hashlib.sha256(r["text"].encode()).hexdigest()

@@ -1,0 +1,162 @@
+"""Tests for the job-spec compiler (DataX job.json analog)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.plans.job import (
+    JobSpec,
+    compile_reader,
+    jdbc_read_options,
+    run_job,
+)
+from datax_spark.quality.quarantine import ErrorLimit
+
+
+def test_jdbc_options_split_pk():
+    opts = jdbc_read_options(
+        {
+            "jdbcUrl": "jdbc:mysql://h:3306/db",
+            "table": "t",
+            "column": ["a", "b"],
+            "where": "a > 0",
+            "splitPk": "a",
+            "numPartitions": 8,
+            "lowerBound": 0,
+            "upperBound": 100,
+            "username": "u",
+            "password": "p",
+        }
+    )
+    assert opts["dbtable"] == "(SELECT a,b FROM t WHERE a > 0) dx_q"
+    assert opts["partitionColumn"] == "a"
+    assert opts["numPartitions"] == "8"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "100"
+
+
+def test_jdbc_options_query_sql():
+    opts = jdbc_read_options(
+        {"jdbcUrl": "jdbc:x", "table": "t", "querySql": "SELECT 1 AS x", "splitPk": "x"}
+    )
+    assert opts["dbtable"] == "(SELECT 1 AS x) dx_q"
+    assert "partitionColumn" not in opts  # querySql disables split, like DataX
+
+
+def test_streamreader_generator(spark):
+    df = compile_reader(
+        spark,
+        {
+            "name": "streamreader",
+            "parameter": {
+                "sliceRecordCount": 100,
+                "column": [
+                    {"value": "hello", "type": "string"},
+                    {"random": "0,9", "type": "long"},
+                ],
+            },
+        },
+        channel=4,
+    )
+    rows = df.collect()
+    assert len(rows) == 400  # sliceRecordCount per channel, like DataX tasks
+    assert all(r["col0"] == "hello" and 0 <= r["col1"] <= 9 for r in rows)
+
+
+def test_csv_roundtrip_job(spark, tmp_path):
+    src = str(tmp_path / "in")
+    dst = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "aa", "x"), (2, "bb", "purge"), (3, "\\N", "y")], ["id", "s", "tag"]
+    ).write.option("header", "true").csv(src)
+
+    job = {
+        "job": {
+            "setting": {
+                "speed": {"channel": 2},
+                "errorLimit": {"record": 10, "percentage": 0.5},
+            },
+            "content": [
+                {
+                    "reader": {
+                        "name": "txtfilereader",
+                        "parameter": {
+                            "path": src,
+                            "fileType": "csv",
+                            "header": True,
+                            "nullFormat": "\\N",
+                        },
+                    },
+                    "transformer": [
+                        {
+                            "name": "dx_filter",
+                            "parameter": {"column": "tag", "code": "like", "value": "pur.*"},
+                        },
+                        {
+                            "name": "dx_pad",
+                            "parameter": {"column": "s", "pad_type": "l", "length": 4, "pad_string": "0"},
+                        },
+                    ],
+                    "writer": {
+                        "name": "txtfilewriter",
+                        "parameter": {
+                            "path": dst,
+                            "fileType": "csv",
+                            "header": True,
+                            "writeMode": "truncate",
+                            "nullFormat": "\\N",
+                        },
+                    },
+                }
+            ],
+        }
+    }
+    run_job(spark, job)
+    out = spark.read.option("header", "true").option("nullValue", "\\N").csv(dst)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"1", "3"}  # dx_filter dropped the 'purge' row
+    assert rows["1"]["s"] == "00aa"
+    assert rows["3"]["s"] == "0000"  # null -> '' -> padded (DataX pad semantics)
+
+
+def test_parquet_to_lake_job(spark, tmp_path):
+    from datax_spark.lake.table import LakeTable
+    from pyspark.sql.types import StructType
+
+    src = str(tmp_path / "events")
+    df = spark.createDataFrame(
+        [("r1", "p1", "c1", "py", "v1", "insert", 1),
+         ("r1", "p1", "c1", "py", "v2", "update", 2),
+         ("r2", "p2", "c2", "go", "x", "insert", 3)],
+        ["repo", "path", "commit", "lang", "content", "op", "seq"],
+    )
+    df.write.parquet(src)
+    tbl_path = str(tmp_path / "lake")
+    schema = StructType([f for f in df.schema.fields if f.name not in ("op", "seq")])
+    LakeTable.create(spark, tbl_path, schema, ["repo", "path", "commit"], "repo", 4)
+    res = run_job(
+        spark,
+        JobSpec(
+            reader={"name": "parquetreader", "parameter": {"path": src}},
+            writer={"name": "lakewriter", "parameter": {"path": tbl_path, "batchId": 1}},
+        ),
+    )
+    assert res.applied
+    final = LakeTable(spark, tbl_path).read()
+    got = {(r["repo"], r["content"]) for r in final.collect()}
+    assert got == {("r1", "v2"), ("r2", "x")}
+
+
+def test_reader_projection_and_where(spark, tmp_path):
+    src = str(tmp_path / "p")
+    spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("z").alias("junk")
+    ).write.parquet(src)
+    df = compile_reader(
+        spark,
+        {"name": "parquetreader", "parameter": {"path": src, "column": ["id", "v"], "where": "id >= 5"}},
+    )
+    assert df.columns == ["id", "v"]
+    assert df.count() == 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "junk" not in plan.split("ReadSchema")[-1]  # column pruned at scan
