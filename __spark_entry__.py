@@ -1,38 +1,603 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SQL-expressible operator from SURVEY.md §2
+plus the training-data-pipeline surface (dedup families, ANN, text
+analysis, multimodal plumbing); ``oracle_sql()`` gives the DuckDB
+equivalent for each. Hash-dependent operators (MinHash/SimHash/
+fingerprints) use an md5-based hash family so both engines compute
+identical values (datax_spark/functions/text.py::h32).
+
+Non-SQL-expressible paths (the exactly-once lake MERGE engine,
+checkpointed streaming) are covered by pytest and exposed here as
+rows-only checks (``cdc_lake_apply``).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from datax_spark.functions.dedup import (
+    MINHASH_K,
+    embedding_neardup_pairs,
+    exact_dup_clusters,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from datax_spark.functions.multimodal import decode_stub, to_media
+from datax_spark.functions.similarity import brute_force_topk, ivf_topk
+from datax_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_predict,
+    quality_metrics,
+    token_count_bpe,
+    token_count_ws,
+)
+from datax_spark.operators.dedup import dedup_latest, dedup_latest_window
+from datax_spark.operators.transforms import (
+    dx_digest,
+    dx_filter,
+    dx_pad,
+    dx_replace,
+    dx_substr,
+)
+from datax_spark.quality.quarantine import dirty_reason
+
+NEARDUP_THRESHOLD = 0.25
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# events -> CDC changelog mapping (shared by the cdc_* queries): the driver's
+# `events` table re-keyed as a change log — op from event_type, seq from
+# event_id, content from props. 'signup' maps to an invalid op on purpose to
+# exercise the quarantine path.
+# ---------------------------------------------------------------------------
+
+def _events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type").isin("view", "click"), F.lit("update"))
+        .when(F.col("event_type") == "purchase", F.lit("insert"))
+        .otherwise(F.lit("frobnicate"))
+    )
+    return ev.select(
+        F.col("user_id"),
+        op.alias("op"),
+        F.col("event_id").alias("seq"),
+        F.col("props").alias("content"),
+    )
+
+
+_CHG_SQL = """
+    SELECT user_id,
+           CASE WHEN event_type = 'error' THEN 'delete'
+                WHEN event_type IN ('view', 'click') THEN 'update'
+                WHEN event_type = 'purchase' THEN 'insert'
+                ELSE 'frobnicate' END AS op,
+           event_id AS seq,
+           props AS content
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_cdc_latest_maxby(spark, sf_dir):
+    """Latest-wins dedup via map-side-combinable max_by agg (the scale path)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+def q_cdc_latest_window(spark, sf_dir):
+    """row_number-window dedup (the north-rule formulation)."""
+    ev = _read(spark, sf_dir, "events")
+    out = dedup_latest_window(ev, ["user_id", "event_type"], "event_id")
+    return out.select("event_id", "user_id", "event_type", "value", "props")
+
+
+def q_cdc_apply_events(spark, sf_dir):
+    """Full batch CDC apply as pure DataFrame ops: quarantine-split ->
+    latest-wins dedup -> delete-filtered final state."""
+    from datax_spark.quality.quarantine import split_dirty
+
+    chg = _events_as_changelog(spark, sf_dir)
+    clean, _ = split_dirty(chg, key_cols=("user_id",), op_col="op", content_col="content")
+    latest = dedup_latest(clean, ["user_id"], "seq")
+    return latest.filter(F.col("op") != "delete").select("user_id", "content", "seq")
+
+
+def q_cdc_quarantine(spark, sf_dir):
+    """Dirty-record classification counts (ErrorRecordChecker feed)."""
+    chg = _events_as_changelog(spark, sf_dir)
+    tagged = chg.withColumn(
+        "reason", dirty_reason(["user_id"], "op", "content")
+    )
+    return (
+        tagged.filter(F.col("reason").isNotNull())
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dx_transforms(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        dx_substr("text", 0, 10).alias("sub10"),
+        dx_pad("lang", "l", 6, "_").alias("lang_pad"),
+        dx_replace("source", 0, 3, "SRC").alias("src_repl"),
+        dx_digest("text", "md5").alias("text_md5"),
+    )
+
+
+def q_dx_filter_like(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return dx_filter(ev, "event_type", "like", "p.*").select("event_id", "event_type")
+
+
+def q_split_range(spark, sf_dir):
+    """RangeSplitUtil.doLongSplit analog: 8 even key-range slices."""
+    orders = _read(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    )
+    j = orders.crossJoin(F.broadcast(bounds))
+    slice_id = F.floor(
+        (F.col("o_orderkey") - F.col("mn")) * 8 / (F.col("mx") - F.col("mn") + 1)
+    )
+    return (
+        j.select(slice_id.alias("slice_id"), "o_orderkey")
+        .groupBy("slice_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+def q_split_ntile(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select(F.ntile(8).over(w).cast("long").alias("slice_id"))
+        .groupBy("slice_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dup_clusters(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", *minhash_signature("text"))
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash16(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    return ngram_jaccard_pairs(docs, pairs)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, NEARDUP_THRESHOLD, block_col="label")
+
+
+def _query_vec(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=4)
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").cast("long").alias("ws_tokens"),
+        token_count_bpe("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_predict("text").alias("pred_lang"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    qm = quality_metrics("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in qm.items()])
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return decode_stub(to_media(docs))
+
+
+def q_job_transform_chain(spark, sf_dir):
+    """plans/job transformer-chain path: dx_filter + dx_substr composed."""
+    from datax_spark.operators.transforms import TransformSpec, apply_transform_chain
+
+    docs = _read(spark, sf_dir, "documents")
+    out = apply_transform_chain(
+        docs,
+        [
+            TransformSpec("dx_filter", "source", {"code": "like", "value": "src1.*"}),
+            TransformSpec("dx_substr", "text", {"start_index": 0, "length": 20}),
+        ],
+    )
+    return out.select("doc_id", "source", F.col("text").alias("text20"))
+
+
+def q_cdc_lake_apply(spark, sf_dir):
+    """Rows-only check: the real exactly-once lake engine end-to-end.
+
+    Derives a 2-batch changelog from `events`, MERGE-applies both batches
+    into a fresh bucketed lake table, returns the final state. Not
+    SQL-expressible (snapshot commits + fencing) — pytest covers equality
+    against the replay oracle; here the driver sees rows + stable schema.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
+    chg = chg.select(
+        F.col("repo").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("na").alias("lang"),
+        "content",
+        "op",
+        "seq",
+    )
+    mid = chg.agg(F.percentile_approx("seq", 0.5)).first()[0]
+    root = tempfile.mkdtemp(prefix="dx_lake_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(quarantine_dir=os.path.join(root, "q"))
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1, cfg)
+    return table.read().select("repo", "path", "commit", "content")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB dialect, same math as the Spark expressions)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _h32_sql(expr: str, seed: str) -> str:
+    return f"('0x' || substr(md5('{seed}|' || {expr}), 1, 8))::BIGINT"
+
+
+def _shingles_cte() -> str:
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' ')) AS s
+           FROM toks)
+    """
+
+
+def _sig_select() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> {_h32_sql('x', f'mh{i}')})) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"SELECT doc_id, {mins} FROM sh"
+
+
+def _bands_cte() -> str:
+    bands = []
+    for b in range(MINHASH_K // 2):
+        i, j = 2 * b, 2 * b + 1
+        bands.append(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"md5(mh{i}::VARCHAR || ',' || mh{j}::VARCHAR) AS band_hash "
+            f"FROM sig WHERE mh0 IS NOT NULL"
+        )
+    return " UNION ALL ".join(bands)
+
+
+def _lsh_pairs_sql() -> str:
+    return f"""
+    WITH {_shingles_cte()},
+    sig AS ({_sig_select()}),
+    bands AS ({_bands_cte()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+def _langid_sql() -> str:
+    langs = list(LANG_MARKERS)
+    scores = ", ".join(
+        "len(list_filter(t, x -> x IN ({}))) AS s_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    case = "CASE "
+    for idx, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{x}" for x in langs[idx + 1 :])
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    s AS (SELECT doc_id, {scores} FROM toks)
+    SELECT doc_id, {case} AS pred_lang FROM s
+    """
+
+
+def _quality_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             {_TOKS} AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_chars, len(t)::BIGINT AS n_tokens,
+             floor(alpha / greatest(n_chars, 1) * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio,
+             floor(len(list_filter(t, x -> x IN ({stops}))) / greatest(len(t), 1) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+             floor(list_sum(list_transform(t, x -> length(x)))::DOUBLE / greatest(len(t), 1) * 1000000.0 + 0.5) / 1000000.0 AS mean_token_len
+      FROM base)
+    SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens, alpha_ratio, stopword_ratio,
+           coalesce(mean_token_len, 0.0) AS mean_token_len,
+           floor((0.4 * alpha_ratio + 0.3 * least(n_tokens / 50.0, 1.0) + 0.3 * stopword_ratio) * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM m
+    """
+
+
+def _simhash_sql() -> str:
+    h = _h32_sql("tok", "simhash")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    total = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    hashed AS (SELECT doc_id, {h} AS h FROM tok),
+    agg AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, ({total})::BIGINT AS simhash FROM agg
+    """
+
+
+_COS = (
+    "list_dot_product(v1, v2) / "
+    "(sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2)))"
+)
+
+
+def _bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: batch CDC apply (quarantine -> dedup -> final state)."""
+    return q_cdc_apply_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_latest_maxby": q_cdc_latest_maxby,
+        "cdc_latest_window": q_cdc_latest_window,
+        "cdc_apply_events": q_cdc_apply_events,
+        "cdc_quarantine": q_cdc_quarantine,
+        "cdc_lake_apply": q_cdc_lake_apply,
+        "dx_transforms": q_dx_transforms,
+        "dx_filter_like": q_dx_filter_like,
+        "job_transform_chain": q_job_transform_chain,
+        "split_range": q_split_range,
+        "split_ntile": q_split_ntile,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_tokens": q_text_tokens,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+    sql["cdc_latest_maxby"] = """
+        SELECT user_id, event_type,
+               max(event_id) AS last_event_id,
+               arg_max("value", event_id) AS last_value
+        FROM events GROUP BY user_id, event_type
     """
-    return {}
+    sql["cdc_latest_window"] = """
+        SELECT event_id, user_id, event_type, "value", props FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """
+    sql["cdc_apply_events"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE op IN ('insert', 'update', 'delete')),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
+        SELECT user_id, content, seq FROM ded WHERE rn = 1 AND op != 'delete'
+    """
+    sql["cdc_quarantine"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        tagged AS (SELECT CASE
+            WHEN op NOT IN ('insert', 'update', 'delete') THEN 'invalid_op'
+            WHEN user_id IS NULL THEN 'null_key'
+            WHEN op != 'delete' AND (content IS NULL OR content = '\\N')
+              THEN 'null_content' END AS reason FROM chg)
+        SELECT reason, count(*) AS n FROM tagged
+        WHERE reason IS NOT NULL GROUP BY reason
+    """
+    sql["dx_transforms"] = """
+        SELECT doc_id,
+               substr(text, 1, 10) AS sub10,
+               lpad(lang, 6, '_') AS lang_pad,
+               'SRC' || substr(source, 4) AS src_repl,
+               md5(text) AS text_md5
+        FROM documents
+    """
+    sql["dx_filter_like"] = """
+        SELECT event_id, event_type FROM events
+        WHERE NOT regexp_full_match(event_type, 'p.*')
+    """
+    sql["job_transform_chain"] = """
+        SELECT doc_id, source, substr(text, 1, 20) AS text20
+        FROM documents WHERE NOT regexp_full_match(source, 'src1.*')
+    """
+    sql["split_range"] = """
+        WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders)
+        SELECT CAST(floor((o_orderkey - mn) * 8 / (mx - mn + 1)) AS BIGINT) AS slice_id,
+               count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM orders, b GROUP BY 1
+    """
+    sql["split_ntile"] = """
+        SELECT slice_id, count(*) AS n_rows FROM (
+          SELECT ntile(8) OVER (ORDER BY o_orderkey) AS slice_id FROM orders)
+        GROUP BY slice_id
+    """
+    sql["dedup_exact"] = f"""
+        SELECT substr(sha256({_NORM}), 1, 16) AS digest,
+               count(*) AS dup_count, min(doc_id) AS min_id
+        FROM documents GROUP BY 1
+    """
+    sql["dedup_minhash"] = f"WITH {_shingles_cte()} {_sig_select()}"
+    sql["dedup_lsh_pairs"] = _lsh_pairs_sql()
+    sql["dedup_simhash"] = _simhash_sql()
+    sql["dedup_jaccard"] = f"""
+        WITH {_shingles_cte()},
+        sig AS ({_sig_select()}),
+        bands AS ({_bands_cte()}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+        dsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh)
+        SELECT doc_a, doc_b,
+               floor(len(list_intersect(x.ds, y.ds)) /
+                     greatest(len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds)), 1)
+                     * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        FROM pairs JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b
+    """
+    sql["dedup_embedding"] = f"""
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 floor((SELECT {_COS} FROM (SELECT a.vec AS v1, b.vec AS v2)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cosine >= {NEARDUP_THRESHOLD}
+    """
+    sql["ann_topk"] = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id,
+                     floor((SELECT {_COS} FROM (SELECT embedding::DOUBLE[] AS v1, qv AS v2)) * 1000000.0 + 0.5) / 1000000.0
+                       AS cosine_sim
+              FROM embeddings, q)
+        SELECT vec_id, cosine_sim FROM s ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+    sql["ann_ivf_topk"] = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv, {_bucket_sql('embedding')} AS qb
+                   FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id, {_bucket_sql('embedding')} AS b, embedding::DOUBLE[] AS vec
+              FROM embeddings)
+        SELECT vec_id,
+               floor((SELECT {_COS} FROM (SELECT vec AS v1, qv AS v2)) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+        FROM s, q WHERE s.b = q.qb
+        ORDER BY cosine_sim DESC, vec_id LIMIT 5
+    """
+    sql["text_tokens"] = """
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))::BIGINT AS bpe_tokens
+        FROM documents
+    """
+    sql["text_langid"] = _langid_sql()
+    sql["text_quality"] = _quality_sql()
+    sql["text_fingerprint"] = f"""
+        SELECT doc_id, substr(sha256({_NORM}), 1, 16) AS fp FROM documents
+    """
+    sql["multimodal_decode"] = """
+        SELECT doc_id, 'text/plain' AS mime,
+               octet_length(encode(text))::BIGINT AS byte_len,
+               sha256(text) AS content_sha,
+               (16 + octet_length(encode(text)) % 64)::BIGINT AS width,
+               (16 + ('0x' || substr(sha256(text), 1, 4))::BIGINT % 64)::BIGINT AS height
+        FROM documents
+    """
+    # cdc_lake_apply: intentionally no oracle (snapshot/fence engine path);
+    # pytest asserts sha256 state equality vs the replay oracle.
+    return sql

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datax_spark.functions.text import fingerprint, h32, shingles, tokens
+from datax_spark.functions.text import fingerprint, h32, round6, shingles, tokens
 from datax_spark.functions.similarity import cosine
 
 MINHASH_K = 8
@@ -54,8 +54,14 @@ def minhash_signature(text_col: str = "text", k: int = MINHASH_K, n: int = 3) ->
     one codegen stage per row, no shuffle, no UDF.
     """
     sh = shingles(text_col, n)
+
+    def hasher(seed: str):
+        # NB: the lambda must take exactly one arg — a second (defaulted)
+        # arg makes PySpark treat it as an (element, index) lambda.
+        return lambda s: h32(s, seed)
+
     return [
-        F.array_min(F.transform(sh, lambda s, i=i: h32(s, f"mh{i}"))).alias(f"mh{i}")
+        F.array_min(F.transform(sh, hasher(f"mh{i}"))).alias(f"mh{i}")
         for i in range(k)
     ]
 
@@ -158,7 +164,7 @@ def ngram_jaccard_pairs(
     return j.select(
         "doc_a",
         "doc_b",
-        F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 6).alias("jaccard"),
+        round6(inter / F.greatest(union, F.lit(1)).cast("double")).alias("jaccard"),
     )
 
 
@@ -187,7 +193,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.round(sim, 6).alias("cosine"),
+            round6(sim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datax_spark.functions.text import round6
+
 
 def _dbl(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -57,7 +59,7 @@ def brute_force_topk(
     rounding makes the boundary deterministic across engines.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = F.round(cosine(_dbl(F.col(vec_col)), q), 6)
+    sim = round6(cosine(_dbl(F.col(vec_col)), q))
     return (
         df.select(F.col(id_col).alias(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -98,7 +100,7 @@ def ivf_topk(
             q_bucket |= 1 << i
     v = _dbl(F.col(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = F.round(cosine(v, q), 6)
+    sim = round6(cosine(v, q))
     return (
         df.filter(sign_bucket(F.col(vec_col), n_bits) == q_bucket)
         .select(F.col(id_col).alias(id_col), sim.alias("cosine_sim"))

@@ -38,6 +38,17 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def round6(col: Column) -> Column:
+    """Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6.
+
+    F.round / DuckDB round() disagree on half-way doubles (different
+    tie-breaking on the decimal expansion); this formula is plain IEEE
+    double arithmetic, so identical input bits give identical output in
+    every engine — required for oracle value-hash equality.
+    """
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def h32(col: Column | str, seed: str) -> Column:
     """Deterministic 32-bit hash both Spark and DuckDB can compute.
 
@@ -129,22 +140,20 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
     n_tokens = F.size(t)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
-    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)).cast("double"), 6)
-    stop_ratio = F.round(
-        stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
+    alpha_ratio = round6(alpha / F.greatest(n_chars, F.lit(1)).cast("double"))
+    stop_ratio = round6(
+        stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double")
     )
-    mean_tok = F.round(
+    mean_tok = round6(
         F.aggregate(
             t, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
         )
-        / F.greatest(n_tokens, F.lit(1)).cast("double"),
-        6,
+        / F.greatest(n_tokens, F.lit(1)).cast("double")
     )
-    quality = F.round(
+    quality = round6(
         F.lit(0.4) * alpha_ratio
         + F.lit(0.3) * F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.3) * stop_ratio,
-        6,
+        + F.lit(0.3) * stop_ratio
     )
     return {
         "n_chars": n_chars.cast("long"),
