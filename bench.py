@@ -1,0 +1,152 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures, on local[$SPARK_GRAFT_CPUS] at $SPARK_GRAFT_SF_DIR:
+
+1. the headline end-to-end CDC apply (deterministic generated changelog
+   sized to the scale factor -> quarantine/dedup/fenced MERGE into a
+   fresh lake table), reporting seconds and events/sec;
+2. a representative set of the driver-contract queries (dedup families,
+   ANN, text analysis, CDC dedup) timed individually.
+
+Scaling evidence (N vs 4N cores, same input) lives in
+tools/scaling_bench.py -> SCALING.md; this file is the per-round feedback
+loop and must stay fast (~2-4 min).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Queries from __spark_entry__ worth timing (heavy / representative).
+BENCH_QUERIES = [
+    "cdc_latest_maxby",
+    "cdc_apply_events",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_langid",
+    "multimodal_decode",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_cdc_apply(spark, sf: float) -> dict:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.sources.changelog import generate_changelog, write_segments
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_segments
+
+    n_events = max(200_000, int(40_000_000 * sf))
+    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    logdir = os.path.join(root, "log")
+    os.makedirs(logdir)
+    write_segments(
+        generate_changelog(
+            spark,
+            n_events=n_events,
+            n_keys=n_events // 8,
+            events_per_segment=n_events // 2,
+            content_max_len=80,
+            partitions=2 * CPUS,
+        ),
+        logdir,
+    )
+    os.sync()
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    # Warmup (JIT) on a small slice, then measure on a fresh table.
+    wl = os.path.join(root, "wlog")
+    write_segments(
+        generate_changelog(
+            spark, n_events=200_000, n_keys=25_000,
+            events_per_segment=100_000, content_max_len=80,
+            partitions=CPUS,
+        ),
+        wl,
+    )
+    wt = LakeTable.create(
+        spark, os.path.join(root, "wlake"), schema,
+        ["repo", "path", "commit"], "repo", 32,
+    )
+    apply_segments(spark, wt, wl, config=PipelineConfig())
+
+    table = LakeTable.create(
+        spark, os.path.join(root, "lake"), schema,
+        ["repo", "path", "commit"], "repo", 32,
+    )
+    t0 = time.monotonic()
+    apply_segments(spark, table, logdir, config=PipelineConfig())
+    dt = time.monotonic() - t0
+    return {
+        "events": n_events,
+        "apply_sec": round(dt, 2),
+        "events_per_sec": round(n_events / dt),
+    }
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    from datax_spark.config import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_from_dir(SF_DIR)
+    t_start = time.monotonic()
+
+    cdc = bench_cdc_apply(spark, sf)
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warm (plan + JIT)
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    total = round(time.monotonic() - t_start, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_apply_sec",
+                "value": cdc["apply_sec"],
+                "unit": "sec",
+                "total_sec": total,
+                "queries": times,
+                "sf": sf,
+                "cdc": cdc,
+                "cpus": CPUS,
+            },
+            sort_keys=True,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,32 @@ def minhash_signature(text_col: str = "text", k: int = MINHASH_K, n: int = 3) ->
     ]
 
 
+def minhash_signatures_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode + groupBy(min) — the pipeline form.
+
+    Same values as ``minhash_signature`` (same hash family), different
+    physical plan: shingles explode once, each shingle row hashes k ways,
+    map-side partial min collapses to one row per doc before the shuffle.
+    Aggregate outputs are real attributes, so downstream references (band
+    hashes, joins) cost nothing — unlike the pure-projection form, where
+    Catalyst's CollapseProject inlines the whole shingle pipeline again
+    for every column reference (measured 60x blowup in the LSH join).
+    Docs with fewer than ``n`` tokens produce no row (no shingles).
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[F.min(h32(F.col("s"), f"mh{i}")).alias(f"mh{i}") for i in range(k)]
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -80,8 +106,7 @@ def lsh_candidate_pairs(
     (band_id, band_hash) so bucket sizes stay tiny and the self-join is
     per-bucket. Output: (doc_a, doc_b) distinct with doc_a < doc_b.
     """
-    sigs = df.select(F.col(id_col).alias("doc_id"), *minhash_signature(text_col, k, n))
-    sigs = sigs.filter(F.col("mh0").isNotNull())
+    sigs = minhash_signatures_agg(df, text_col, id_col, k, n)
     n_bands = k // rows_per_band
     bands = []
     for b in range(n_bands):
@@ -98,18 +123,15 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # Equi-join via shared column names: an aliased self-join here keeps
+    # one lineage and Spark degenerates it to a nested-loop with the whole
+    # MinHash expression inlined into the predicate (O(n^2) re-hashing).
+    a = exploded.withColumnRenamed("doc_id", "doc_a")
+    b = exploded.withColumnRenamed("doc_id", "doc_b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -182,18 +204,16 @@ def embedding_neardup_pairs(
     pattern is block-by-bucket then verify, same as MinHash-LSH.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("vid"), v.alias("v"), *( [F.col(block_col).alias("blk")] if block_col else []))
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.vid") < F.col("b.vid")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    blk = [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]
+    base = df.select(F.col(id_col).alias("vid"), v.alias("v"), *blk)
+    # Renamed-column equi-join on the block key (not an aliased self-join,
+    # which would plan a nested loop re-deriving the vectors per pair).
+    a = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), "blk")
+    b = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "blk")
+    sim = cosine(F.col("va"), F.col("vb"))
     return (
-        a.join(b, cond)
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            round6(sim).alias("cosine"),
-        )
+        a.join(b, on=["blk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", round6(sim).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

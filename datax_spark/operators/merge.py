@@ -53,21 +53,55 @@ class MergeResult:
     deletes: int = 0
 
 
+def bucket_stats_agg(df: DataFrame, bucket_key: str, num_buckets: int) -> list:
+    """Per-bucket (max_seq, deletes, events) — the O(num_buckets) stats job.
+
+    Scans only (bucket_key, seq, op): parquet column pruning makes this a
+    narrow pass even when content columns are KB-sized, so the stats job
+    costs a small fraction of the write job at any scale.
+    """
+    return (
+        df.select(
+            bucket_expr(bucket_key, num_buckets).alias(BUCKET_COL),
+            F.col("seq"),
+            F.col(OP_COL),
+        )
+        .groupBy(BUCKET_COL)
+        .agg(
+            F.max("seq").alias("max_seq"),
+            F.sum(F.when(F.col(OP_COL) == DELETE_OP, 1).otherwise(0)).alias(
+                "deletes"
+            ),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .collect()
+    )
+
+
 def merge_apply(
     table: LakeTable,
     deduped_changes: DataFrame,
     batch_id: int,
     stream_id: str = "default",
     broadcast_keys: bool | None = None,
+    bucket_stats: list | None = None,
 ) -> MergeResult:
-    """Apply one deduplicated change batch to ``table`` exactly once."""
+    """Apply one deduplicated change batch to ``table`` exactly once.
+
+    ``bucket_stats``: precomputed ``bucket_stats_agg`` rows (normally over
+    the *pre-dedup* clean events — one cheap column-pruned job). When
+    omitted, the stats run over ``deduped_changes`` behind a persist so
+    the dedup shuffle isn't paid twice across jobs. With stats supplied
+    there is no persist at all: the write job references the dedup
+    subtree twice (anti-join keys + upsert images) and Spark's
+    ReuseExchange evaluates the shuffle once.
+    """
     base_version = table.current_version()
     snap = table.snapshot(base_version)
     props = snap.properties
     key_cols: list[str] = props["key_cols"]
     bucket_key: str = props["bucket_key"]
     num_buckets: int = props["num_buckets"]
-    seq_col = "seq"
 
     last = (props.get("streams", {}).get(stream_id) or {}).get("last_batch_id")
     if last is not None and batch_id <= last:
@@ -76,20 +110,14 @@ def merge_apply(
     changes = deduped_changes.withColumn(
         BUCKET_COL, bucket_expr(bucket_key, num_buckets)
     )
-    # Cache: reused for bucket listing, stats, anti-join, and union.
-    changes = changes.persist()
+    own_persist = bucket_stats is None
+    if own_persist:
+        changes = changes.persist()
     try:
-        # Driver-side O(num_buckets) aggregate: affected buckets + lineage.
         stats_rows = (
-            changes.groupBy(BUCKET_COL)
-            .agg(
-                F.max(seq_col).alias("max_seq"),
-                F.sum(F.when(F.col(OP_COL) == DELETE_OP, 1).otherwise(0)).alias(
-                    "deletes"
-                ),
-                F.count(F.lit(1)).alias("events"),
-            )
-            .collect()
+            bucket_stats
+            if bucket_stats is not None
+            else bucket_stats_agg(deduped_changes, bucket_key, num_buckets)
         )
         if not stats_rows:
             # Empty batch still advances the fence so replays stay no-ops.
@@ -109,7 +137,10 @@ def merge_apply(
 
         change_keys = changes.select(*key_cols)
         if broadcast_keys is None:
-            broadcast_keys = True  # CDC batch keys << table; let AQE demote if not
+            # Auto: broadcast only genuinely small key sets. Driver-side
+            # broadcast build of a huge batch serializes and *loses* time
+            # at high parallelism; past the threshold AQE picks the join.
+            broadcast_keys = events <= 100_000
         if broadcast_keys:
             change_keys = F.broadcast(change_keys)
 
@@ -147,7 +178,8 @@ def merge_apply(
             deletes=deletes,
         )
     finally:
-        changes.unpersist()
+        if own_persist:
+            changes.unpersist()
 
 
 def _evolve_schema(table_schema, batch_schema):

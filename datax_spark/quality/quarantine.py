@@ -94,9 +94,15 @@ class ErrorLimit:
                 )
 
 
-def append_quarantine(dirty: DataFrame, quarantine_dir: str, batch_id: int) -> int:
-    """Append dirty rows (+batch id) to the quarantine parquet log."""
-    n = dirty.count()
+def append_quarantine(
+    dirty: DataFrame, quarantine_dir: str, batch_id: int, count: bool = True
+) -> int:
+    """Append dirty rows (+batch id) to the quarantine parquet log.
+
+    ``count=False`` skips the pre-count job when the caller already knows
+    the batch has dirty rows (e.g. from an Observation).
+    """
+    n = dirty.count() if count else -1
     if n:
         dirty.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
             quarantine_dir

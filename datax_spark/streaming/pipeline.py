@@ -22,17 +22,22 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from datax_spark.lake.table import LakeTable
 from datax_spark.operators.dedup import dedup_latest
-from datax_spark.operators.merge import MergeResult, merge_apply
+from datax_spark.operators.merge import MergeResult, bucket_stats_agg, merge_apply
 from datax_spark.quality.quarantine import (
+    REASON_COL,
     ErrorLimit,
     append_quarantine,
-    split_dirty,
+    dirty_reason,
 )
+
+
+def dirty_reason_col():
+    return dirty_reason(KEY_COLS)
 
 KEY_COLS = ["repo", "path", "commit"]
 
@@ -53,6 +58,7 @@ class BatchMetrics:
     applied: bool = False
     version: int | None = None
     records_per_sec: float = 0.0
+    dirty_reasons: dict = field(default_factory=dict)
     bytes_estimate: int = 0
     seconds: float = 0.0
 
@@ -87,22 +93,62 @@ def apply_batch(
         m.applied = False
         return m
 
-    clean, dirty = split_dirty(events)
-    clean = clean.persist()
-    try:
-        if cfg.quarantine_dir:
-            m.dirty_records = append_quarantine(dirty, cfg.quarantine_dir, batch_id)
-        else:
-            m.dirty_records = dirty.count()
-        m.clean_records = clean.count()  # pre-dedup, DataX readSucceedRecords
-        m.total_records = m.clean_records + m.dirty_records
+    # Quality metrics ride the merge's own first action via Observation —
+    # zero extra jobs/scans over the batch (DataX counts per-record in the
+    # exchanger, TransformerExchanger.java:117-127; here the counters are
+    # free side-outputs of the dedup shuffle's scan).
+    obs = Observation(f"quality-{batch_id}")
+    tagged = events.withColumn(REASON_COL, dirty_reason_col())
+    is_dirty = F.col(REASON_COL).isNotNull()
+    tagged = tagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(is_dirty.cast("long")).alias("dirty"),
+        F.sum((F.col(REASON_COL) == "invalid_op").cast("long")).alias("invalid_op"),
+        F.sum((F.col(REASON_COL) == "null_key").cast("long")).alias("null_key"),
+        F.sum((F.col(REASON_COL) == "null_content").cast("long")).alias("null_content"),
+    )
+    clean = tagged.filter(~is_dirty).drop(REASON_COL)
 
-        deduped = dedup_latest(clean, KEY_COLS)
+    # Stats job first (narrow, column-pruned — carries the Observation),
+    # then the single wide write job; no persist anywhere (ReuseExchange
+    # dedups the shuffle inside the write job).
+    props = table.snapshot().properties
+    stats = bucket_stats_agg(clean, props["bucket_key"], props["num_buckets"])
+    deduped = dedup_latest(clean, KEY_COLS).persist()
+    try:
         result: MergeResult = merge_apply(
-            table, deduped, batch_id=batch_id, stream_id=cfg.stream_id
+            table,
+            deduped,
+            batch_id=batch_id,
+            stream_id=cfg.stream_id,
+            bucket_stats=stats,
         )
     finally:
-        clean.unpersist()
+        deduped.unpersist()
+    try:
+        got = obs.get
+    except Exception:
+        # Observation retrieval is unsupported inside foreachBatch
+        # micro-batches (Spark 4 toPyRow assertion); fall back to one
+        # narrow aggregate job (column-pruned: keys + op + content only).
+        got = tagged.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(is_dirty.cast("long")).alias("dirty"),
+            F.sum((F.col(REASON_COL) == "invalid_op").cast("long")).alias("invalid_op"),
+            F.sum((F.col(REASON_COL) == "null_key").cast("long")).alias("null_key"),
+            F.sum((F.col(REASON_COL) == "null_content").cast("long")).alias("null_content"),
+        ).first().asDict()
+    m.total_records = got["total"] or 0
+    m.dirty_records = got["dirty"] or 0
+    m.clean_records = m.total_records - m.dirty_records
+    m.dirty_reasons = {
+        k: got[k] for k in ("invalid_op", "null_key", "null_content") if got[k]
+    }
+    if cfg.quarantine_dir and m.dirty_records:
+        append_quarantine(
+            tagged.filter(is_dirty), cfg.quarantine_dir, batch_id, count=False
+        )
     m.applied = result.applied
     m.version = result.version
     m.upserts = result.upserts
