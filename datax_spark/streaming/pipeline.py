@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from datax_spark.lake.table import LakeTable
 from datax_spark.operators.dedup import dedup_latest
 from datax_spark.operators.merge import MergeResult, bucket_stats_agg, merge_apply
+from datax_spark.util import RateLimiter
 from datax_spark.quality.quarantine import (
     REASON_COL,
     ErrorLimit,
@@ -72,6 +73,10 @@ class PipelineConfig:
     error_limit: ErrorLimit = field(default_factory=ErrorLimit)
     stream_id: str = "default"
     metrics_path: str | None = None
+    # Batch-mode rate limit (events/sec), the DataX job.setting.speed
+    # record throttle (Channel.java:176-239). Streaming paths rate-limit
+    # natively via maxFilesPerTrigger.
+    max_events_per_sec: float | None = None
 
 
 def apply_batch(
@@ -110,9 +115,10 @@ def apply_batch(
     )
     clean = tagged.filter(~is_dirty).drop(REASON_COL)
 
-    # Stats job first (narrow, column-pruned — carries the Observation),
-    # then the single wide write job; no persist anywhere (ReuseExchange
-    # dedups the shuffle inside the write job).
+    # Stats job first (narrow, column-pruned scan of key/op/seq only — it
+    # also fires the Observation), then one wide write job that
+    # materializes the dedup into cache once and reads it for both the
+    # anti-join key side and the upsert images.
     props = table.snapshot().properties
     stats = bucket_stats_agg(clean, props["bucket_key"], props["num_buckets"])
     deduped = dedup_latest(clean, KEY_COLS).persist()
@@ -189,15 +195,24 @@ def apply_segments(
         for d in os.listdir(log_dir)
         if d.startswith("seg=")
     )
+    cfg = config or PipelineConfig()
+    limiter = (
+        RateLimiter(cfg.max_events_per_sec) if cfg.max_events_per_sec else None
+    )
     out = []
-    resume_from = table.last_batch_id(
-        (config or PipelineConfig()).stream_id
-    ) if start_after_batch is None else start_after_batch
+    resume_from = (
+        table.last_batch_id(cfg.stream_id)
+        if start_after_batch is None
+        else start_after_batch
+    )
     for seg_id, seg_path in segs:
         if resume_from is not None and seg_id <= resume_from:
             continue
         events = spark.read.parquet(seg_path)
-        out.append(apply_batch(table, events, batch_id=seg_id, config=config))
+        m = apply_batch(table, events, batch_id=seg_id, config=cfg)
+        out.append(m)
+        if limiter is not None:
+            limiter.admit(m.total_records)
     return out
 
 

@@ -1,0 +1,131 @@
+"""spark-submit entry point for the CDC apply engine.
+
+Cluster usage (the north-rule deployment shape):
+
+    python tools/make_pyfiles.py                     # -> dist/datax_spark.zip
+    spark-submit --master <cluster> \\
+        --num-executors <N> --executor-cores 4 --executor-memory 8g \\
+        --py-files dist/datax_spark.zip \\
+        jobs/cdc_apply_job.py --log-dir <events> --table <lake-table> \\
+        [--streaming --checkpoint <dir>] [--create --buckets 256]
+
+Run the same job at N and 4N executors on the same input to measure
+scaling efficiency (tools/scaling_bench.py does this locally with
+local[2] vs local[8] cores).
+
+Local smoke:
+
+    python jobs/cdc_apply_job.py --demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--log-dir", help="change-log dir (seg=N parquet subdirs)")
+    p.add_argument("--table", help="lake table path")
+    p.add_argument("--create", action="store_true", help="create the table first")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--streaming", action="store_true",
+                   help="tail via Structured Streaming instead of batch loop")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir")
+    p.add_argument("--quarantine", help="quarantine dir")
+    p.add_argument("--metrics", help="metrics JSONL path")
+    p.add_argument("--error-record-limit", type=int)
+    p.add_argument("--error-pct-limit", type=float)
+    p.add_argument("--max-events-per-sec", type=float)
+    p.add_argument("--demo", action="store_true",
+                   help="self-contained local demo on a generated log")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.config import get_spark
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.quality.quarantine import ErrorLimit
+    from datax_spark.streaming.pipeline import (
+        PipelineConfig,
+        apply_segments,
+        tail_and_apply,
+    )
+
+    spark = get_spark("cdc-apply")
+    schema = StructType(
+        [StructField(c, StringType())
+         for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+
+    if args.demo:
+        import tempfile
+
+        from datax_spark.sources.changelog import generate_changelog, write_segments
+
+        root = tempfile.mkdtemp(prefix="cdc_demo_")
+        args.log_dir = os.path.join(root, "log")
+        args.table = os.path.join(root, "table")
+        args.create = True
+        write_segments(
+            generate_changelog(spark, n_events=200_000, n_keys=25_000,
+                               events_per_segment=50_000), args.log_dir,
+        )
+        print(f"demo log + table under {root}")
+
+    if not args.log_dir or not args.table:
+        print("--log-dir and --table are required (or --demo)", file=sys.stderr)
+        return 2
+
+    if args.create and not LakeTable.exists(args.table):
+        table = LakeTable.create(
+            spark, args.table, schema,
+            key_cols=["repo", "path", "commit"],
+            bucket_key="repo", num_buckets=args.buckets,
+        )
+    else:
+        table = LakeTable(spark, args.table)
+
+    cfg = PipelineConfig(
+        quarantine_dir=args.quarantine,
+        error_limit=ErrorLimit(record=args.error_record_limit,
+                               percentage=args.error_pct_limit),
+        metrics_path=args.metrics,
+        max_events_per_sec=args.max_events_per_sec,
+    )
+
+    if args.streaming:
+        from pyspark.sql.types import IntegerType, LongType, TimestampType
+
+        ev_schema = StructType(
+            [StructField(c, StringType())
+             for c in ["repo", "path", "commit", "lang", "content", "op"]]
+            + [StructField("seq", LongType()),
+               StructField("ts", TimestampType()),
+               StructField("batch_file", IntegerType())]
+        )
+        if not args.checkpoint:
+            print("--checkpoint required with --streaming", file=sys.stderr)
+            return 2
+        tail_and_apply(spark, args.table, args.log_dir, args.checkpoint,
+                       ev_schema, config=cfg)
+    else:
+        metrics = apply_segments(spark, table, args.log_dir, config=cfg)
+        for m in metrics:
+            print(m.to_json())
+
+    print(json.dumps({"final_rows": table.count(),
+                      "version": table.current_version()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,124 @@
+"""Tests for parity utilities: retry, rate limit, shard expansion,
+upsert SQL, connector option builders, pandas transforms."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from datax_spark.operators.transforms import TransformSpec, apply_transform_chain
+from datax_spark.operators.upsert_sql import jdbc_write_options, upsert_sql
+from datax_spark.sources.connectors import (
+    elasticsearch_write_options,
+    hbase_catalog,
+    mongodb_read_options,
+)
+from datax_spark.sources.expand import expand_shards, filter_by_regex
+from datax_spark.util import RateLimiter, execute_with_retry
+
+
+def test_retry_succeeds_after_failures():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert execute_with_retry(flaky, retry_times=3, sleep_sec=0.01) == "ok"
+    assert len(calls) == 3
+
+
+def test_retry_exhausts():
+    with pytest.raises(ValueError):
+        execute_with_retry(
+            lambda: (_ for _ in ()).throw(ValueError("x")),
+            retry_times=2,
+            sleep_sec=0.01,
+            retry_on=(ValueError,),
+        )
+
+
+def test_rate_limiter_throttles():
+    rl = RateLimiter(per_sec=1000)
+    t0 = time.monotonic()
+    rl.admit(500)
+    rl.admit(500)  # 1000 units -> needs >= 1.0s elapsed
+    assert time.monotonic() - t0 >= 0.9
+
+
+def test_expand_shards():
+    assert expand_shards("t_[0-3]") == ["t_0", "t_1", "t_2", "t_3"]
+    assert expand_shards("t_[08-11]suffix") == [
+        "t_08suffix", "t_09suffix", "t_10suffix", "t_11suffix"
+    ]
+    assert expand_shards("plain") == ["plain"]
+    with pytest.raises(ValueError):
+        expand_shards("t_[5-2]")
+
+
+def test_filter_by_regex_full_match():
+    names = ["pt=20240101", "pt=20240102", "other"]
+    assert filter_by_regex(names, r"pt=2024010[12]") == names[:2]
+    assert filter_by_regex(names, None) == names
+
+
+def test_upsert_sql_mysql():
+    assert upsert_sql("t", ["a", "b"], "replace", dialect="mysql").startswith(
+        "REPLACE INTO t (a, b)"
+    )
+    s = upsert_sql("t", ["a", "b"], "update", dialect="mysql")
+    assert "ON DUPLICATE KEY UPDATE a=VALUES(a), b=VALUES(b)" in s
+    assert upsert_sql("t", ["a"], "insert") == "INSERT INTO t (a) VALUES (?)"
+
+
+def test_upsert_sql_merge_dialects():
+    s = upsert_sql("t", ["k", "v"], "update", key_columns=["k"], dialect="db2")
+    assert "MERGE INTO t AS T" in s and "WHEN MATCHED THEN UPDATE SET T.v = S.v" in s
+    p = upsert_sql("t", ["k", "v"], "update", key_columns=["k"], dialect="postgresql")
+    assert "ON CONFLICT (k) DO UPDATE SET v=EXCLUDED.v" in p
+    with pytest.raises(ValueError):
+        upsert_sql("t", ["k"], "update", dialect="db2")
+
+
+def test_jdbc_write_options_defaults():
+    o = jdbc_write_options({"jdbcUrl": "jdbc:x", "table": "t"})
+    assert o["batchsize"] == "2048"  # DataX default batch size
+
+
+def test_connector_builders():
+    m = mongodb_read_options(
+        {"address": "mongodb://h:27017", "dbName": "d", "collectionName": "c"}
+    )
+    assert m["database"] == "d" and "partitioner" in m
+    e = elasticsearch_write_options(
+        {"endpoint": "http://es:9200", "index": "idx",
+         "column": [{"name": "pk", "type": "id"}], "actionType": "update"}
+    )
+    assert e["es.mapping.id"] == "pk" and e["es.write.operation"] == "upsert"
+    h = hbase_catalog(
+        {"table": "t", "column": [{"name": "rowkey", "type": "string"},
+                                   {"name": "cf:q", "type": "string"}]}
+    )
+    assert h["columns"]["q"]["cf"] == "cf"
+
+
+def test_pandas_transform_chain(spark):
+    import datax_spark.operators.pandas_transforms  # noqa: F401  (registers)
+
+    df = spark.createDataFrame(
+        [("  a  b  ", "12.5"), ("x", "bad")], ["txt", "num"]
+    )
+    out = apply_transform_chain(
+        df,
+        [
+            TransformSpec("py_norm_content", "txt"),
+            TransformSpec("py_cast_safe", "num", {"output": "num_d"}),
+        ],
+    )
+    rows = {r["txt"]: r for r in out.collect()}
+    assert "a b" in rows
+    assert rows["a b"]["num_d"] == 12.5
+    assert rows["x"]["num_d"] is None  # dirty-able sentinel
