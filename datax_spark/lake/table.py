@@ -294,3 +294,49 @@ class LakeTable:
 
     def count(self) -> int:
         return self.read().count()
+
+    # ------------------------------------------------------------ maintenance
+    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+        """Drop old snapshots and delete data files they alone reference.
+
+        Equivalent of Iceberg ``expire_snapshots`` + ``remove_orphan_files``:
+        keeps the newest ``keep_last`` manifests, unions their referenced
+        file sets, and removes every data file outside that set (including
+        files orphaned by crashed commits that never published). Readers of
+        retained snapshots are unaffected — files are immutable and only
+        unreferenced ones are removed. Driver-side O(files) metadata work.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        mdir = os.path.join(self.path, MANIFEST_DIR)
+        versions = sorted(
+            int(n[1:-5]) for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        keep_versions = versions[-keep_last:]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            snap = self.snapshot(v)
+            for files in snap.buckets.values():
+                referenced.update(files)
+        removed_files = 0
+        data_root = os.path.join(self.path, DATA_DIR)
+        for commit_dir in sorted(os.listdir(data_root)):
+            cpath = os.path.join(data_root, commit_dir)
+            for root, _dirs, files in os.walk(cpath, topdown=False):
+                for f in files:
+                    rel = os.path.relpath(os.path.join(root, f), self.path)
+                    if rel not in referenced:
+                        os.unlink(os.path.join(root, f))
+                        removed_files += 1
+                if not os.listdir(root):
+                    os.rmdir(root)
+        removed_snapshots = 0
+        for v in versions[:-keep_last]:
+            os.unlink(self._manifest_path(v))
+            removed_snapshots += 1
+        return {
+            "removed_files": removed_files,
+            "removed_snapshots": removed_snapshots,
+            "kept_versions": len(keep_versions),
+        }
