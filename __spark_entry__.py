@@ -177,6 +177,31 @@ def q_split_range(spark, sf_dir):
     )
 
 
+def q_split_string_range(spark, sf_dir):
+    """RangeSplitUtil.doAsciiStringSplit analog: string-key range split.
+
+    The reference splits string pk ranges via base-128 BigInteger
+    encoding (common/.../util/RangeSplitUtil.java:14-30,105-171); the
+    first-order term of that encoding is the leading character's code
+    point, which is what drives the slice assignment here.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    first = F.ascii(F.substring("text", 1, 1))
+    bounds = docs.agg(
+        F.min(first).alias("mn"), F.max(first).alias("mx")
+    )
+    j = docs.crossJoin(F.broadcast(bounds))
+    slice_id = F.floor(
+        (F.ascii(F.substring("text", 1, 1)) - F.col("mn")) * 8
+        / (F.col("mx") - F.col("mn") + 1)
+    )
+    return (
+        j.select(slice_id.alias("slice_id"), "doc_id")
+        .groupBy("slice_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min("doc_id").alias("min_doc"))
+    )
+
+
 def q_split_ntile(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     w = Window.orderBy("o_orderkey")
@@ -456,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
         "split_range": q_split_range,
+        "split_string_range": q_split_string_range,
         "split_ntile": q_split_ntile,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -525,6 +551,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor((o_orderkey - mn) * 8 / (mx - mn + 1)) AS BIGINT) AS slice_id,
                count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM orders, b GROUP BY 1
+    """
+    sql["split_string_range"] = """
+        WITH b AS (SELECT min(ascii(substr(text, 1, 1))) AS mn,
+                          max(ascii(substr(text, 1, 1))) AS mx FROM documents)
+        SELECT CAST(floor((ascii(substr(text, 1, 1)) - mn) * 8 / (mx - mn + 1)) AS BIGINT)
+                 AS slice_id,
+               count(*) AS n_rows, min(doc_id) AS min_doc
+        FROM documents, b GROUP BY 1
     """
     sql["split_ntile"] = """
         SELECT slice_id, count(*) AS n_rows FROM (

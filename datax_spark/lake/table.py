@@ -295,7 +295,136 @@ class LakeTable:
     def count(self) -> int:
         return self.read().count()
 
+    # ------------------------------------------------------------ bulk load
+    def bulk_load(self, df: DataFrame, mode: str = "truncate") -> Snapshot:
+        """Initial snapshot load — the DataX full-sync (reader->writer bulk
+        move) path, one parallel write + one commit.
+
+        mode='truncate' replaces the whole table (odpswriter truncate
+        analog, odpswriter/.../OdpsWriter.java); mode='nonConflict'
+        refuses when the table already has data (hdfswriter nonConflict,
+        hdfswriter/.../HdfsWriter.java:81-90). Rows must carry the table's
+        payload columns; keys are not deduplicated (a bulk load is assumed
+        key-unique — run dedup_latest first if not).
+        """
+        snap = self.snapshot()
+        props = snap.properties
+        if mode == "nonConflict" and any(snap.buckets.values()):
+            raise FileExistsError(f"table {self.path} is not empty")
+        if mode not in ("truncate", "nonConflict"):
+            raise ValueError(f"unknown bulk_load mode {mode!r}")
+        conformed = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+        )
+        commit_rel = self.write_bucket_data(
+            conformed, props["num_buckets"], props["bucket_key"]
+        )
+        return self.commit_replace_buckets(
+            self.current_version(),
+            commit_rel,
+            replaced_buckets=list(range(props["num_buckets"])),
+        )
+
+    def commit_append_buckets(
+        self,
+        base_version: int,
+        commit_rel: str,
+        stream_updates: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Publish a snapshot APPENDING staged files to their buckets.
+
+        The insert-only fast path (DataX writeMode=insert append
+        semantics): no read-back, no bucket rewrite — O(batch) work no
+        matter how big the table is. Callers must guarantee key-newness
+        (use ``append_insert_only`` which enforces op=='insert'); buckets
+        fragment one file per batch, so pair with ``compact``.
+        """
+        base = self.snapshot(base_version)
+        if self.current_version() != base_version:
+            raise CommitConflict(
+                f"base version {base_version} superseded at {self.path}"
+            )
+        staged = self._list_staged(self.path, commit_rel)
+        buckets = dict(base.buckets)
+        for b, files in staged.items():
+            buckets[b] = buckets.get(b, []) + files
+        props = json.loads(json.dumps(base.properties))
+        if stream_updates:
+            props.setdefault("streams", {}).update(stream_updates)
+        snap = Snapshot(
+            version=base_version + 1,
+            schema_json=base.schema_json,
+            buckets=buckets,
+            properties=props,
+            lineage=dict(base.lineage),
+        )
+        self._write_manifest(snap)
+        return snap
+
+    def append_insert_only(
+        self, df: DataFrame, batch_id: int | None = None, stream_id: str = "default"
+    ) -> Snapshot:
+        """Append payload rows without touching existing data (fenced).
+
+        The caller asserts the rows are brand-new keys (insert-only CDC
+        segment / log-structured ingest). Fencing matches merge_apply:
+        a replayed batch_id is a no-op.
+        """
+        snap = self.snapshot()
+        props = snap.properties
+        if batch_id is not None:
+            last = (props.get("streams", {}).get(stream_id) or {}).get(
+                "last_batch_id"
+            )
+            if last is not None and batch_id <= last:
+                return snap
+        conformed = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+        )
+        commit_rel = self.write_bucket_data(
+            conformed, props["num_buckets"], props["bucket_key"]
+        )
+        updates = (
+            {stream_id: {"last_batch_id": batch_id}} if batch_id is not None else None
+        )
+        return self.commit_append_buckets(
+            self.current_version(), commit_rel, stream_updates=updates
+        )
+
     # ------------------------------------------------------------ maintenance
+    def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
+        """Bin-pack buckets whose file count exceeds the threshold.
+
+        A long-running CDC stream leaves ~one file per bucket per batch;
+        compaction rewrites only the fragmented buckets (copy-on-write,
+        same publish path as a MERGE) and carries the rest forward by
+        reference. Combine with ``vacuum`` to reclaim the old files.
+        """
+        snap = self.snapshot()
+        props = snap.properties
+        fragmented = [
+            int(b) for b, files in snap.buckets.items()
+            if len(files) > max_files_per_bucket
+        ]
+        if not fragmented:
+            return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+        files_before = sum(len(snap.buckets[str(b)]) for b in fragmented)
+        # write_bucket_data repartitions by bucket id: each fragmented
+        # bucket lands in one task -> one output file per bucket.
+        df = self.read(buckets=fragmented)
+        commit_rel = self.write_bucket_data(
+            df, props["num_buckets"], props["bucket_key"]
+        )
+        new_snap = self.commit_replace_buckets(
+            self.current_version(), commit_rel, replaced_buckets=fragmented
+        )
+        files_after = sum(len(new_snap.buckets.get(str(b), [])) for b in fragmented)
+        return {
+            "compacted_buckets": len(fragmented),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:
         """Drop old snapshots and delete data files they alone reference.
 
