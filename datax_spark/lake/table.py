@@ -123,6 +123,7 @@ class LakeTable:
         key_cols: list[str],
         bucket_key: str,
         num_buckets: int = 16,
+        extra_properties: dict[str, Any] | None = None,
     ) -> "LakeTable":
         path = os.path.abspath(path)
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=False)
@@ -136,6 +137,7 @@ class LakeTable:
                 "bucket_key": bucket_key,
                 "num_buckets": num_buckets,
                 "streams": {},
+                **(extra_properties or {}),
             },
         )
         table = cls(spark, path)
@@ -330,6 +332,8 @@ class LakeTable:
         base_version: int,
         commit_rel: str,
         stream_updates: dict[str, Any] | None = None,
+        schema: StructType | None = None,
+        lineage_updates: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Publish a snapshot APPENDING staged files to their buckets.
 
@@ -351,12 +355,15 @@ class LakeTable:
         props = json.loads(json.dumps(base.properties))
         if stream_updates:
             props.setdefault("streams", {}).update(stream_updates)
+        lineage = dict(base.lineage)
+        for b, stats in (lineage_updates or {}).items():
+            lineage[str(b)] = stats
         snap = Snapshot(
             version=base_version + 1,
-            schema_json=base.schema_json,
+            schema_json=(schema or base.schema).jsonValue(),
             buckets=buckets,
             properties=props,
-            lineage=dict(base.lineage),
+            lineage=lineage,
         )
         self._write_manifest(snap)
         return snap

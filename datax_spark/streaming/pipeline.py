@@ -121,17 +121,30 @@ def apply_batch(
     # anti-join key side and the upsert images.
     props = table.snapshot().properties
     stats = bucket_stats_agg(clean, props["bucket_key"], props["num_buckets"])
-    deduped = dedup_latest(clean, KEY_COLS).persist()
-    try:
-        result: MergeResult = merge_apply(
-            table,
-            deduped,
-            batch_id=batch_id,
-            stream_id=cfg.stream_id,
-            bucket_stats=stats,
+    deduped = dedup_latest(clean, KEY_COLS)
+    if props.get("table_mode") == "mor":
+        # Merge-on-read: append the deduped delta, O(batch) — one pass,
+        # no persist (the delta is consumed exactly once by the write).
+        from datax_spark.lake.mor import MorTable
+
+        mor = table if isinstance(table, MorTable) else MorTable(
+            table.spark, table.path
         )
-    finally:
-        deduped.unpersist()
+        result: MergeResult = mor.apply_deduped(
+            deduped, batch_id, cfg.stream_id, bucket_stats=stats
+        )
+    else:
+        deduped = deduped.persist()
+        try:
+            result = merge_apply(
+                table,
+                deduped,
+                batch_id=batch_id,
+                stream_id=cfg.stream_id,
+                bucket_stats=stats,
+            )
+        finally:
+            deduped.unpersist()
     try:
         got = obs.get
     except Exception:

@@ -1,0 +1,89 @@
+"""Merge-on-read table mode: oracle equality, fencing, compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.types import StringType, StructField, StructType
+
+from datax_spark.lake.mor import MorTable
+from datax_spark.oracle import replay_oracle_pandas, state_fingerprint
+from datax_spark.sources.changelog import generate_changelog, write_segments
+from datax_spark.streaming.pipeline import PipelineConfig, apply_segments
+
+SCHEMA = StructType(
+    [StructField(c, StringType()) for c in
+     ["repo", "path", "commit", "lang", "content"]]
+)
+KEYS = ["repo", "path", "commit"]
+
+
+def _make_log(spark, tmp_path, n=8000, evolve_after=None):
+    logdir = str(tmp_path / "log")
+    df = generate_changelog(
+        spark, n_events=n, n_keys=n // 8, events_per_segment=n // 4,
+        evolve_after=evolve_after,
+    )
+    write_segments(df, logdir)
+    return df, logdir
+
+
+def test_mor_apply_matches_oracle(spark, tmp_path):
+    log_df, logdir = _make_log(spark, tmp_path)
+    t = MorTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, "repo", 8)
+    ms = apply_segments(spark, t, logdir, config=PipelineConfig())
+    assert all(m.applied for m in ms)
+    got = state_fingerprint(t.read().orderBy(KEYS).toPandas())
+    want = state_fingerprint(replay_oracle_pandas(log_df.toPandas()))
+    assert got == want
+
+
+def test_mor_replay_fenced(spark, tmp_path):
+    log_df, logdir = _make_log(spark, tmp_path, n=4000)
+    t = MorTable.create(spark, str(tmp_path / "t2"), SCHEMA, KEYS, "repo", 8)
+    apply_segments(spark, t, logdir)
+    fp = state_fingerprint(t.read().orderBy(KEYS).toPandas())
+    files = sum(len(fs) for fs in t.snapshot().buckets.values())
+    ms = apply_segments(spark, t, logdir, start_after_batch=-1)
+    assert all(not m.applied for m in ms)
+    assert sum(len(fs) for fs in t.snapshot().buckets.values()) == files
+    assert state_fingerprint(t.read().orderBy(KEYS).toPandas()) == fp
+
+
+def test_mor_compact_preserves_state_and_future_applies(spark, tmp_path):
+    log_df, logdir = _make_log(spark, tmp_path, n=8000)
+    t = MorTable.create(spark, str(tmp_path / "t3"), SCHEMA, KEYS, "repo", 8)
+    # apply first half, compact mid-stream, then apply the rest
+    segs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(logdir) if d.startswith("seg=")
+    )
+    mid = segs[len(segs) // 2 - 1]
+    apply_segments(spark, t, logdir, start_after_batch=None,
+                   config=PipelineConfig())
+    # re-create cleanly for the mid-compact scenario
+    t2 = MorTable.create(spark, str(tmp_path / "t3b"), SCHEMA, KEYS, "repo", 8)
+    for seg in segs[: len(segs) // 2]:
+        events = spark.read.parquet(os.path.join(logdir, f"seg={seg}"))
+        from datax_spark.streaming.pipeline import apply_batch
+        apply_batch(t2, events, batch_id=seg)
+    stats = t2.compact()
+    assert stats["compacted_buckets"] > 0
+    for seg in segs[len(segs) // 2:]:
+        events = spark.read.parquet(os.path.join(logdir, f"seg={seg}"))
+        from datax_spark.streaming.pipeline import apply_batch
+        apply_batch(t2, events, batch_id=seg)
+    fp_full = state_fingerprint(t.read().orderBy(KEYS).toPandas())
+    fp_compacted = state_fingerprint(t2.read().orderBy(KEYS).toPandas())
+    assert fp_full == fp_compacted
+    want = state_fingerprint(replay_oracle_pandas(log_df.toPandas()))
+    assert fp_full == want
+
+
+def test_mor_schema_evolution(spark, tmp_path):
+    log_df, logdir = _make_log(spark, tmp_path, n=4000, evolve_after=2000)
+    t = MorTable.create(spark, str(tmp_path / "t4"), SCHEMA, KEYS, "repo", 8)
+    apply_segments(spark, t, logdir)
+    out = t.read()
+    assert "size_bytes" in out.columns
+    rows = out.filter("size_bytes IS NOT NULL").count()
+    assert rows > 0
