@@ -7,9 +7,10 @@ equivalent for each. Hash-dependent operators (MinHash/SimHash/
 fingerprints) use an md5-based hash family so both engines compute
 identical values (datax_spark/functions/text.py::h32).
 
-Non-SQL-expressible paths (the exactly-once lake MERGE engine,
-checkpointed streaming) are covered by pytest and exposed here as
-rows-only checks (``cdc_lake_apply``).
+The full lake engine paths (COW MERGE and merge-on-read) run end-to-end
+inside ``cdc_lake_apply`` / ``cdc_mor_apply`` and are value-checked
+against a SQL oracle of the same replay; the snapshot/fence/checkpoint
+machinery is additionally covered by pytest sha256-state equality.
 """
 
 from __future__ import annotations
@@ -300,13 +301,48 @@ def q_job_transform_chain(spark, sf_dir):
     return out.select("doc_id", "source", F.col("text").alias("text20"))
 
 
+def q_cdc_mor_apply(spark, sf_dir):
+    """Merge-on-read apply path end-to-end (append + read resolution).
+
+    Same events-derived changelog as cdc_lake_apply, applied through
+    MorTable (O(batch) append, latest-wins read resolution); the driver
+    value-checks the final state against the same SQL replay oracle.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
+    chg = chg.select(
+        F.col("repo").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("na").alias("lang"),
+        "content",
+        "op",
+        "seq",
+    )
+    mid = chg.agg(F.percentile_approx("seq", 0.5)).first()[0]
+    root = tempfile.mkdtemp(prefix="dx_mor_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = MorTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    return table.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_lake_apply(spark, sf_dir):
-    """Rows-only check: the real exactly-once lake engine end-to-end.
+    """The real exactly-once lake engine end-to-end (COW MERGE mode).
 
     Derives a 2-batch changelog from `events`, MERGE-applies both batches
-    into a fresh bucketed lake table, returns the final state. Not
-    SQL-expressible (snapshot commits + fencing) — pytest covers equality
-    against the replay oracle; here the driver sees rows + stable schema.
+    into a fresh bucketed lake table, returns the final state — which the
+    driver value-checks against the SQL replay oracle.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -477,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_events": q_cdc_apply_events,
         "cdc_quarantine": q_cdc_quarantine,
         "cdc_lake_apply": q_cdc_lake_apply,
+        "cdc_mor_apply": q_cdc_mor_apply,
         "dx_transforms": q_dx_transforms,
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
@@ -635,6 +672,18 @@ def oracle_sql() -> dict[str, str]:
                (16 + ('0x' || substr(sha256(text), 1, 4))::BIGINT % 64)::BIGINT AS height
         FROM documents
     """
-    # cdc_lake_apply: intentionally no oracle (snapshot/fence engine path);
-    # pytest asserts sha256 state equality vs the replay oracle.
+    # The lake engine paths (COW MERGE and MOR append+resolve) produce a
+    # SQL-expressible final state for this events-derived changelog, so
+    # both get full value-hash oracles — the snapshot/fence machinery
+    # itself is additionally covered by pytest sha256-state equality.
+    _lake_final = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE op IN ('insert', 'update', 'delete')),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit", content
+        FROM ded WHERE rn = 1 AND op != 'delete'
+    """
+    sql["cdc_lake_apply"] = _lake_final
+    sql["cdc_mor_apply"] = _lake_final
     return sql

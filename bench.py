@@ -101,10 +101,22 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     t0 = time.monotonic()
     apply_segments(spark, table, logdir, config=PipelineConfig())
     dt = time.monotonic() - t0
+
+    from datax_spark.lake.mor import MorTable
+
+    mor = MorTable.create(
+        spark, os.path.join(root, "mor"), schema,
+        ["repo", "path", "commit"], "repo", 32,
+    )
+    t0 = time.monotonic()
+    apply_segments(spark, mor, logdir, config=PipelineConfig())
+    mor_dt = time.monotonic() - t0
     return {
         "events": n_events,
         "apply_sec": round(dt, 2),
         "events_per_sec": round(n_events / dt),
+        "mor_apply_sec": round(mor_dt, 2),
+        "mor_events_per_sec": round(n_events / mor_dt),
     }
 
 
