@@ -31,6 +31,7 @@ from datax_spark.functions.dedup import (
     exact_dup_clusters,
     lsh_candidate_pairs,
     minhash_signature,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash16,
 )
@@ -234,6 +235,13 @@ def q_dedup_jaccard(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(docs)
     return ngram_jaccard_pairs(docs, pairs)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over LSH candidate pairs
+    (the dedup decision — keep one representative per cluster)."""
+    docs = _read(spark, sf_dir, "documents")
+    return neardup_clusters(lsh_candidate_pairs(docs))
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -525,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -625,6 +634,26 @@ def oracle_sql() -> dict[str, str]:
                      greatest(len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds)), 1)
                      * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         FROM pairs JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b
+    """
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {_shingles_cte()},
+        sig AS ({_sig_select()}),
+        bands AS ({_bands_cte()}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+        und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, root) AS (
+          SELECT DISTINCT src AS node, src AS root FROM und
+          UNION
+          SELECT u.dst AS node, r.root FROM reach r JOIN und u ON u.src = r.node
+        )
+        SELECT node AS doc_id, min(root) AS cluster_id,
+               (node = min(root)) AS keep
+        FROM reach GROUP BY node
     """
     sql["dedup_embedding"] = f"""
         WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)

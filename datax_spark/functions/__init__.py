@@ -22,6 +22,7 @@ from datax_spark.functions.dedup import (  # noqa: F401
     exact_dup_clusters,
     minhash_signature,
     lsh_candidate_pairs,
+    neardup_clusters,
     simhash16,
     ngram_jaccard_pairs,
     embedding_neardup_pairs,

@@ -190,6 +190,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id, keep).
+
+    The dedup *decision* stage: every doc in a candidate pair gets the
+    minimum doc id reachable through the pair graph as its cluster id;
+    ``keep`` marks the cluster representative. Iterative min-label
+    propagation to fixpoint — near-dup clusters have tiny diameters, so
+    this converges in a handful of joins; each iteration is one shuffle
+    keyed by doc id. (At extreme scale swap in an alternating
+    large/small-star algorithm; the contract stays the same.)
+    """
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("node")).distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )
+    return out
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -146,3 +146,16 @@ def test_multimodal_decode_stub(docs):
     r = dec.join(docs, "doc_id").select("doc_id", "byte_len", "content_sha", "text").first()
     assert r["byte_len"] == len(r["text"].encode())
     assert r["content_sha"] == hashlib.sha256(r["text"].encode()).hexdigest()
+
+
+def test_neardup_clusters_connected_components(spark):
+    from datax_spark.functions.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in neardup_clusters(pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False)
+    assert out[3] == (1, False) and out[9] == (1, False)
+    assert out[5] == (5, True) and out[6] == (5, False)
