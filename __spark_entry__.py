@@ -331,7 +331,7 @@ def q_cdc_mor_apply(spark, sf_dir):
         "op",
         "seq",
     )
-    mid = chg.agg(F.percentile_approx("seq", 0.5)).first()[0]
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
     root = tempfile.mkdtemp(prefix="dx_mor_q_")
     schema = StructType(
         [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
@@ -343,6 +343,76 @@ def q_cdc_mor_apply(spark, sf_dir):
     apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
     apply_batch(table, chg.filter(F.col("seq") > mid), 1)
     return table.read().select("repo", "path", "commit", "content")
+
+
+def q_cdc_sql_view(spark, sf_dir):
+    """spark.sql over a lake-table view: the engine's SQL surface.
+
+    Builds the same lake table as cdc_lake_apply, registers a
+    snapshot-consistent temp view, and answers with plain SQL."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
+    chg = chg.select(
+        F.col("repo").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("na").alias("lang"),
+        "content",
+        "op",
+        "seq",
+    )
+    root = tempfile.mkdtemp(prefix="dx_sql_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg, 0)
+    table.create_view("repo_content_v")
+    return spark.sql(
+        "SELECT repo, count(*) AS n_rows, max(length(content)) AS max_len "
+        "FROM repo_content_v GROUP BY repo"
+    )
+
+
+def q_cdc_time_travel(spark, sf_dir):
+    """Snapshot time travel: read the table AS OF the version right after
+    the first batch (Iceberg time-travel analog over our CAS manifests).
+    The oracle replays only the first batch's events (seq <= max/2)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
+    chg = chg.select(
+        F.col("repo").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("na").alias("lang"),
+        "content",
+        "op",
+        "seq",
+    )
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = tempfile.mkdtemp(prefix="dx_tt_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    v_after_first = table.current_version()
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    return table.read(version=v_after_first).select("repo", "path", "commit", "content")
 
 
 def q_cdc_lake_apply(spark, sf_dir):
@@ -367,7 +437,7 @@ def q_cdc_lake_apply(spark, sf_dir):
         "op",
         "seq",
     )
-    mid = chg.agg(F.percentile_approx("seq", 0.5)).first()[0]
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
     root = tempfile.mkdtemp(prefix="dx_lake_q_")
     schema = StructType(
         [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
@@ -522,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine": q_cdc_quarantine,
         "cdc_lake_apply": q_cdc_lake_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
+        "cdc_time_travel": q_cdc_time_travel,
+        "cdc_sql_view": q_cdc_sql_view,
         "dx_transforms": q_dx_transforms,
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
@@ -715,4 +787,26 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["cdc_lake_apply"] = _lake_final
     sql["cdc_mor_apply"] = _lake_final
+    sql["cdc_sql_view"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE op IN ('insert', 'update', 'delete')),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean),
+        final AS (SELECT user_id::VARCHAR AS repo, content
+                  FROM ded WHERE rn = 1 AND op != 'delete')
+        SELECT repo, count(*) AS n_rows, max(length(content)) AS max_len
+        FROM final GROUP BY repo
+    """
+    sql["cdc_time_travel"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        first_batch AS (
+          SELECT * FROM chg
+          WHERE seq <= (SELECT floor(max(seq) / 2) FROM chg)),
+        clean AS (SELECT * FROM first_batch
+                  WHERE op IN ('insert', 'update', 'delete')),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit", content
+        FROM ded WHERE rn = 1 AND op != 'delete'
+    """
     return sql

@@ -297,6 +297,15 @@ class LakeTable:
     def count(self) -> int:
         return self.read().count()
 
+    def create_view(self, name: str, version: int | None = None) -> None:
+        """Register (a snapshot of) the table as a temp view for spark.sql.
+
+        The SQL surface over the lake: views are snapshot-consistent
+        (pinned to the manifest read at creation), so concurrent commits
+        never tear a running query.
+        """
+        self.read(version=version).createOrReplaceTempView(name)
+
     # ------------------------------------------------------------ bulk load
     def bulk_load(self, df: DataFrame, mode: str = "truncate") -> Snapshot:
         """Initial snapshot load — the DataX full-sync (reader->writer bulk
