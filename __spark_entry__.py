@@ -264,6 +264,13 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=4)
 
 
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF: home bucket + every Hamming-1 neighbor (recall
+    dial of the sign-bucket quantizer)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=4, n_probes=5)
+
+
 def q_text_tokens(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -609,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -751,6 +759,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                floor((SELECT {_COS} FROM (SELECT vec AS v1, qv AS v2)) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
         FROM s, q WHERE s.b = q.qb
+        ORDER BY cosine_sim DESC, vec_id LIMIT 5
+    """
+    sql["ann_ivf_multiprobe"] = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv, {_bucket_sql('embedding')} AS qb
+                   FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id, {_bucket_sql('embedding')} AS b, embedding::DOUBLE[] AS vec
+              FROM embeddings)
+        SELECT vec_id,
+               floor((SELECT {_COS} FROM (SELECT vec AS v1, qv AS v2)) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+        FROM s, q
+        WHERE s.b IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4), xor(q.qb, 8))
         ORDER BY cosine_sim DESC, vec_id LIMIT 5
     """
     sql["text_tokens"] = """

@@ -81,6 +81,24 @@ def sign_bucket(vec_col: Column, n_bits: int = 4) -> Column:
     return bucket.cast("int")
 
 
+def probe_buckets(query_vec: list[float], n_bits: int = 4, n_probes: int = 1) -> list[int]:
+    """Buckets to scan: the query's own sign-bucket plus, for multi-probe,
+    every bucket within Hamming distance 1 (flip one sign bit) — the
+    standard multi-probe LSH recall/latency dial. n_probes counts
+    buckets: 1 = exact home bucket, up to n_bits+1."""
+    q_bucket = 0
+    for i in range(n_bits):
+        if float(query_vec[i]) >= 0:
+            q_bucket |= 1 << i
+    # order the single-bit flips by how close the flipped dimension is to
+    # zero (cheapest boundary to cross first) — deterministic.
+    flips = sorted(range(n_bits), key=lambda i: (abs(float(query_vec[i])), i))
+    out = [q_bucket]
+    for i in flips[: max(0, n_probes - 1)]:
+        out.append(q_bucket ^ (1 << i))
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -88,21 +106,20 @@ def ivf_topk(
     n_bits: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's sign-bucket.
+    """Approximate top-k: probe the query's sign-bucket(s).
 
     The bucket filter is a plain predicate, so with the corpus stored
-    partitioned by bucket it prunes at the file/partition level.
+    partitioned by bucket it prunes at the file/partition level;
+    ``n_probes > 1`` adds Hamming-1 neighbor buckets for recall.
     """
-    q_bucket = 0
-    for i in range(n_bits):
-        if float(query_vec[i]) >= 0:
-            q_bucket |= 1 << i
+    buckets = probe_buckets(query_vec, n_bits, n_probes)
     v = _dbl(F.col(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = round6(cosine(v, q))
     return (
-        df.filter(sign_bucket(F.col(vec_col), n_bits) == q_bucket)
+        df.filter(sign_bucket(F.col(vec_col), n_bits).isin(buckets))
         .select(F.col(id_col).alias(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)

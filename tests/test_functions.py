@@ -159,3 +159,13 @@ def test_neardup_clusters_connected_components(spark):
     assert out[1] == (1, True) and out[2] == (1, False)
     assert out[3] == (1, False) and out[9] == (1, False)
     assert out[5] == (5, True) and out[6] == (5, False)
+
+
+def test_ivf_multiprobe_recall_not_worse(emb):
+    from datax_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=5).collect()}
+    single = {r["vec_id"] for r in ivf_topk(emb, qv, k=5, n_probes=1).collect()}
+    multi = {r["vec_id"] for r in ivf_topk(emb, qv, k=5, n_probes=5).collect()}
+    assert len(multi & exact) >= len(single & exact)
