@@ -30,13 +30,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "cdc_latest_maxby",
     "cdc_apply_events",
+    "cdc_lake_apply",
+    "cdc_mor_apply",
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_jaccard",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding",
     "ann_topk",
     "ann_ivf_topk",
+    "ann_ivf_multiprobe",
     "text_quality",
     "text_langid",
     "multimodal_decode",
