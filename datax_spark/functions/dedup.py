@@ -201,11 +201,13 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     keyed by doc id. (At extreme scale swap in an alternating
     large/small-star algorithm; the contract stays the same.)
     """
+    # The pair list is usually the output of the (expensive) LSH pipeline;
+    # persist it once or every propagation iteration recomputes it.
     und = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).persist()
     labels = (
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("cluster_id", F.col("node"))
@@ -243,6 +245,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("keep"),
     )
+    und.unpersist()
     return out
 
 
