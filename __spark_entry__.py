@@ -15,7 +15,9 @@ machinery is additionally covered by pytest sha256-state equality.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import sys
 import tempfile
 from collections.abc import Callable
@@ -36,7 +38,12 @@ from datax_spark.functions.dedup import (
     simhash16,
 )
 from datax_spark.functions.multimodal import decode_stub, to_media
-from datax_spark.functions.similarity import brute_force_topk, ivf_topk
+from datax_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    ivf_topk_trained,
+    kmeans_fit,
+)
 from datax_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -57,6 +64,13 @@ from datax_spark.operators.transforms import (
 from datax_spark.quality.quarantine import dirty_reason
 
 NEARDUP_THRESHOLD = 0.25
+
+
+def _tmproot(prefix: str) -> str:
+    """mkdtemp that cleans up at interpreter exit (lake query scratch)."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,6 +110,14 @@ _CHG_SQL = """
            props AS content
     FROM events
 """
+
+# Full quarantine predicate (quality/quarantine.py dirty_reason): NOT just
+# invalid_op — null keys and null/sentinel content are dirty too, so the
+# oracle must drop them or any fixture with nulls diverges from Spark.
+_CLEAN_PRED = (
+    "op IN ('insert', 'update', 'delete') AND user_id IS NOT NULL "
+    "AND (op = 'delete' OR (content IS NOT NULL AND content != '\\N'))"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -205,10 +227,45 @@ def q_split_string_range(spark, sf_dir):
 
 
 def q_split_ntile(spark, sf_dir):
-    orders = _read(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    """Even-chunk split (the DataX balanced-task split) WITHOUT a global
+    single-partition window (round-1's `ntile OVER (ORDER BY ...)` was a
+    one-reducer sort — dead at 100×).
+
+    Scale-safe exact global rank: repartitionByRange(P) + row_number
+    windowed per range-partition (P parallel sorts) + broadcast
+    cumulative offsets (P-row driver collect). The ntile arithmetic is
+    then a pure expression; the oracle stays DuckDB's real ntile(8).
+    """
+    n_tiles, n_parts = 8, 8
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey")
+    # localCheckpoint pins the range partitioning: the offsets job and the
+    # final job must see the SAME partition boundaries (range bounds come
+    # from sampling and can differ across re-executions).
+    d = (
+        orders.repartitionByRange(n_parts, "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        ((r["_pid"], r["count"]) for r in d.groupBy("_pid").count().collect())
+    )
+    total = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy("o_orderkey")
+    rank = F.row_number().over(w) + omap[F.col("_pid")]  # 1-based global
+    q, rem = divmod(total, n_tiles)
+    cutoff = rem * (q + 1)
+    slice_id = F.when(
+        rank <= cutoff, F.floor((rank - 1) / (q + 1)) + 1
+    ).otherwise(F.floor((rank - 1 - cutoff) / max(q, 1)) + rem + 1)
     return (
-        orders.select(F.ntile(8).over(w).cast("long").alias("slice_id"))
+        d.select(slice_id.cast("long").alias("slice_id"))
         .groupBy("slice_id")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
@@ -262,6 +319,19 @@ def q_ann_topk(spark, sf_dir):
 def q_ann_ivf_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=4)
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF with TRAINED centroids (deterministic seeded k-means over
+    DataFrame ops) — data-adaptive cells instead of sign bits. No SQL
+    oracle: the fit is iterative with parallel float sums (rows-only
+    driver check); recall-vs-brute-force is pytest-asserted instead
+    (tests/test_ann_trained.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    return ivf_topk_trained(
+        emb, _query_vec(spark, sf_dir), centroids, k=5, n_probes=2
+    )
 
 
 def q_ann_ivf_multiprobe(spark, sf_dir):
@@ -339,7 +409,7 @@ def q_cdc_mor_apply(spark, sf_dir):
         "seq",
     )
     mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
-    root = tempfile.mkdtemp(prefix="dx_mor_q_")
+    root = _tmproot("dx_mor_q_")
     schema = StructType(
         [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
     )
@@ -372,7 +442,7 @@ def q_cdc_sql_view(spark, sf_dir):
         "op",
         "seq",
     )
-    root = tempfile.mkdtemp(prefix="dx_sql_q_")
+    root = _tmproot("dx_sql_q_")
     schema = StructType(
         [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
     )
@@ -408,7 +478,7 @@ def q_cdc_time_travel(spark, sf_dir):
         "seq",
     )
     mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
-    root = tempfile.mkdtemp(prefix="dx_tt_q_")
+    root = _tmproot("dx_tt_q_")
     schema = StructType(
         [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
     )
@@ -420,6 +490,54 @@ def q_cdc_time_travel(spark, sf_dir):
     v_after_first = table.current_version()
     apply_batch(table, chg.filter(F.col("seq") > mid), 1)
     return table.read(version=v_after_first).select("repo", "path", "commit", "content")
+
+
+def q_cdc_patch_apply(spark, sf_dir):
+    """Partial-column (UpdateRow) MERGE end-to-end — writeMode=update.
+
+    Same two-batch replay as cdc_lake_apply, but with an extra nullable
+    ``val`` payload column (present only on every third event): a
+    matched key keeps its old ``val`` when the incoming image's is NULL
+    (otswriter UpdateRow, OTSConst.java:17-18), while whole-row replace
+    would null it out. The oracle replays the same batch-boundary patch
+    composition in SQL.
+    """
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    ev = _read(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type").isin("view", "click"), F.lit("update"))
+        .when(F.col("event_type") == "purchase", F.lit("insert"))
+        .otherwise(F.lit("frobnicate"))
+    )
+    chg = ev.select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("na").alias("lang"),
+        F.col("props").alias("content"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("val"),
+        op.alias("op"),
+        F.col("event_id").alias("seq"),
+    )
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_patch_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+        + [StructField("val", DoubleType())]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(write_mode="update")
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1, cfg)
+    return table.read().select("repo", "path", "commit", "content", "val")
 
 
 def q_cdc_lake_apply(spark, sf_dir):
@@ -445,7 +563,7 @@ def q_cdc_lake_apply(spark, sf_dir):
         "seq",
     )
     mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
-    root = tempfile.mkdtemp(prefix="dx_lake_q_")
+    root = _tmproot("dx_lake_q_")
     schema = StructType(
         [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
     )
@@ -599,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine": q_cdc_quarantine,
         "cdc_lake_apply": q_cdc_lake_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
+        "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_sql_view": q_cdc_sql_view,
         "dx_transforms": q_dx_transforms,
@@ -617,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -641,7 +761,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["cdc_apply_events"] = f"""
         WITH chg AS ({_CHG_SQL}),
-        clean AS (SELECT * FROM chg WHERE op IN ('insert', 'update', 'delete')),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
         ded AS (SELECT *, row_number() OVER (
                   PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
         SELECT user_id, content, seq FROM ded WHERE rn = 1 AND op != 'delete'
@@ -798,7 +918,7 @@ def oracle_sql() -> dict[str, str]:
     # itself is additionally covered by pytest sha256-state equality.
     _lake_final = f"""
         WITH chg AS ({_CHG_SQL}),
-        clean AS (SELECT * FROM chg WHERE op IN ('insert', 'update', 'delete')),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
         ded AS (SELECT *, row_number() OVER (
                   PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
         SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit", content
@@ -806,9 +926,46 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["cdc_lake_apply"] = _lake_final
     sql["cdc_mor_apply"] = _lake_final
+    # writeMode=update replay: batch-latest images patch the prior state
+    # column-wise (coalesce new, old) at each batch boundary.
+    sql["cdc_patch_apply"] = f"""
+        WITH chg AS (
+          SELECT user_id,
+                 CASE WHEN event_type = 'error' THEN 'delete'
+                      WHEN event_type IN ('view', 'click') THEN 'update'
+                      WHEN event_type = 'purchase' THEN 'insert'
+                      ELSE 'frobnicate' END AS op,
+                 event_id AS seq,
+                 props AS content,
+                 CASE WHEN event_id % 3 = 0 THEN "value" END AS val
+          FROM events),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        mid AS (SELECT floor(max(seq) / 2) AS m FROM chg),
+        b1 AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY seq DESC) AS rn
+                 FROM clean WHERE seq <= (SELECT m FROM mid)) WHERE rn = 1),
+        b2 AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY seq DESC) AS rn
+                 FROM clean WHERE seq > (SELECT m FROM mid)) WHERE rn = 1),
+        state1 AS (SELECT user_id, content, val FROM b1 WHERE op != 'delete'),
+        final AS (
+          SELECT s.user_id, s.content, s.val FROM state1 s
+          WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.user_id = s.user_id)
+          UNION ALL
+          SELECT b2.user_id,
+                 coalesce(b2.content, s.content) AS content,
+                 coalesce(b2.val, s.val) AS val
+          FROM b2 LEFT JOIN state1 s ON s.user_id = b2.user_id
+          WHERE b2.op != 'delete')
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
+               content, val
+        FROM final
+    """
     sql["cdc_sql_view"] = f"""
         WITH chg AS ({_CHG_SQL}),
-        clean AS (SELECT * FROM chg WHERE op IN ('insert', 'update', 'delete')),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
         ded AS (SELECT *, row_number() OVER (
                   PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean),
         final AS (SELECT user_id::VARCHAR AS repo, content
@@ -822,7 +979,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT * FROM chg
           WHERE seq <= (SELECT floor(max(seq) / 2) FROM chg)),
         clean AS (SELECT * FROM first_batch
-                  WHERE op IN ('insert', 'update', 'delete')),
+                  WHERE {_CLEAN_PRED}),
         ded AS (SELECT *, row_number() OVER (
                   PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
         SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit", content

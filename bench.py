@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "cdc_apply_events",
     "cdc_lake_apply",
     "cdc_mor_apply",
+    "cdc_patch_apply",
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_jaccard",
@@ -41,6 +42,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
+    "ann_ivf_trained",
     "text_quality",
     "text_langid",
     "multimodal_decode",
@@ -115,12 +117,23 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     t0 = time.monotonic()
     apply_segments(spark, mor, logdir, config=PipelineConfig())
     mor_dt = time.monotonic() - t0
+    # Resolved-read cost, pre- and post-compaction (the round-2 MOR read
+    # path: base anti-joins broadcast delta keys, only deltas shuffle).
+    t0 = time.monotonic()
+    n_resolved = mor.read().count()
+    mor_read_dt = time.monotonic() - t0
+    mor.compact()
+    t0 = time.monotonic()
+    assert mor.read().count() == n_resolved
+    mor_read_compacted_dt = time.monotonic() - t0
     return {
         "events": n_events,
         "apply_sec": round(dt, 2),
         "events_per_sec": round(n_events / dt),
         "mor_apply_sec": round(mor_dt, 2),
         "mor_events_per_sec": round(n_events / mor_dt),
+        "mor_read_sec": round(mor_read_dt, 2),
+        "mor_read_postcompact_sec": round(mor_read_compacted_dt, 2),
     }
 
 

@@ -190,29 +190,119 @@ def ngram_jaccard_pairs(
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components over near-dup pairs -> (doc_id, cluster_id, keep).
+class ClusteringNotConverged(RuntimeError):
+    """Connected components hit max_iter without reaching a fixpoint."""
 
-    The dedup *decision* stage: every doc in a candidate pair gets the
-    minimum doc id reachable through the pair graph as its cluster id;
-    ``keep`` marks the cluster representative. Iterative min-label
-    propagation to fixpoint — near-dup clusters have tiny diameters, so
-    this converges in a handful of joins; each iteration is one shuffle
-    keyed by doc id. (At extreme scale swap in an alternating
-    large/small-star algorithm; the contract stays the same.)
+
+def _edge_signature(edges: DataFrame) -> tuple:
+    """(count, order-free checksum) of an edge set — one narrow agg job.
+
+    Decimal sum avoids ANSI long overflow on summed xxhash64 values.
     """
-    # The pair list is usually the output of the (expensive) LSH pipeline;
-    # persist it once or every propagation iteration recomputes it.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _cc_star(pairs: DataFrame, max_iter: int, checkpoint_eager: bool) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    The O(log n)-round MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round is two grouped-min
+    joins; ``localCheckpoint`` after every round truncates lineage so the
+    plan stays O(1) deep no matter how many rounds run — the property the
+    plain label-propagation loop lacks at 100-TB pair counts.
+    At fixpoint the edge set is a star forest: every node points at its
+    component minimum.
+    """
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=checkpoint_eager)
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u connects to m(u) = min(N(u) ∪ u)
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            und.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        large = (
+            und.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: direct edges large->small; every node in the group
+        # (u and its smaller neighbors) connects to the group minimum.
+        d = large.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        m2 = d.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            d.join(m2, "src")
+            # one pass: both group members (u and its smaller neighbor)
+            # connect to the group min
+            .select(F.explode(F.array("dst", "src")).alias("v"), "m")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=checkpoint_eager)
+        sig = _edge_signature(edges)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise ClusteringNotConverged(
+            f"large/small-star CC did not reach a fixpoint in {max_iter} rounds"
+        )
+    # fixpoint edge set is (node -> component_min) stars; roots have no edge
+    roots = edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))
+    return nodes.join(roots, nodes.node == roots.src, "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        (F.coalesce(F.col("cluster_id"), F.col("node")) == F.col("node")).alias(
+            "keep"
+        ),
+    )
+
+
+def _cc_label_propagation(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Iterative min-label propagation (O(diameter) rounds).
+
+    Kept as the cross-check variant: converges fast on the tiny-diameter
+    components LSH near-dup graphs produce, but each round deepens the
+    plan unless checkpointed — `localCheckpoint` every round bounds it.
+    Raises ClusteringNotConverged instead of silently returning partial
+    labels on max_iter exhaustion.
+    """
     und = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("cluster_id", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
@@ -226,27 +316,55 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).cast("long").alias("_chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # one job: materialize + truncate
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+        labels = new_labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
-    out = labels.select(
+    if not converged:
+        raise ClusteringNotConverged(
+            f"label propagation did not converge in {max_iter} rounds"
+        )
+    return labels.select(
         F.col("node").alias("doc_id"),
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("keep"),
     )
-    und.unpersist()
-    return out
+
+
+def neardup_clusters(
+    pairs: DataFrame, max_iter: int = 20, algorithm: str = "star"
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id, keep).
+
+    The dedup *decision* stage: every doc in a candidate pair gets the
+    minimum doc id reachable through the pair graph as its cluster id;
+    ``keep`` marks the cluster representative.
+
+    ``algorithm='star'`` (default): alternating large/small-star —
+    O(log n) rounds regardless of component diameter, lineage truncated
+    per round; the 100-TB path. ``algorithm='label'``: min-label
+    propagation, O(diameter) rounds; kept for cross-checking. Both raise
+    ``ClusteringNotConverged`` rather than silently returning partial
+    labels when ``max_iter`` is exhausted.
+    """
+    # The pair list is usually the output of the (expensive) LSH pipeline;
+    # both variants checkpoint it up front so no round recomputes it.
+    if algorithm == "star":
+        return _cc_star(pairs, max_iter, checkpoint_eager=True)
+    if algorithm == "label":
+        return _cc_label_propagation(pairs, max_iter)
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+GLOBAL_BLOCK = "__global__"  # explicit opt-in sentinel: one giant block
 
 
 def embedding_neardup_pairs(
@@ -255,15 +373,27 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = "label",
+    sign_bits: int = 4,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold within a block.
 
     ``block_col`` keys the self-join (LSH-bucket / label / shard) so the
     join is per-block instead of a global cross product — the 100 TB
     pattern is block-by-bucket then verify, same as MinHash-LSH.
+    ``block_col=None`` defaults to a sign-bit LSH bucket of the vector
+    itself (random-hyperplane blocking, recall-approximate like any LSH);
+    pass ``block_col=GLOBAL_BLOCK`` to *opt in* to the exact global
+    self-join — a deliberate decision at scale, never a silent default.
     """
+    from datax_spark.functions.similarity import sign_bucket
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    blk = [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]
+    if block_col == GLOBAL_BLOCK:
+        blk = [F.lit(0).alias("blk")]
+    elif block_col is None:
+        blk = [sign_bucket(F.col(vec_col), sign_bits).alias("blk")]
+    else:
+        blk = [F.col(block_col).alias("blk")]
     base = df.select(F.col(id_col).alias("vid"), v.alias("v"), *blk)
     # Renamed-column equi-join on the block key (not an aliased self-join,
     # which would plan a nested loop re-deriving the vectors per pair).

@@ -99,6 +99,113 @@ def probe_buckets(query_vec: list[float], n_bits: int = 4, n_probes: int = 1) ->
     return out
 
 
+def _sq_dist(v: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def centroid_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as a pure Column expression (centroids are
+    literals baked into the plan — the broadcast-free codebook)."""
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "ivf",
+) -> list[list[float]]:
+    """Deterministic seeded Lloyd's k-means over DataFrame ops.
+
+    The TRAINED coarse quantizer for IVF (the round-1 sign-bucket stand-in
+    had no data adaptivity — poor recall on correlated/shifted
+    embeddings). Design for scale: the driver only ever holds k×d floats;
+    each iteration is ONE job — assignment is a literal-codebook
+    expression (no join, no UDF), the update is
+    posexplode → groupBy(cluster, dim) → avg with map-side partial
+    aggregation, collecting k×d rows. Init is a seeded hash-ordered
+    sample (h32(id, seed)), so the fit is reproducible run to run.
+    Empty clusters keep their previous centroid.
+    """
+    from datax_spark.functions.text import h32
+
+    v = _dbl(F.col(vec_col))
+    init = (
+        df.select(F.col(id_col).alias("vid"), v.alias("v"))
+        .withColumn("_r", h32(F.col("vid").cast("string"), seed))
+        .orderBy("_r", "vid")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    if not centroids:
+        raise ValueError("kmeans_fit: empty input")
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = df.select(
+            centroid_assign(v, centroids).alias("c"),
+            F.posexplode(v).alias("pos", "x"),
+        )
+        rows = (
+            assigned.groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        for r in rows:
+            new[int(r["c"])][int(r["pos"])] = float(r["m"])
+        centroids = new
+        assert all(len(c) == dim for c in centroids)
+    return centroids
+
+
+def probe_centroids(
+    query_vec: list[float], centroids: list[list[float]], n_probes: int = 1
+) -> list[int]:
+    """The n_probes nearest centroid ids to the query (driver-side k×d math)."""
+    def d2(c):
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c))
+
+    order = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))
+    return order[: max(1, n_probes)]
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k probing the query's nearest trained cells.
+
+    Same contract and plan shape as ``ivf_topk`` (bucket predicate →
+    partition pruning when the corpus is stored partitioned by cell;
+    scored fraction ≈ n_probes/k), but the cells are k-means-trained, so
+    recall tracks the data distribution instead of the first 4 sign bits.
+    """
+    probes = probe_centroids(query_vec, centroids, n_probes)
+    v = _dbl(F.col(vec_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = round6(cosine(v, q))
+    return (
+        df.filter(centroid_assign(v, centroids).isin(probes))
+        .select(F.col(id_col).alias(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -63,9 +63,14 @@ class CommitConflict(Exception):
 class Snapshot:
     version: int
     schema_json: dict[str, Any]
-    buckets: dict[str, list[str]]  # bucket id (str) -> data file relpaths
+    buckets: dict[str, list[str]]  # bucket id (str) -> BASE data file relpaths
     properties: dict[str, Any] = field(default_factory=dict)
     lineage: dict[str, Any] = field(default_factory=dict)  # bucket -> stats
+    # bucket id -> DELTA file relpaths (merge-on-read appends). Base files
+    # are key-unique per bucket by construction (bulk load / compaction /
+    # insert-only appends); delta files overlap base keys and each other
+    # and are resolved at read (lake/mor.py). Always {} for COW tables.
+    deltas: dict[str, list[str]] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -79,6 +84,7 @@ class Snapshot:
                 "buckets": self.buckets,
                 "properties": self.properties,
                 "lineage": self.lineage,
+                "deltas": self.deltas,
             },
             sort_keys=True,
         )
@@ -92,6 +98,7 @@ class Snapshot:
             buckets=d["buckets"],
             properties=d.get("properties", {}),
             lineage=d.get("lineage", {}),
+            deltas=d.get("deltas", {}),
         )
 
 
@@ -185,13 +192,25 @@ class LakeTable:
             os.unlink(tmp)
 
     # ---------------------------------------------------------------- reads
-    def _abs_files(self, snap: Snapshot, buckets: list[int] | None = None) -> list[str]:
+    def _abs_files(
+        self,
+        snap: Snapshot,
+        buckets: list[int] | None = None,
+        source: str = "base",
+    ) -> list[str]:
+        """Absolute data file paths for ``source`` in ('base', 'delta')."""
+        table = snap.buckets if source == "base" else snap.deltas
         sel = (
-            snap.buckets.items()
+            table.items()
             if buckets is None
-            else ((str(b), snap.buckets.get(str(b), [])) for b in buckets)
+            else ((str(b), table.get(str(b), [])) for b in buckets)
         )
         return [os.path.join(self.path, rel) for _, files in sel for rel in files]
+
+    def _read_files(self, files: list[str], schema: StructType) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
 
     def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
         """Read a consistent snapshot (optionally only some buckets).
@@ -199,12 +218,10 @@ class LakeTable:
         The manifest schema is passed explicitly so files written before an
         additive schema evolution read with nulls in the new columns — the
         DataX column-mapping analog (SURVEY.md §1.2) without a rewrite.
+        Reads base files only; MOR delta resolution lives in MorTable.read.
         """
         snap = self.snapshot(version)
-        files = self._abs_files(snap, buckets)
-        if not files:
-            return self.spark.createDataFrame([], snap.schema)
-        return self.spark.read.schema(snap.schema).parquet(*files)
+        return self._read_files(self._abs_files(snap, buckets), snap.schema)
 
     # --------------------------------------------------------------- commits
     def write_bucket_data(self, df: DataFrame, num_buckets: int, bucket_key: str) -> str:
@@ -266,12 +283,15 @@ class LakeTable:
             self._list_staged(self.path, commit_rel) if commit_rel else {}
         )
         buckets = dict(base.buckets)
+        deltas = dict(base.deltas)
         for b in replaced_buckets:
             sb = str(b)
             if sb in staged:
                 buckets[sb] = staged[sb]
             else:
                 buckets.pop(sb, None)  # bucket emptied (all rows deleted)
+            # replacing a bucket folds its deltas into the new base files
+            deltas.pop(sb, None)
         props = json.loads(json.dumps(base.properties))
         if stream_updates:
             props.setdefault("streams", {}).update(stream_updates)
@@ -284,6 +304,7 @@ class LakeTable:
             buckets=buckets,
             properties=props,
             lineage=lineage,
+            deltas=deltas,
         )
         self._write_manifest(snap)
         return snap
@@ -343,14 +364,19 @@ class LakeTable:
         stream_updates: dict[str, Any] | None = None,
         schema: StructType | None = None,
         lineage_updates: dict[str, Any] | None = None,
+        as_delta: bool = False,
     ) -> Snapshot:
         """Publish a snapshot APPENDING staged files to their buckets.
 
         The insert-only fast path (DataX writeMode=insert append
         semantics): no read-back, no bucket rewrite — O(batch) work no
-        matter how big the table is. Callers must guarantee key-newness
-        (use ``append_insert_only`` which enforces op=='insert'); buckets
-        fragment one file per batch, so pair with ``compact``.
+        matter how big the table is. ``as_delta=False`` appends to the
+        BASE file set: callers must guarantee key-newness (use
+        ``append_insert_only`` which enforces op=='insert').
+        ``as_delta=True`` appends to the bucket's DELTA list (merge-on-
+        read): keys may overlap base and prior deltas; MorTable.read
+        resolves latest-wins. Buckets fragment one file per batch either
+        way, so pair with ``compact``.
         """
         base = self.snapshot(base_version)
         if self.current_version() != base_version:
@@ -359,8 +385,10 @@ class LakeTable:
             )
         staged = self._list_staged(self.path, commit_rel)
         buckets = dict(base.buckets)
+        deltas = dict(base.deltas)
+        target = deltas if as_delta else buckets
         for b, files in staged.items():
-            buckets[b] = buckets.get(b, []) + files
+            target[b] = target.get(b, []) + files
         props = json.loads(json.dumps(base.properties))
         if stream_updates:
             props.setdefault("streams", {}).update(stream_updates)
@@ -373,6 +401,7 @@ class LakeTable:
             buckets=buckets,
             properties=props,
             lineage=lineage,
+            deltas=deltas,
         )
         self._write_manifest(snap)
         return snap
@@ -463,6 +492,8 @@ class LakeTable:
         for v in keep_versions:
             snap = self.snapshot(v)
             for files in snap.buckets.values():
+                referenced.update(files)
+            for files in snap.deltas.values():
                 referenced.update(files)
         removed_files = 0
         data_root = os.path.join(self.path, DATA_DIR)

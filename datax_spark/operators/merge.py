@@ -53,18 +53,34 @@ class MergeResult:
     deletes: int = 0
 
 
-def bucket_stats_agg(df: DataFrame, bucket_key: str, num_buckets: int) -> list:
-    """Per-bucket (max_seq, deletes, events) — the O(num_buckets) stats job.
+def bucket_stats_agg(
+    df: DataFrame,
+    bucket_key: str,
+    num_buckets: int,
+    key_cols: list[str] | None = None,
+) -> list:
+    """Per-bucket (max_seq, deletes, events[, distinct_keys]) stats job.
 
-    Scans only (bucket_key, seq, op): parquet column pruning makes this a
+    Scans only (keys, seq, op): parquet column pruning makes this a
     narrow pass even when content columns are KB-sized, so the stats job
-    costs a small fraction of the write job at any scale.
+    costs a small fraction of the write job at any scale. With
+    ``key_cols`` given, also counts distinct keys per bucket — since the
+    bucket is derived from a key column, per-bucket distincts sum to the
+    global distinct-key count (the post-dedup cardinality) without a
+    second job.
     """
+    extra = (
+        [F.count_distinct(*[F.col(k) for k in key_cols]).alias("distinct_keys")]
+        if key_cols
+        else []
+    )
+    sel_keys = [F.col(k) for k in (key_cols or [])]
     return (
         df.select(
             bucket_expr(bucket_key, num_buckets).alias(BUCKET_COL),
             F.col("seq"),
             F.col(OP_COL),
+            *sel_keys,
         )
         .groupBy(BUCKET_COL)
         .agg(
@@ -73,6 +89,7 @@ def bucket_stats_agg(df: DataFrame, bucket_key: str, num_buckets: int) -> list:
                 "deletes"
             ),
             F.count(F.lit(1)).alias("events"),
+            *extra,
         )
         .collect()
     )
@@ -85,6 +102,7 @@ def merge_apply(
     stream_id: str = "default",
     broadcast_keys: bool | None = None,
     bucket_stats: list | None = None,
+    patch: bool = False,
 ) -> MergeResult:
     """Apply one deduplicated change batch to ``table`` exactly once.
 
@@ -95,6 +113,18 @@ def merge_apply(
     there is no persist at all: the write job references the dedup
     subtree twice (anti-join keys + upsert images) and Spark's
     ReuseExchange evaluates the shuffle once.
+
+    ``patch=False`` (default) is whole-row replace — DataX
+    writeMode=replace / ots PutRow. ``patch=True`` is partial-column
+    upsert — writeMode=update / ots UpdateRow
+    (otswriter/.../model/OTSConst.java:17-18): a matched row keeps its
+    old value wherever the incoming image is NULL
+    (``coalesce(new, old)`` per payload column); unmatched inserts take
+    the image as-is. Physical cost: one extra join whose shuffle moves
+    only MATCHED existing rows (bounded by batch size, never bucket
+    size — the big side arrives via broadcast-semi-join, no exchange).
+    Patch granularity is the micro-batch: the batch's LATEST image per
+    key is what patches the table (dedup runs first, like every mode).
     """
     base_version = table.current_version()
     snap = table.snapshot(base_version)
@@ -150,6 +180,34 @@ def merge_apply(
         # read-with-schema. CDC bookkeeping columns never evolve in.
         merged_schema = _evolve_schema(snap.schema, changes.schema)
         upsert_images = changes.filter(F.col(OP_COL) != DELETE_OP)
+        if patch:
+            # UpdateRow semantics: matched rows keep old values where the
+            # incoming image is null. The old-image side is a broadcast
+            # SEMI join (no exchange of the table); the patch join then
+            # shuffles only those matched rows + the batch.
+            payload = [
+                f.name for f in merged_schema.fields if f.name not in key_cols
+            ]
+            have_old = set(existing.columns)
+            old = existing.join(change_keys, on=key_cols, how="left_semi").select(
+                *key_cols,
+                *[
+                    F.col(c).alias("_old_" + c)
+                    for c in payload
+                    if c in have_old
+                ],
+            )
+            joined = upsert_images.join(old, on=key_cols, how="left")
+            have_new = set(upsert_images.columns)
+            have_olds = set(old.columns)
+            cols = [F.col(k) for k in key_cols]
+            for c in payload:
+                new_c = F.col(c) if c in have_new else F.lit(None)
+                old_c = (
+                    F.col("_old_" + c) if ("_old_" + c) in have_olds else F.lit(None)
+                )
+                cols.append(F.coalesce(new_c, old_c).alias(c))
+            upsert_images = joined.select(*cols)
         survivors = _conform(survivors, merged_schema)
         upsert_images = _conform(upsert_images, merged_schema)
         merged = survivors.unionByName(upsert_images)

@@ -53,10 +53,12 @@ def upsert_sql(
         if not keys:
             raise ValueError("postgresql upsert requires key_columns")
         conflict = ", ".join(keys)
-        if write_mode == "replace":
-            sets = ", ".join(f"{c}=EXCLUDED.{c}" for c in columns if c not in keys)
-        else:
-            sets = ", ".join(f"{c}=EXCLUDED.{c}" for c in columns if c not in keys)
+        # replace and update coincide on postgres: EXCLUDED.* is the whole
+        # incoming row either way. With no non-key columns there is nothing
+        # to SET — fall back to DO NOTHING (the row already exists intact).
+        sets = ", ".join(f"{c}=EXCLUDED.{c}" for c in columns if c not in keys)
+        if not sets:
+            return f"{base} ON CONFLICT ({conflict}) DO NOTHING"
         return f"{base} ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
 
     if dialect in ("db2", "generic"):
@@ -77,6 +79,83 @@ def upsert_sql(
         )
 
     raise ValueError(f"unsupported dialect {dialect!r}")
+
+
+def merge_from_staging_sql(
+    table: str,
+    staging: str,
+    columns: list[str],
+    write_mode: str = "update",
+    key_columns: list[str] | None = None,
+    dialect: str = "generic",
+) -> str:
+    """Set-based upsert: one statement merging a STAGING table into ``table``.
+
+    The scale-correct form of DataX's row-at-a-time upsert
+    (CommonRdbmsWriter.java:176-609 executes the WriterUtil statement per
+    record batch): Spark writes the batch to a staging table in parallel
+    (JVM JDBC, executor-side), then ONE set-based MERGE/upsert applies it
+    transactionally — no per-row round trips, no Python in the loop.
+    The staging rows must be key-unique (run dedup_latest first); a
+    MERGE with duplicate source keys is an error in every dialect.
+    """
+    cols = _cols(columns)
+    if write_mode == "insert":
+        return f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
+    if write_mode not in ("replace", "update"):
+        raise ValueError(f"unknown writeMode {write_mode!r}")
+    keys = key_columns or []
+    if dialect == "mysql":
+        if write_mode == "replace":
+            return f"REPLACE INTO {table} ({cols}) SELECT {cols} FROM {staging}"
+        updates = ", ".join(f"{c}=VALUES({c})" for c in columns)
+        return (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    if not keys:
+        raise ValueError(f"{dialect} staged upsert requires key_columns")
+    if dialect == "postgresql":
+        conflict = ", ".join(keys)
+        sets = ", ".join(f"{c}=EXCLUDED.{c}" for c in columns if c not in keys)
+        action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+        return (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+            f"ON CONFLICT ({conflict}) {action}"
+        )
+    if dialect in ("db2", "generic", "derby"):
+        # ANSI MERGE — runs as-is on Derby >= 10.11 (what the sandbox
+        # round-trip test executes), DB2, and Oracle/SQLServer modulo
+        # terminators.
+        on = " AND ".join(f"T.{k} = S.{k}" for k in keys)
+        sets = ", ".join(f"T.{c} = S.{c}" for c in columns if c not in keys)
+        ins_vals = ", ".join(f"S.{c}" for c in columns)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
+        return (
+            f"MERGE INTO {table} T USING {staging} S ON ({on}) "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({ins_vals})"
+        )
+    raise ValueError(f"unsupported dialect {dialect!r}")
+
+
+def clone_table_sql(
+    table: str, staging: str, columns: list[str], dialect: str = "generic"
+) -> str:
+    """DDL cloning ``table``'s column types into an empty ``staging``.
+
+    Letting Spark auto-create the staging table maps StringType to the
+    dialect's widest type (CLOB on Derby, TEXT on postgres), which both
+    bloats the stage and trips Derby's MERGE-with-LOB restriction
+    (DERBY-6662-class XSDA8) — cloning from the target keeps the exact
+    declared types.
+    """
+    if dialect == "mysql":
+        return f"CREATE TABLE {staging} LIKE {table}"
+    cols = _cols(columns)
+    return (
+        f"CREATE TABLE {staging} AS SELECT {cols} FROM {table} WITH NO DATA"
+    )
 
 
 def jdbc_write_options(param: dict) -> dict[str, str]:

@@ -47,6 +47,7 @@ class JobSpec:
     transformers: list[TransformSpec] = field(default_factory=list)
     channel: int | None = None  # setting.speed.channel
     error_limit: ErrorLimit = field(default_factory=ErrorLimit)
+    dry_run: bool = False  # job.setting.dryRun (JobContainer.java:103-106)
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "JobSpec":
@@ -74,6 +75,7 @@ class JobSpec:
             error_limit=ErrorLimit(
                 record=el.get("record"), percentage=el.get("percentage")
             ),
+            dry_run=bool(setting.get("dryRun", False)),
         )
 
 
@@ -194,6 +196,38 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
         limit = int(param.get("recordNumBeforePrint", 20))
         df.show(limit, truncate=False)
         return None
+    if "jdbcUrl" in param:
+        # live rdbms writer (CommonRdbmsWriter.java:88-169 pre/postSql +
+        # 176-609 writeModes): insert -> parallel executor append; replace/
+        # update -> staged set-based MERGE (sources/jdbc.jdbc_upsert).
+        from datax_spark.sources.jdbc import jdbc_execute, jdbc_upsert
+
+        spark = df.sparkSession
+        url = param["jdbcUrl"]
+        user = param.get("username", "")
+        password = param.get("password", "")
+        mode = param.get("writeMode", "insert")
+        cols = param.get("column") or df.columns
+        if cols == ["*"]:
+            cols = df.columns
+        if mode == "insert":
+            if param.get("preSql"):
+                jdbc_execute(spark, url, param["preSql"], user, password)
+            props = {"user": user, "password": password}
+            df.select(*cols).write.jdbc(
+                url, param["table"], mode="append", properties=props
+            )
+            if param.get("postSql"):
+                jdbc_execute(spark, url, param["postSql"], user, password)
+            return param["table"]
+        return jdbc_upsert(
+            df, url, param["table"], cols,
+            key_columns=param.get("keyColumns") or param.get("primaryKey") or [],
+            write_mode=mode,
+            dialect=param.get("dialect", "generic"),
+            user=user, password=password,
+            pre_sql=param.get("preSql"), post_sql=param.get("postSql"),
+        )
     if name == "lakewriter":
         from datax_spark.lake.table import LakeTable
         from datax_spark.operators.dedup import dedup_latest
@@ -224,10 +258,72 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
     return param["path"]
 
 
-def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any]) -> Any:
-    """Execute a full reader -> transforms -> writer job."""
+def dry_run_job(spark: SparkSession, spec: "JobSpec") -> dict[str, Any]:
+    """job.setting.dryRun preCheck: validate without moving data.
+
+    DataX's preCheck (JobContainer.java:103-106,184-213) verifies reader
+    connectivity/query-ability and writer pre/postSql before any record
+    moves. Here: the reader must COMPILE AND RESOLVE (schema analysis —
+    catches missing paths/columns, and for jdbc opens a real connection
+    for the 1=0 probe); transformers must compile; jdbc endpoints get the
+    full sources.jdbc.pre_check. No Spark job runs.
+    """
+    report: dict[str, Any] = {"ok": True, "checks": []}
+
+    def _check(name, fn):
+        try:
+            out = fn()
+            entry = {"name": name, "ok": True}
+            if isinstance(out, dict):
+                entry.update(out)
+                entry["ok"] = out.get("ok", True)
+                report["ok"] = report["ok"] and entry["ok"]
+            report["checks"].append(entry)
+        except Exception as e:  # noqa: BLE001 - collected, not raised
+            report["ok"] = False
+            report["checks"].append({"name": name, "ok": False, "error": str(e)})
+
+    def _reader():
+        df = compile_reader(spark, spec.reader, spec.channel)
+        df = apply_transform_chain(df, spec.transformers)
+        return {"ok": True, "schema": df.schema.simpleString()}
+
+    _check("reader+transforms", _reader)
+    wparam = spec.writer.get("parameter", {})
+    if "jdbcUrl" in wparam:
+        from datax_spark.sources.jdbc import pre_check
+
+        _check(
+            "writer.jdbc",
+            lambda: pre_check(
+                spark, wparam["jdbcUrl"], table=wparam.get("table"),
+                pre_sql=wparam.get("preSql"), post_sql=wparam.get("postSql"),
+                user=wparam.get("username", ""),
+                password=wparam.get("password", ""),
+            ),
+        )
+    return report
+
+
+def run_job(
+    spark: SparkSession,
+    spec: JobSpec | dict[str, Any],
+    hooks: list | None = None,
+) -> Any:
+    """Execute a full reader -> transforms -> writer job.
+
+    ``hooks``: post-job callbacks fired once after a successful write
+    (HookInvoker.java:24-87 analog); each receives {"spec", "result"}.
+    With ``spec.dry_run`` set, validates and returns the preCheck report
+    instead of moving data (hooks do NOT fire — nothing committed).
+    """
     if isinstance(spec, dict):
         spec = JobSpec.from_dict(spec)
+    if spec.dry_run:
+        return dry_run_job(spark, spec)
     df = compile_reader(spark, spec.reader, spec.channel)
     df = apply_transform_chain(df, spec.transformers)
-    return compile_writer(df, spec.writer)
+    result = compile_writer(df, spec.writer)
+    for hook in hooks or []:
+        hook({"spec": spec, "result": result})
+    return result

@@ -21,8 +21,10 @@ _RANGE = re.compile(r"\[(\d+)-(\d+)\]")
 def expand_shards(pattern: str) -> list[str]:
     """``table_[0-99]`` -> ['table_0', ..., 'table_99'].
 
-    Zero-padding follows the literal bounds (``[00-99]`` pads to 2), the
-    same rule as TableExpandUtil.java:44-64. No range -> [pattern].
+    Reference semantics (TableExpandUtil.java:44-64): zero-padding applies
+    whenever the START bound has a leading zero (``[01-100]`` -> '01'..
+    '100', padded to len('01')); reversed bounds are swapped, not
+    rejected. No range -> [pattern].
     """
     m = _RANGE.search(pattern)
     if not m:
@@ -30,8 +32,9 @@ def expand_shards(pattern: str) -> list[str]:
     lo_s, hi_s = m.group(1), m.group(2)
     lo, hi = int(lo_s), int(hi_s)
     if hi < lo:
-        raise ValueError(f"bad shard range in {pattern!r}")
-    width = len(lo_s) if len(lo_s) == len(hi_s) and lo_s.startswith("0") else 0
+        lo, hi = hi, lo
+        lo_s, hi_s = hi_s, lo_s
+    width = len(lo_s) if lo_s.startswith("0") and len(lo_s) > 1 else 0
     out = []
     for i in range(lo, hi + 1):
         num = str(i).zfill(width) if width else str(i)

@@ -52,9 +52,9 @@ class BatchMetrics:
     total_records: int = 0
     clean_records: int = 0
     dirty_records: int = 0
-    deduped_keys: int = 0
-    upserts: int = 0
-    deletes: int = 0
+    deduped_keys: int = 0  # distinct keys in the clean batch (post-dedup)
+    upserts: int = 0  # clean non-delete EVENTS (pre-dedup, stats-job count)
+    deletes: int = 0  # clean delete EVENTS (pre-dedup, stats-job count)
     affected_buckets: int = 0
     applied: bool = False
     version: int | None = None
@@ -73,10 +73,20 @@ class PipelineConfig:
     error_limit: ErrorLimit = field(default_factory=ErrorLimit)
     stream_id: str = "default"
     metrics_path: str | None = None
-    # Batch-mode rate limit (events/sec), the DataX job.setting.speed
-    # record throttle (Channel.java:176-239). Streaming paths rate-limit
-    # natively via maxFilesPerTrigger.
+    # Batch-mode rate limits, the DataX job.setting.speed record/byte
+    # throttle (Channel.java:176-239 tps AND bps halves). Streaming paths
+    # rate-limit natively via maxFilesPerTrigger / maxBytesPerTrigger.
     max_events_per_sec: float | None = None
+    max_bytes_per_sec: float | None = None
+    # Post-commit hooks (HookInvoker.java:24-87 analog): each callable
+    # receives the BatchMetrics of a batch that actually COMMITTED —
+    # fenced replays and dry no-ops never fire hooks (exactly-once
+    # includes side effects).
+    on_commit: list = field(default_factory=list)
+    # DataX writeMode analog: 'replace' = whole-row last-write-wins (ots
+    # PutRow); 'update' = partial-column patch, null incoming columns
+    # keep the old value (ots UpdateRow). COW tables only.
+    write_mode: str = "replace"
 
 
 def apply_batch(
@@ -112,6 +122,11 @@ def apply_batch(
         F.sum((F.col(REASON_COL) == "invalid_op").cast("long")).alias("invalid_op"),
         F.sum((F.col(REASON_COL) == "null_key").cast("long")).alias("null_key"),
         F.sum((F.col(REASON_COL) == "null_content").cast("long")).alias("null_content"),
+        F.sum(
+            F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("bytes"),
     )
     clean = tagged.filter(~is_dirty).drop(REASON_COL)
 
@@ -120,8 +135,17 @@ def apply_batch(
     # materializes the dedup into cache once and reads it for both the
     # anti-join key side and the upsert images.
     props = table.snapshot().properties
-    stats = bucket_stats_agg(clean, props["bucket_key"], props["num_buckets"])
+    stats = bucket_stats_agg(
+        clean, props["bucket_key"], props["num_buckets"], key_cols=KEY_COLS
+    )
     deduped = dedup_latest(clean, KEY_COLS)
+    if cfg.write_mode not in ("replace", "update"):
+        raise ValueError(f"unknown write_mode {cfg.write_mode!r}")
+    if cfg.write_mode == "update" and props.get("table_mode") == "mor":
+        raise ValueError(
+            "write_mode='update' (partial-column patch) requires the COW "
+            "read-back; MOR deltas cannot patch without resolving"
+        )
     if props.get("table_mode") == "mor":
         # Merge-on-read: append the deduped delta, O(batch) — one pass,
         # no persist (the delta is consumed exactly once by the write).
@@ -142,6 +166,7 @@ def apply_batch(
                 batch_id=batch_id,
                 stream_id=cfg.stream_id,
                 bucket_stats=stats,
+                patch=cfg.write_mode == "update",
             )
         finally:
             deduped.unpersist()
@@ -157,8 +182,14 @@ def apply_batch(
             F.sum((F.col(REASON_COL) == "invalid_op").cast("long")).alias("invalid_op"),
             F.sum((F.col(REASON_COL) == "null_key").cast("long")).alias("null_key"),
             F.sum((F.col(REASON_COL) == "null_content").cast("long")).alias("null_content"),
+            F.sum(
+                F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("bytes"),
         ).first().asDict()
     m.total_records = got["total"] or 0
+    m.bytes_estimate = int(got.get("bytes") or 0)
     m.dirty_records = got["dirty"] or 0
     m.clean_records = m.total_records - m.dirty_records
     m.dirty_reasons = {
@@ -170,9 +201,15 @@ def apply_batch(
         )
     m.applied = result.applied
     m.version = result.version
+    # upserts/deletes come from the pre-dedup stats (raw clean events);
+    # deduped_keys is the true post-dedup cardinality, summed from the
+    # per-bucket distinct-key counts of the same stats job (keys never
+    # span buckets, so the per-bucket distincts sum exactly).
     m.upserts = result.upserts
     m.deletes = result.deletes
-    m.deduped_keys = result.upserts + result.deletes
+    m.deduped_keys = sum(
+        int(r["distinct_keys"]) for r in stats if "distinct_keys" in r
+    )
     m.affected_buckets = len(result.affected_buckets)
     m.seconds = time.monotonic() - t0
     if m.seconds > 0:
@@ -186,6 +223,9 @@ def apply_batch(
     if cfg.metrics_path:
         with open(cfg.metrics_path, "a") as f:
             f.write(m.to_json() + "\n")
+    if m.applied:
+        for hook in cfg.on_commit:
+            hook(m)
     return m
 
 
@@ -212,6 +252,9 @@ def apply_segments(
     limiter = (
         RateLimiter(cfg.max_events_per_sec) if cfg.max_events_per_sec else None
     )
+    byte_limiter = (
+        RateLimiter(cfg.max_bytes_per_sec) if cfg.max_bytes_per_sec else None
+    )
     out = []
     resume_from = (
         table.last_batch_id(cfg.stream_id)
@@ -226,6 +269,8 @@ def apply_segments(
         out.append(m)
         if limiter is not None:
             limiter.admit(m.total_records)
+        if byte_limiter is not None:
+            byte_limiter.admit(m.bytes_estimate)
     return out
 
 

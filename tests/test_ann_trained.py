@@ -1,0 +1,100 @@
+"""Trained-IVF quality: k-means cells must beat the sign-bucket quantizer.
+
+Recall@10 vs brute force, averaged over several query vectors, at a
+comparable scanned fraction (trained: n_probes/k cells; sign-bucket:
+n_probes/2^n_bits buckets).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.functions.similarity import (
+    brute_force_topk,
+    centroid_assign,
+    ivf_topk,
+    ivf_topk_trained,
+    kmeans_fit,
+    probe_centroids,
+)
+
+K_CELLS = 8
+TOPK = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return df.persist()
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return kmeans_fit(emb, k=K_CELLS, iters=4)
+
+
+def _queries(emb, n=6):
+    rows = emb.orderBy("vec_id").limit(n).collect()
+    return [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def _recall(approx_df, exact_df):
+    a = {r["vec_id"] for r in approx_df.collect()}
+    e = {r["vec_id"] for r in exact_df.collect()}
+    return len(a & e) / max(len(e), 1)
+
+
+def test_kmeans_fit_deterministic_and_shaped(emb, centroids):
+    dim = len(emb.first()["embedding"])
+    assert len(centroids) == K_CELLS and all(len(c) == dim for c in centroids)
+    again = kmeans_fit(emb, k=K_CELLS, iters=4)
+    # seeded init + fixed iteration count -> reproducible to float noise
+    for c1, c2 in zip(centroids, again):
+        for a, b in zip(c1, c2):
+            assert abs(a - b) < 1e-6
+
+
+def test_cells_are_populated(emb, centroids):
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    counts = (
+        emb.select(centroid_assign(v, centroids).alias("c"))
+        .groupBy("c").count().collect()
+    )
+    sizes = {int(r["c"]): r["count"] for r in counts}
+    total = sum(sizes.values())
+    assert total == emb.count()
+    assert len(sizes) >= K_CELLS // 2  # trained cells actually used
+
+
+def test_trained_ivf_beats_sign_bucket_recall(emb, centroids):
+    """Same scanned fraction (2/8 cells vs 4/16 sign buckets) — trained
+    cells must not lose to the data-blind quantizer on average."""
+    trained_sum = sign_sum = 0.0
+    queries = _queries(emb)
+    for _vid, q in queries:
+        exact = brute_force_topk(emb, q, k=TOPK)
+        trained = ivf_topk_trained(emb, q, centroids, k=TOPK, n_probes=2)
+        sign = ivf_topk(emb, q, k=TOPK, n_bits=4, n_probes=4)
+        trained_sum += _recall(trained, exact)
+        sign_sum += _recall(sign, exact)
+    n = len(queries)
+    assert trained_sum / n >= sign_sum / n
+    assert trained_sum / n >= 0.5  # and is actually useful
+
+
+def test_probe_centroids_orders_by_distance(centroids):
+    q = list(centroids[3])
+    probes = probe_centroids(q, centroids, n_probes=3)
+    assert probes[0] == 3 and len(probes) == 3
+
+
+def test_trained_ivf_probe_scans_fraction(emb, centroids):
+    """n_probes=1 scans ~1/K of the corpus (the pruning contract)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = _queries(emb, 1)[0][1]
+    probes = probe_centroids(q, centroids, 1)
+    scanned = emb.filter(centroid_assign(v, centroids).isin(probes)).count()
+    assert 0 < scanned < emb.count()

@@ -43,10 +43,17 @@ def test_mor_replay_fenced(spark, tmp_path):
     t = MorTable.create(spark, str(tmp_path / "t2"), SCHEMA, KEYS, "repo", 8)
     apply_segments(spark, t, logdir)
     fp = state_fingerprint(t.read().orderBy(KEYS).toPandas())
-    files = sum(len(fs) for fs in t.snapshot().buckets.values())
+
+    def _nfiles(snap):
+        return sum(len(fs) for fs in snap.buckets.values()) + sum(
+            len(fs) for fs in snap.deltas.values()
+        )
+
+    files = _nfiles(t.snapshot())
+    assert files > 0  # appends landed as delta files
     ms = apply_segments(spark, t, logdir, start_after_batch=-1)
     assert all(not m.applied for m in ms)
-    assert sum(len(fs) for fs in t.snapshot().buckets.values()) == files
+    assert _nfiles(t.snapshot()) == files
     assert state_fingerprint(t.read().orderBy(KEYS).toPandas()) == fp
 
 
@@ -77,6 +84,35 @@ def test_mor_compact_preserves_state_and_future_applies(spark, tmp_path):
     assert fp_full == fp_compacted
     want = state_fingerprint(replay_oracle_pandas(log_df.toPandas()))
     assert fp_full == want
+
+
+def test_mor_read_resolution_never_shuffles_base(spark, tmp_path):
+    """The resolved read's only Exchange is the delta dedup: the base is
+    scan -> broadcast-anti-join -> union, no hashpartitioning (the
+    round-1 scale-killer was a full-table shuffle per read)."""
+    log_df, logdir = _make_log(spark, tmp_path, n=4000)
+    t = MorTable.create(spark, str(tmp_path / "t5"), SCHEMA, KEYS, "repo", 8)
+    segs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(logdir) if d.startswith("seg=")
+    )
+    from datax_spark.streaming.pipeline import apply_batch
+    for seg in segs[:2]:
+        events = spark.read.parquet(os.path.join(logdir, f"seg={seg}"))
+        apply_batch(t, events, batch_id=seg)
+    t.compact()  # -> base files
+    for seg in segs[2:]:
+        events = spark.read.parquet(os.path.join(logdir, f"seg={seg}"))
+        apply_batch(t, events, batch_id=seg)  # -> delta files on top
+    snap = t.snapshot()
+    assert any(snap.buckets.values()) and any(snap.deltas.values())
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # exactly one hash exchange: the per-key dedup over DELTA rows
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and the state still matches the oracle
+    got = state_fingerprint(t.read().orderBy(KEYS).toPandas())
+    want = state_fingerprint(replay_oracle_pandas(log_df.toPandas()))
+    assert got == want
 
 
 def test_mor_schema_evolution(spark, tmp_path):

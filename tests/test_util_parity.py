@@ -55,8 +55,12 @@ def test_expand_shards():
         "t_08suffix", "t_09suffix", "t_10suffix", "t_11suffix"
     ]
     assert expand_shards("plain") == ["plain"]
-    with pytest.raises(ValueError):
-        expand_shards("t_[5-2]")
+    # reference swaps reversed bounds rather than rejecting them
+    assert expand_shards("t_[5-2]") == ["t_2", "t_3", "t_4", "t_5"]
+    # padding follows the START bound's leading zero even when bound
+    # lengths differ (TableExpandUtil: '[01-100]' -> '01'..'100')
+    assert expand_shards("t_[01-03]")[:2] == ["t_01", "t_02"]
+    assert expand_shards("t_[098-101]") == ["t_098", "t_099", "t_100", "t_101"]
 
 
 def test_filter_by_regex_full_match():
