@@ -19,6 +19,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    speculation: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for the CDC apply path.
 
@@ -26,6 +27,13 @@ def get_spark(
     on so skewed shuffles re-plan at runtime; Arrow is on for the pandas_udf
     escape hatch; session timezone is pinned to UTC so results are
     reproducible against the DuckDB oracle.
+
+    ``speculation=True`` is the hung-task-monitor analog
+    (core/.../taskgroup/TaskMonitor.java:31-93 marks tasks with no
+    progress and fails them over): Spark re-launches straggler task
+    attempts; safe here because all sinks are idempotent (immutable
+    files + manifest CAS). Off by default in local mode — speculative
+    copies on one box only add load.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -52,6 +60,12 @@ def get_spark(
         # so v1's job-level atomicity adds nothing.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    if speculation:
+        builder = (
+            builder.config("spark.speculation", "true")
+            .config("spark.speculation.multiplier", "3")
+            .config("spark.speculation.quantile", "0.9")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -122,49 +122,50 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = "ivf",
+    train_size: int = 20_000,
 ) -> list[list[float]]:
-    """Deterministic seeded Lloyd's k-means over DataFrame ops.
+    """Deterministic seeded Lloyd's k-means on a hash-ordered SAMPLE.
 
     The TRAINED coarse quantizer for IVF (the round-1 sign-bucket stand-in
     had no data adaptivity — poor recall on correlated/shifted
-    embeddings). Design for scale: the driver only ever holds k×d floats;
-    each iteration is ONE job — assignment is a literal-codebook
-    expression (no join, no UDF), the update is
-    posexplode → groupBy(cluster, dim) → avg with map-side partial
-    aggregation, collecting k×d rows. Init is a seeded hash-ordered
-    sample (h32(id, seed)), so the fit is reproducible run to run.
-    Empty clusters keep their previous centroid.
+    embeddings). Standard IVF practice (FAISS does the same) trains the
+    quantizer on a subsample: one Spark job pulls the ``train_size``
+    rows with the smallest ``h32(id, seed)`` — ``orderBy().limit()``
+    plans as TakeOrderedAndProject, so only train_size rows per partition
+    ever move, no global sort — then Lloyd's runs driver-side in numpy
+    float64 (deterministic: seeded sample order IS the init). A pure
+    DataFrame-side fit was measured 25 s at sf0.1 — the k literal-array
+    distance expressions recompile per iteration; the sample fit is one
+    job + milliseconds of numpy. Assignment/probing stay JVM-side Column
+    expressions (``centroid_assign``). Empty clusters keep their
+    previous centroid.
     """
+    import numpy as np
+
     from datax_spark.functions.text import h32
 
     v = _dbl(F.col(vec_col))
-    init = (
+    rows = (
         df.select(F.col(id_col).alias("vid"), v.alias("v"))
         .withColumn("_r", h32(F.col("vid").cast("string"), seed))
         .orderBy("_r", "vid")
-        .limit(k)
+        .limit(train_size)
         .collect()
     )
-    centroids = [list(r["v"]) for r in init]
-    if not centroids:
+    if not rows:
         raise ValueError("kmeans_fit: empty input")
-    dim = len(centroids[0])
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"kmeans_fit: {len(X)} rows < k={k}")
+    cents = X[:k].copy()  # hash order = the seeded random init
     for _ in range(iters):
-        assigned = df.select(
-            centroid_assign(v, centroids).alias("c"),
-            F.posexplode(v).alias("pos", "x"),
-        )
-        rows = (
-            assigned.groupBy("c", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]  # empty clusters keep position
-        for r in rows:
-            new[int(r["c"])][int(r["pos"])] = float(r["m"])
-        centroids = new
-        assert all(len(c) == dim for c in centroids)
-    return centroids
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
 
 
 def probe_centroids(

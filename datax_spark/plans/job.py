@@ -136,6 +136,10 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
             r = r.option("header", str(param.get("header", False)).lower())
             if param.get("nullFormat") is not None:
                 r = r.option("nullValue", param["nullFormat"])
+            if param.get("encoding"):
+                # mandatoryEncoding analog (CommonRdbmsReader.java:255-261 /
+                # unstructured reader charset): decode bytes as declared.
+                r = r.option("encoding", param["encoding"])
             if param.get("schema"):
                 r = r.schema(param["schema"])
             else:
@@ -246,12 +250,23 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
         fmt = param.get("fileType", "csv")
     mode = {"append": "append", "nonConflict": "errorifexists", "truncate": "overwrite",
             "overwrite": "overwrite"}.get(param.get("writeMode", "append"), "append")
+    if param.get("emptyAsNull"):
+        # write-side normalization (CommonRdbmsWriter.java:477-482): empty
+        # strings become NULL before they reach the sink.
+        for f_ in df.schema.fields:
+            if f_.dataType.simpleString() == "string":
+                df = df.withColumn(
+                    f_.name,
+                    F.when(F.col(f_.name) == "", None).otherwise(F.col(f_.name)),
+                )
     w = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         w = w.option("sep", param.get("fieldDelimiter", ","))
         w = w.option("header", str(param.get("header", False)).lower())
         if param.get("nullFormat") is not None:
             w = w.option("nullValue", param["nullFormat"])
+        if param.get("encoding"):
+            w = w.option("encoding", param["encoding"])
     if param.get("compress"):
         w = w.option("compression", param["compress"])
     w.save(param["path"])

@@ -62,6 +62,11 @@ class BatchMetrics:
     dirty_reasons: dict = field(default_factory=dict)
     bytes_estimate: int = 0
     seconds: float = 0.0
+    # per-bucket {bucket: max_seq} this batch advanced — the per-shard
+    # checkpoint positions (ShardCheckpoint.java:8-51 analog), exposed in
+    # the metrics JSONL so consumers can track lineage without reading
+    # manifests.
+    lineage: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -115,6 +120,23 @@ def apply_batch(
     obs = Observation(f"quality-{batch_id}")
     tagged = events.withColumn(REASON_COL, dirty_reason_col())
     is_dirty = F.col(REASON_COL).isNotNull()
+    # Byte accounting (bps throttle / metrics) forces the otherwise
+    # column-pruned stats scan to read `content` — only pay that when a
+    # consumer asked for it.
+    want_bytes = (
+        cfg.max_bytes_per_sec is not None or cfg.metrics_path is not None
+    )
+    byte_aggs = (
+        [
+            F.sum(
+                F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("bytes")
+        ]
+        if want_bytes
+        else []
+    )
     tagged = tagged.observe(
         obs,
         F.count(F.lit(1)).alias("total"),
@@ -122,11 +144,7 @@ def apply_batch(
         F.sum((F.col(REASON_COL) == "invalid_op").cast("long")).alias("invalid_op"),
         F.sum((F.col(REASON_COL) == "null_key").cast("long")).alias("null_key"),
         F.sum((F.col(REASON_COL) == "null_content").cast("long")).alias("null_content"),
-        F.sum(
-            F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast(
-                "decimal(38,0)"
-            )
-        ).alias("bytes"),
+        *byte_aggs,
     )
     clean = tagged.filter(~is_dirty).drop(REASON_COL)
 
@@ -182,14 +200,10 @@ def apply_batch(
             F.sum((F.col(REASON_COL) == "invalid_op").cast("long")).alias("invalid_op"),
             F.sum((F.col(REASON_COL) == "null_key").cast("long")).alias("null_key"),
             F.sum((F.col(REASON_COL) == "null_content").cast("long")).alias("null_content"),
-            F.sum(
-                F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast(
-                    "decimal(38,0)"
-                )
-            ).alias("bytes"),
+            *byte_aggs,
         ).first().asDict()
     m.total_records = got["total"] or 0
-    m.bytes_estimate = int(got.get("bytes") or 0)
+    m.bytes_estimate = int(got.get("bytes") or 0) if want_bytes else 0
     m.dirty_records = got["dirty"] or 0
     m.clean_records = m.total_records - m.dirty_records
     m.dirty_reasons = {
@@ -210,6 +224,8 @@ def apply_batch(
     m.deduped_keys = sum(
         int(r["distinct_keys"]) for r in stats if "distinct_keys" in r
     )
+    if result.applied:
+        m.lineage = {str(int(r["_bucket"])): int(r["max_seq"]) for r in stats}
     m.affected_buckets = len(result.affected_buckets)
     m.seconds = time.monotonic() - t0
     if m.seconds > 0:
@@ -283,13 +299,16 @@ def tail_and_apply(
     config: PipelineConfig | None = None,
     max_files_per_trigger: int = 1,
     timeout_sec: float = 120.0,
+    max_bytes_per_trigger: int | None = None,
 ):
     """Structured Streaming tail of the change log -> fenced MERGE apply.
 
-    File source with ``maxFilesPerTrigger`` gives bounded, ordered
-    micro-batches (rate limiting — the Channel bps/tps throttle analog,
-    core/.../transport/channel/Channel.java:176-239); the checkpoint dir
-    persists batch offsets for resume.
+    File source with ``maxFilesPerTrigger`` (tps half) and optional
+    ``maxBytesPerTrigger`` (bps half) gives bounded, ordered micro-batches
+    — the Channel throttle analog
+    (core/.../transport/channel/Channel.java:176-239); the checkpoint dir
+    persists batch offsets for resume. Spark treats maxBytesPerTrigger as
+    a soft cap (at least one file per batch).
     """
     cfg = config or PipelineConfig()
 
@@ -297,12 +316,12 @@ def tail_and_apply(
         table = LakeTable(batch_df.sparkSession, table_path)
         apply_batch(table, batch_df, batch_id, cfg)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("latestFirst", "false")
-        .parquet(log_dir + "/seg=*")
-    )
+    reader = spark.readStream.schema(schema)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
+    else:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.option("latestFirst", "false").parquet(log_dir + "/seg=*")
     query = (
         stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)

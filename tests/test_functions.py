@@ -169,3 +169,62 @@ def test_ivf_multiprobe_recall_not_worse(emb):
     single = {r["vec_id"] for r in ivf_topk(emb, qv, k=5, n_probes=1).collect()}
     multi = {r["vec_id"] for r in ivf_topk(emb, qv, k=5, n_probes=5).collect()}
     assert len(multi & exact) >= len(single & exact)
+
+
+def test_neardup_clusters_star_equals_label(spark):
+    """Large/small-star and min-label propagation agree on a graph with
+    chains, a cycle, and singleton pairs."""
+    from datax_spark.functions.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+         (10, 11), (11, 12), (12, 10),        # cycle
+         (20, 21),                            # pair
+         (30, 31), (31, 32), (30, 32)],       # triangle
+        ["doc_a", "doc_b"],
+    )
+    star = {(r["doc_id"], r["cluster_id"], r["keep"])
+            for r in neardup_clusters(pairs, algorithm="star").collect()}
+    label = {(r["doc_id"], r["cluster_id"], r["keep"])
+             for r in neardup_clusters(pairs, algorithm="label").collect()}
+    assert star == label
+    roots = {c for _, c, _ in star}
+    assert roots == {1, 10, 20, 30}
+
+
+def test_neardup_clusters_nonconvergence_raises(spark):
+    """Exhausting max_iter raises instead of silently returning partial
+    labels (the round-1 silent-stop defect)."""
+    import pytest as _pytest
+
+    from datax_spark.functions.dedup import (
+        ClusteringNotConverged,
+        neardup_clusters,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["doc_a", "doc_b"]
+    )
+    with _pytest.raises(ClusteringNotConverged):
+        neardup_clusters(chain, max_iter=1, algorithm="star").collect()
+    with _pytest.raises(ClusteringNotConverged):
+        neardup_clusters(chain, max_iter=2, algorithm="label").collect()
+    # and the same graph converges with the default budget
+    out = neardup_clusters(chain, algorithm="star")
+    assert out.filter("cluster_id = 1").count() == 12
+
+
+def test_embedding_neardup_default_sign_block(emb):
+    """block_col=None now defaults to sign-bucket LSH blocking; the exact
+    global join needs the explicit GLOBAL_BLOCK opt-in."""
+    from datax_spark.functions.dedup import (
+        GLOBAL_BLOCK,
+        embedding_neardup_pairs,
+    )
+
+    auto = embedding_neardup_pairs(emb, 0.25, block_col=None)
+    glob = embedding_neardup_pairs(emb, 0.25, block_col=GLOBAL_BLOCK)
+    n_auto, n_glob = auto.count(), glob.count()
+    assert 0 < n_auto <= n_glob  # blocked is a recall-subset of exact
+    # blocked pairs are a subset of the global pairs
+    assert auto.join(glob, ["vec_a", "vec_b"], "left_anti").count() == 0

@@ -43,10 +43,13 @@ def test_deduped_keys_metric_is_post_dedup_cardinality(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA, KEYS, "repo", 4)
     events = generate_changelog(spark, n_events=2000, n_keys=150, dirty_pct=0.0)
     want = events.select(*KEYS).distinct().count()
-    m = apply_batch(t, events, batch_id=0)
+    m = apply_batch(
+        t, events, batch_id=0,
+        config=PipelineConfig(metrics_path=str(tmp_path / "m.jsonl")),
+    )
     assert m.deduped_keys == want
     assert m.upserts + m.deletes == m.clean_records  # pre-dedup event counts
-    assert m.bytes_estimate > 0
+    assert m.bytes_estimate > 0  # metrics_path set -> byte accounting on
 
 
 def test_byte_rate_limiter_budget():
@@ -147,3 +150,18 @@ def test_error_limit_still_enforced_with_hooks(spark, tmp_path):
     with pytest.raises(ErrorLimitExceeded):
         apply_batch(t, events, batch_id=0, config=cfg)
     assert fired == []  # aborted batch commits no hook
+
+
+def test_batch_metrics_expose_lineage(spark, tmp_path):
+    """Per-bucket max_seq (ShardCheckpoint analog) rides the metrics."""
+    t = LakeTable.create(spark, str(tmp_path / "t5"), SCHEMA, KEYS, "repo", 4)
+    events = generate_changelog(spark, n_events=500, n_keys=100, dirty_pct=0.0)
+    m = apply_batch(t, events, batch_id=0)
+    assert m.lineage and all(isinstance(v, int) for v in m.lineage.values())
+    # matches what the committed snapshot recorded
+    snap_lineage = t.snapshot().lineage
+    for b, mx in m.lineage.items():
+        assert snap_lineage[b]["max_seq"] == mx
+    # fenced replay exposes no lineage
+    m2 = apply_batch(t, events, batch_id=0)
+    assert not m2.applied and m2.lineage == {}

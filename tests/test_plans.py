@@ -160,3 +160,24 @@ def test_reader_projection_and_where(spark, tmp_path):
     assert df.count() == 5
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "junk" not in plan.split("ReadSchema")[-1]  # column pruned at scan
+
+
+def test_writer_empty_as_null_and_encoding(spark, tmp_path):
+    """emptyAsNull write normalization (CommonRdbmsWriter.java:477-482)
+    and mandatoryEncoding pass-through."""
+    src = str(tmp_path / "enc_in")
+    dst = str(tmp_path / "enc_out")
+    spark.createDataFrame(
+        [(1, ""), (2, "x"), (3, None)], ["id", "s"]
+    ).write.parquet(src)
+    run_job(spark, {"job": {"content": [{
+        "reader": {"name": "parquetreader", "parameter": {"path": src}},
+        "writer": {"name": "csvwriter", "parameter": {
+            "path": dst, "emptyAsNull": True, "header": True,
+            "encoding": "UTF-8", "nullFormat": "\\N"}},
+    }]}})
+    back = (
+        spark.read.option("header", "true").option("nullValue", "\\N").csv(dst)
+    )
+    rows = {int(r["id"]): r["s"] for r in back.collect()}
+    assert rows[1] is None and rows[2] == "x" and rows[3] is None

@@ -129,3 +129,22 @@ def test_stream_late_segment_arrival(spark, stream_log, tmp_path):
     oracle = replay_oracle_pandas(events_pdf)
     assert n == len(oracle)
     assert fp == state_fingerprint(oracle)
+
+
+def test_stream_bytes_per_trigger(spark, stream_log, tmp_path):
+    """bps-style trigger budget (maxBytesPerTrigger, soft cap >= 1 file):
+    state still converges to the oracle under byte-bounded batches."""
+    log_dir, events_pdf = stream_log
+    table = _mk_table(spark, str(tmp_path / "tblb"))
+    tail_and_apply(
+        spark,
+        table.path,
+        log_dir,
+        checkpoint_dir=str(tmp_path / "ckptb"),
+        schema=EVENT_SCHEMA,
+        max_bytes_per_trigger=1,  # forces one file per micro-batch
+    )
+    oracle = replay_oracle_pandas(events_pdf)
+    fp, n = _state_fp(table)
+    assert n == len(oracle)
+    assert fp == state_fingerprint(oracle)
