@@ -301,6 +301,36 @@ def q_dedup_clusters(spark, sf_dir):
     return neardup_clusters(lsh_candidate_pairs(docs))
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """End-to-end dedup DECISION applied to the corpus: LSH candidates ->
+    connected components -> drop non-representatives. What a training-
+    data pipeline actually ships: the deduplicated document set."""
+    docs = _read(spark, sf_dir, "documents")
+    clusters = neardup_clusters(lsh_candidate_pairs(docs))
+    losers = clusters.filter(~F.col("keep")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_text_filter_pipeline(spark, sf_dir):
+    """Quality-gate composition: language + quality score + length floor
+    in one pass — the standard pre-training corpus filter chain."""
+    docs = _read(spark, sf_dir, "documents")
+    qm = quality_metrics("text")
+    scored = docs.select(
+        "doc_id",
+        lang_predict("text").alias("pred_lang"),
+        qm["quality"].alias("quality"),
+        qm["n_tokens"].alias("n_tokens"),
+    )
+    return scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.55)
+        & (F.col("n_tokens") >= 20)
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, NEARDUP_THRESHOLD, block_col="label")
@@ -732,7 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "dedup_embedding": q_dedup_embedding,
+        "text_filter_pipeline": q_text_filter_pipeline,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -854,6 +886,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, min(root) AS cluster_id,
                (node = min(root)) AS keep
         FROM reach GROUP BY node
+    """
+    sql["dedup_corpus"] = f"""
+        WITH RECURSIVE {_shingles_cte()},
+        sig AS ({_sig_select()}),
+        bands AS ({_bands_cte()}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+        und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, root) AS (
+          SELECT DISTINCT src AS node, src AS root FROM und
+          UNION
+          SELECT u.dst AS node, r.root FROM reach r JOIN und u ON u.src = r.node
+        ),
+        losers AS (
+          SELECT node AS doc_id FROM reach GROUP BY node
+          HAVING node != min(root))
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+    sql["text_filter_pipeline"] = f"""
+        SELECT q.doc_id, l.pred_lang, q.quality, q.n_tokens
+        FROM ({_quality_sql()}) q JOIN ({_langid_sql()}) l USING (doc_id)
+        WHERE l.pred_lang = 'en' AND q.quality >= 0.55 AND q.n_tokens >= 20
     """
     sql["dedup_embedding"] = f"""
         WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_lsh_pairs",
     "dedup_jaccard",
     "dedup_clusters",
+    "dedup_corpus",
     "dedup_simhash",
     "dedup_embedding",
     "ann_topk",
@@ -44,6 +45,7 @@ BENCH_QUERIES = [
     "ann_ivf_multiprobe",
     "ann_ivf_trained",
     "text_quality",
+    "text_filter_pipeline",
     "text_langid",
     "multimodal_decode",
 ]

@@ -20,6 +20,8 @@ Layout::
 
     table_dir/
       _manifests/v00000001.json     # one immutable snapshot per commit
+      _manifests/refs/b-<sha>.json  # content-addressed per-bucket file
+                                    # lists (manifest_mode='sharded')
       data/commit-<uuid>/_bucket=<b>/part-*.parquet
 
 Data files are immutable and written ONCE under a per-commit staging dir;
@@ -40,6 +42,7 @@ driver work is O(num_buckets), never O(rows).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -51,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
+REFS_DIR = os.path.join(MANIFEST_DIR, "refs")
 DATA_DIR = "data"
 BUCKET_COL = "_bucket"
 
@@ -101,6 +105,12 @@ class Snapshot:
             deltas=d.get("deltas", {}),
         )
 
+    # Sharded-manifest bookkeeping (set by LakeTable load/commit paths):
+    # {"buckets": {bucket: ref_relpath}, "deltas": {...}} for buckets whose
+    # file list is stored in a content-addressed side file instead of
+    # inline. Not part of equality/serialization of the dataclass itself.
+    _refs: dict[str, dict[str, str]] | None = None
+
 
 def bucket_expr(bucket_key: str, num_buckets: int):
     """Deterministic bucket id for a row: pmod(xxhash64(key), B).
@@ -131,9 +141,25 @@ class LakeTable:
         bucket_key: str,
         num_buckets: int = 16,
         extra_properties: dict[str, Any] | None = None,
+        manifest_mode: str = "sharded",
     ) -> "LakeTable":
+        """Create the table.
+
+        ``manifest_mode='sharded'`` (default) stores each bucket's file
+        list in a content-addressed side file under ``_manifests/refs/``;
+        the per-version snapshot then holds O(num_buckets) pointers, so
+        commit serialization cost is O(buckets + changed files) instead
+        of O(all files) — at 100-TB file counts the single inline JSON
+        manifest is otherwise the driver-side bottleneck (an Iceberg
+        manifest-list analog). ``'inline'`` keeps round-1 behavior
+        (everything in one JSON); old tables without the property read as
+        inline.
+        """
+        if manifest_mode not in ("inline", "sharded"):
+            raise ValueError(f"unknown manifest_mode {manifest_mode!r}")
         path = os.path.abspath(path)
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=False)
+        os.makedirs(os.path.join(path, REFS_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         snap = Snapshot(
             version=1,
@@ -144,6 +170,7 @@ class LakeTable:
                 "bucket_key": bucket_key,
                 "num_buckets": num_buckets,
                 "streams": {},
+                "manifest_mode": manifest_mode,
                 **(extra_properties or {}),
             },
         )
@@ -172,14 +199,88 @@ class LakeTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = version if version is not None else self.current_version()
         with open(self._manifest_path(v)) as f:
-            return Snapshot.from_json(f.read())
+            d = json.loads(f.read())
+        refs: dict[str, dict[str, str]] = {"buckets": {}, "deltas": {}}
+        for kind in ("buckets", "deltas"):
+            resolved: dict[str, list[str]] = {}
+            for b, v_ in d.get(kind, {}).items():
+                if isinstance(v_, dict) and "@ref" in v_:
+                    refs[kind][b] = v_["@ref"]
+                    with open(os.path.join(self.path, v_["@ref"])) as rf:
+                        resolved[b] = json.load(rf)
+                else:
+                    resolved[b] = v_
+            d[kind] = resolved
+        snap = Snapshot(
+            version=d["version"],
+            schema_json=d["schema"],
+            buckets=d["buckets"],
+            properties=d.get("properties", {}),
+            lineage=d.get("lineage", {}),
+            deltas=d.get("deltas", {}),
+        )
+        snap._refs = refs
+        return snap
 
-    def _write_manifest(self, snap: Snapshot) -> None:
-        """Atomically publish ``snap`` as the next version via link-CAS."""
+    def _shard_lists(
+        self, kind: str, table: dict[str, list[str]], base: Snapshot | None
+    ) -> tuple[dict[str, Any], dict[str, str]]:
+        """File lists -> {bucket: {"@ref": path}} side-file pointers.
+
+        An UNTOUCHED bucket (same list OBJECT as the base snapshot's —
+        commit paths build new dicts via ``dict(base.buckets)``, which
+        preserves identity for carried-forward entries) reuses the base's
+        ref with zero hashing; changed lists are content-addressed
+        (sha256 of the JSON), so identical content across versions/
+        buckets shares one side file and re-publishing is idempotent.
+        """
+        base_refs = (getattr(base, "_refs", None) or {}).get(kind, {}) if base else {}
+        base_lists = getattr(base, kind, {}) if base else {}
+        out: dict[str, Any] = {}
+        refs: dict[str, str] = {}
+        os.makedirs(os.path.join(self.path, REFS_DIR), exist_ok=True)
+        for b, files in table.items():
+            ref = base_refs.get(b)
+            if ref is None or base_lists.get(b) is not files:
+                blob = json.dumps(files).encode()
+                h = hashlib.sha256(blob).hexdigest()[:24]
+                ref = os.path.join(REFS_DIR, f"{kind[0]}-{h}.json")
+                final = os.path.join(self.path, ref)
+                if not os.path.exists(final):
+                    tmp = final + f".tmp.{uuid.uuid4().hex}"
+                    with open(tmp, "wb") as f:
+                        f.write(blob)
+                    os.replace(tmp, final)
+            out[b] = {"@ref": ref}
+            refs[b] = ref
+        return out, refs
+
+    def _write_manifest(self, snap: Snapshot, base: Snapshot | None = None) -> None:
+        """Atomically publish ``snap`` as the next version via link-CAS.
+
+        In sharded manifest mode the bucket/delta file lists are spilled
+        to content-addressed side files first (reusing the base's refs
+        for untouched buckets), keeping the versioned snapshot JSON at
+        O(num_buckets) regardless of total file count.
+        """
+        doc: dict[str, Any] = {
+            "version": snap.version,
+            "schema": snap.schema_json,
+            "buckets": snap.buckets,
+            "properties": snap.properties,
+            "lineage": snap.lineage,
+            "deltas": snap.deltas,
+        }
+        if snap.properties.get("manifest_mode") == "sharded":
+            b_out, b_refs = self._shard_lists("buckets", snap.buckets, base)
+            d_out, d_refs = self._shard_lists("deltas", snap.deltas, base)
+            doc["buckets"] = b_out
+            doc["deltas"] = d_out
+            snap._refs = {"buckets": b_refs, "deltas": d_refs}
         final = self._manifest_path(snap.version)
         tmp = final + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            f.write(snap.to_json())
+            f.write(json.dumps(doc, sort_keys=True))
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -306,7 +407,7 @@ class LakeTable:
             lineage=lineage,
             deltas=deltas,
         )
-        self._write_manifest(snap)
+        self._write_manifest(snap, base)
         return snap
 
     # ------------------------------------------------------------ properties
@@ -403,7 +504,7 @@ class LakeTable:
             lineage=lineage,
             deltas=deltas,
         )
-        self._write_manifest(snap)
+        self._write_manifest(snap, base)
         return snap
 
     def append_insert_only(
@@ -511,8 +612,24 @@ class LakeTable:
         for v in versions[:-keep_last]:
             os.unlink(self._manifest_path(v))
             removed_snapshots += 1
+        # sharded-manifest side files: drop refs no kept snapshot points at
+        removed_refs = 0
+        refs_root = os.path.join(self.path, REFS_DIR)
+        if os.path.isdir(refs_root):
+            kept_refs: set[str] = set()
+            for v in keep_versions:
+                snap_refs = self.snapshot(v)._refs or {}
+                for kind_refs in snap_refs.values():
+                    kept_refs.update(
+                        os.path.basename(r) for r in kind_refs.values()
+                    )
+            for name in os.listdir(refs_root):
+                if name.endswith(".json") and name not in kept_refs:
+                    os.unlink(os.path.join(refs_root, name))
+                    removed_refs += 1
         return {
             "removed_files": removed_files,
             "removed_snapshots": removed_snapshots,
+            "removed_refs": removed_refs,
             "kept_versions": len(keep_versions),
         }

@@ -94,6 +94,29 @@ t0 = time.monotonic(); job(20_000_000)
 print("RESULT " + json.dumps({{"sec": time.monotonic() - t0}}))
 """
 
+# Shuffle control: a 20M-row unique-key groupBy pushes every row through a
+# hash exchange with zero map-side reduction — measures the BOX's shuffle
+# (memory-bandwidth) scaling ceiling, which is the binding resource for a
+# dedup-shaped workload on a single host. On a real cluster N->4N
+# executors multiply that bandwidth; on one box the cores share it.
+_SHUFFLE_CONTROL = """
+import sys, os, time, json
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "16g"
+from datax_spark.config import get_spark
+from pyspark.sql import functions as F
+spark = get_spark("sctl", master="local[{cores}]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+def job(n):
+    df = spark.range(0, n, numPartitions=32).select(
+        F.xxhash64("id").alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("p"))
+    return df.groupBy("k").agg(F.max("p")).count()
+job(1_000_000)
+t0 = time.monotonic(); job(20_000_000)
+print("RESULT " + json.dumps({{"sec": time.monotonic() - t0}}))
+"""
+
 
 def run_py(code: str) -> float:
     out = subprocess.run(
@@ -133,29 +156,39 @@ def main() -> None:
     results: dict[str, dict] = {}
     for cores in LEVELS:
         ctl_t = run_py(_CONTROL.format(repo=REPO, cores=cores))
-        print(f"local[{cores}] control: {ctl_t:.1f}s", flush=True)
+        sctl_t = run_py(_SHUFFLE_CONTROL.format(repo=REPO, cores=cores))
+        print(f"local[{cores}] control: cpu={ctl_t:.1f}s "
+              f"shuffle={sctl_t:.1f}s", flush=True)
         best = min(times[cores])
         results[str(cores)] = {
             "apply_sec_best": round(best, 2),
             "apply_sec_all": [round(t, 2) for t in times[cores]],
             "events_per_sec": round(args.events / best),
             "control_sec": round(ctl_t, 2),
+            "shuffle_control_sec": round(sctl_t, 2),
         }
 
     lo, hi = results[str(LEVELS[0])], results[str(LEVELS[1])]
     factor = LEVELS[1] / LEVELS[0]
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / factor
     ctl_eff = (lo["control_sec"] / hi["control_sec"]) / factor
+    sctl_eff = (lo["shuffle_control_sec"] / hi["shuffle_control_sec"]) / factor
     summary = {
         "events": args.events,
         "levels": LEVELS,
         "results": results,
         "scaling_efficiency": round(eff, 3),
         "platform_ceiling_efficiency": round(ctl_eff, 3),
+        "shuffle_ceiling_efficiency": round(sctl_eff, 3),
         "normalized_efficiency": round(eff / ctl_eff, 3) if ctl_eff else None,
+        "normalized_to_shuffle_ceiling": (
+            round(eff / sctl_eff, 3) if sctl_eff else None
+        ),
         "protocol": (
             "same input files, identical plan (shuffle.partitions=32), "
-            "fresh process + JIT warmup per level, best-of-reps"
+            "fresh process + JIT warmup per level, best-of-reps; cpu "
+            "control = chained sha256 (compute ceiling), shuffle control "
+            "= 20M-row unique-key groupBy (shuffle-bandwidth ceiling)"
         ),
     }
     with open(args.out, "w") as f:
