@@ -207,6 +207,54 @@ def ivf_topk_trained(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus partitioned by trained cell id.
+
+    The IVF "inverted lists" as parquet partition directories
+    (``_cell=<i>/``): probing then prunes at PLAN time — the scan's
+    ``PartitionFilters`` drop every non-probed cell, so an n_probes
+    search reads ~n_probes/k of the corpus from disk instead of
+    filtering after a full scan. This is the 100-TB serving layout; the
+    predicate-only ``ivf_topk_trained`` is the ad-hoc path.
+    """
+    (
+        df.withColumn("_cell", centroid_assign(_dbl(F.col(vec_col)), centroids))
+        .repartition("_cell")
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a cell-partitioned index — partition-pruned scan."""
+    probes = probe_centroids(query_vec, centroids, n_probes)
+    v = _dbl(F.col(vec_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = round6(cosine(v, q))
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_cell").isin(probes))
+        .select(F.col(id_col).alias(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

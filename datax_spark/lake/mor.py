@@ -205,6 +205,35 @@ class MorTable(LakeTable):
     def _bucket_file_count(self, snap: Snapshot, b: str) -> int:
         return len(snap.buckets.get(b, [])) + len(snap.deltas.get(b, []))
 
+    def _side_bytes(self, snap: Snapshot, source: str) -> int:
+        return self._delta_bytes(self._abs_files(snap, None, source))
+
+    def maybe_compact(
+        self,
+        max_delta_ratio: float = 0.2,
+        max_files_per_bucket: int = 8,
+    ) -> dict[str, int]:
+        """Compaction POLICY: fold deltas when they exceed a byte ratio
+        of the base, or when buckets fragment past a file-count bound.
+
+        This is the knob that bounds steady-state resolved-read cost: the
+        read's only exchange is delta-sized, so keeping deltas under
+        ``max_delta_ratio`` of the base caps the read shuffle at that
+        fraction of the table. Call it after every N batches (or from a
+        maintenance cron); a no-op decision costs one driver-side file
+        listing, no Spark job.
+        """
+        snap = self.snapshot()
+        delta_b = self._side_bytes(snap, "delta")
+        base_b = self._side_bytes(snap, "base")
+        fragmented = any(
+            self._bucket_file_count(snap, b) > max_files_per_bucket
+            for b in set(snap.buckets) | set(snap.deltas)
+        )
+        if delta_b > max_delta_ratio * max(base_b, 1) or fragmented:
+            return self.compact(max_files_per_bucket=1)
+        return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+
     def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
         """Fold deltas into resolved base files for fragmented buckets.
 

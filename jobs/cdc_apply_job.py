@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--error-record-limit", type=int)
     p.add_argument("--error-pct-limit", type=float)
     p.add_argument("--max-events-per-sec", type=float)
+    p.add_argument("--max-bytes-per-sec", type=float)
+    p.add_argument("--mor", action="store_true",
+                   help="merge-on-read table mode (O(batch) appends)")
+    p.add_argument("--write-mode", choices=["replace", "update"],
+                   default="replace",
+                   help="replace = whole-row PutRow; update = "
+                        "partial-column UpdateRow patch (COW only)")
+    p.add_argument("--auto-compact-ratio", type=float,
+                   help="MOR: run maybe_compact(max_delta_ratio=R) after "
+                        "the batch loop")
     p.add_argument("--demo", action="store_true",
                    help="self-contained local demo on a generated log")
     return p
@@ -85,14 +95,17 @@ def main(argv: list[str] | None = None) -> int:
         print("--log-dir and --table are required (or --demo)", file=sys.stderr)
         return 2
 
+    from datax_spark.lake.mor import MorTable
+
+    cls = MorTable if args.mor else LakeTable
     if args.create and not LakeTable.exists(args.table):
-        table = LakeTable.create(
+        table = cls.create(
             spark, args.table, schema,
             key_cols=["repo", "path", "commit"],
             bucket_key="repo", num_buckets=args.buckets,
         )
     else:
-        table = LakeTable(spark, args.table)
+        table = cls(spark, args.table)
 
     cfg = PipelineConfig(
         quarantine_dir=args.quarantine,
@@ -100,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
                                percentage=args.error_pct_limit),
         metrics_path=args.metrics,
         max_events_per_sec=args.max_events_per_sec,
+        max_bytes_per_sec=args.max_bytes_per_sec,
+        write_mode=args.write_mode,
     )
 
     if args.streaming:
@@ -121,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         metrics = apply_segments(spark, table, args.log_dir, config=cfg)
         for m in metrics:
             print(m.to_json())
+        if args.mor and args.auto_compact_ratio is not None:
+            print(json.dumps(
+                table.maybe_compact(max_delta_ratio=args.auto_compact_ratio)
+            ))
 
     print(json.dumps({"final_rows": table.count(),
                       "version": table.current_version()}))

@@ -98,3 +98,43 @@ def test_trained_ivf_probe_scans_fraction(emb, centroids):
     probes = probe_centroids(q, centroids, 1)
     scanned = emb.filter(centroid_assign(v, centroids).isin(probes)).count()
     assert 0 < scanned < emb.count()
+
+
+def test_ivf_index_partition_pruning(spark, emb, centroids, tmp_path):
+    """Cell-partitioned index: probing prunes PARTITIONS at plan time —
+    the scan reads only the probed cells' files."""
+    from datax_spark.functions.similarity import (
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, centroids)
+    import os
+    cells = [d for d in os.listdir(idx) if d.startswith("_cell=")]
+    assert len(cells) >= K_CELLS // 2
+
+    q = _queries(emb, 1)[0][1]
+    res = ivf_index_topk(spark, idx, q, centroids, k=TOPK, n_probes=2)
+    # partition pruning visible in the plan and in the files actually read
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the probe predicate lands in PartitionFilters (plan-time pruning),
+    # NOT in PushedFilters/post-scan Filter
+    assert "PartitionFilters" in plan and "_cell" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "_cell" in pf
+    from datax_spark.functions.similarity import probe_centroids
+    probes = probe_centroids(q, centroids, 2)
+    sel = spark.read.parquet(idx).filter(
+        f"_cell in ({','.join(str(p) for p in probes)})"
+    )
+    total = spark.read.parquet(idx).count()
+    assert 0 < sel.count() < total  # probed cells are a strict subset
+
+    # same results as the predicate-only trained path on the same probes
+    from datax_spark.functions.similarity import ivf_topk_trained
+    want = [(r["vec_id"], r["cosine_sim"]) for r in
+            ivf_topk_trained(emb, q, centroids, k=TOPK, n_probes=2).collect()]
+    got = [(r["vec_id"], r["cosine_sim"]) for r in res.collect()]
+    assert got == want

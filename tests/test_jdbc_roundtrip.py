@@ -206,3 +206,88 @@ def test_merge_sql_shapes():
     assert m.endswith("DO NOTHING")
     m = merge_from_staging_sql("T", "S", ["K", "V"], "insert", ["K"], "derby")
     assert m == "INSERT INTO T (K, V) SELECT K, V FROM S"
+
+
+def test_full_jobspec_jdbc_to_jdbc(spark, derby_url, src_table):
+    """A complete DataX-style job.json: jdbc reader -> transformer chain
+    -> jdbc upsert writer, executed live on Derby via run_job (the
+    compile_writer jdbc branch incl. preSql/postSql)."""
+    from datax_spark.plans.job import run_job
+
+    jdbc_execute(
+        spark, derby_url,
+        ["CREATE TABLE DX_JOB_TGT (ID INT NOT NULL PRIMARY KEY, "
+         "NAME VARCHAR(40))"],
+    )
+    job = {
+        "job": {
+            "setting": {"speed": {"channel": 2}},
+            "content": [{
+                "reader": {
+                    "name": "derbyreader",
+                    "parameter": {
+                        "jdbcUrl": derby_url,
+                        "table": "DX_SRC",
+                        "column": ["ID", "NAME"],
+                        "where": "ID <= 30",
+                    },
+                },
+                "writer": {
+                    "name": "derbywriter",
+                    "parameter": {
+                        "jdbcUrl": derby_url,
+                        "table": "DX_JOB_TGT",
+                        "column": ["ID", "NAME"],
+                        "keyColumns": ["ID"],
+                        "writeMode": "update",
+                        "dialect": "derby",
+                        "preSql": ["DELETE FROM DX_JOB_TGT"],
+                        "postSql": [
+                            "INSERT INTO DX_JOB_TGT VALUES (999, 'post-marker')"
+                        ],
+                    },
+                },
+            }],
+        }
+    }
+    stmt = run_job(spark, job)
+    assert "MERGE INTO DX_JOB_TGT" in stmt
+    rows = dict(jdbc_query(spark, derby_url, "SELECT ID, NAME FROM DX_JOB_TGT"))
+    assert len(rows) == 31 and rows[999] == "post-marker"
+    assert rows[7] == "name_7"
+
+    # run again (idempotent upsert path: preSql truncates, merge reloads)
+    run_job(spark, job)
+    rows = dict(jdbc_query(spark, derby_url, "SELECT ID, NAME FROM DX_JOB_TGT"))
+    assert len(rows) == 31
+
+    # dry-run of the same spec validates both endpoints, moves nothing
+    job["job"]["setting"]["dryRun"] = True
+    report = run_job(spark, job)
+    assert report["ok"], report
+    assert any(c["name"] == "writer.jdbc" for c in report["checks"])
+
+
+def test_jobspec_jdbc_insert_mode(spark, derby_url, src_table):
+    from datax_spark.plans.job import run_job
+
+    jdbc_execute(
+        spark, derby_url,
+        ["CREATE TABLE DX_JOB_INS (ID INT NOT NULL PRIMARY KEY, "
+         "NAME VARCHAR(40))"],
+    )
+    job = {
+        "job": {
+            "content": [{
+                "reader": {"name": "derbyreader", "parameter": {
+                    "jdbcUrl": derby_url, "table": "DX_SRC",
+                    "column": ["ID", "NAME"], "where": "ID <= 5"}},
+                "writer": {"name": "derbywriter", "parameter": {
+                    "jdbcUrl": derby_url, "table": "DX_JOB_INS",
+                    "column": ["ID", "NAME"], "writeMode": "insert"}},
+            }],
+        }
+    }
+    run_job(spark, job)
+    assert jdbc_query(
+        spark, derby_url, "SELECT COUNT(*) FROM DX_JOB_INS") == [(5,)]

@@ -123,3 +123,30 @@ def test_mor_schema_evolution(spark, tmp_path):
     assert "size_bytes" in out.columns
     rows = out.filter("size_bytes IS NOT NULL").count()
     assert rows > 0
+
+
+def test_mor_maybe_compact_policy(spark, tmp_path):
+    """Auto-compaction triggers on delta/base byte ratio or fragmentation
+    and is a driver-side no-op otherwise."""
+    log_df, logdir = _make_log(spark, tmp_path, n=4000)
+    t = MorTable.create(spark, str(tmp_path / "t6"), SCHEMA, KEYS, "repo", 8)
+    segs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(logdir) if d.startswith("seg=")
+    )
+    from datax_spark.streaming.pipeline import apply_batch
+    for seg in segs[:2]:
+        events = spark.read.parquet(os.path.join(logdir, f"seg={seg}"))
+        apply_batch(t, events, batch_id=seg)
+    # all-delta table: ratio rule must fire
+    stats = t.maybe_compact(max_delta_ratio=0.5)
+    assert stats["compacted_buckets"] > 0
+    assert not any(t.snapshot().deltas.values())
+    # freshly compacted, small delta: no-op under a lenient ratio
+    ev = spark.read.parquet(os.path.join(logdir, f"seg={segs[2]}"))
+    apply_batch(t, ev, batch_id=segs[2])
+    assert t.maybe_compact(max_delta_ratio=10.0,
+                           max_files_per_bucket=64)["compacted_buckets"] == 0
+    assert any(t.snapshot().deltas.values())
+    # fragmentation rule fires regardless of byte ratio
+    stats = t.maybe_compact(max_delta_ratio=10.0, max_files_per_bucket=0)
+    assert stats["compacted_buckets"] > 0
