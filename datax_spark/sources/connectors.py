@@ -63,6 +63,87 @@ def elasticsearch_write_options(param: dict[str, Any]) -> dict[str, str]:
     return opts
 
 
+def mongodb_write_options(param: dict[str, Any]) -> dict[str, str]:
+    """mongodbwriter analog (mongodbwriter/.../MongoDBWriter.java:141-184).
+
+    DataX writeMode.isReplace drives per-document ReplaceOneModel on the
+    configured unique key; the mongo-spark connector expresses the same
+    as operationType=replace keyed by idFieldList (insert = plain bulk
+    insert).
+    """
+    opts = {
+        "connection.uri": param["address"]
+        if isinstance(param["address"], str)
+        else ",".join(param["address"]),
+        "database": param["dbName"],
+        "collection": param["collectionName"],
+        "maxBatchSize": str(param.get("batchSize", 1000)),
+    }
+    wm = param.get("writeMode", {})
+    if isinstance(wm, dict) and wm.get("isReplace"):
+        opts["operationType"] = "replace"
+        opts["idFieldList"] = wm.get("replaceKey", "_id")
+    else:
+        opts["operationType"] = "insert"
+    return opts
+
+
+def cassandra_write_options(param: dict[str, Any]) -> dict[str, str]:
+    """cassandrawriter analog (cassandrawriter/.../CassandraWriter.java):
+    CQL INSERT is an upsert by primary key natively, so writeMode maps
+    to connector defaults; consistency/batch knobs carry over."""
+    return {
+        "spark.cassandra.connection.host": param["host"],
+        "spark.cassandra.connection.port": str(param.get("port", 9042)),
+        "keyspace": param["keyspace"],
+        "table": param["table"],
+        "spark.cassandra.output.consistency.level": param.get(
+            "consistancyLevel", param.get("consistencyLevel", "LOCAL_QUORUM")
+        ),
+        "spark.cassandra.output.batch.size.rows": str(
+            param.get("batchSize", 1)
+        ),
+    }
+
+
+def ocs_write_options(param: dict[str, Any]) -> dict[str, str]:
+    """ocswriter analog (ocswriter/.../OcsWriter.java): memcached-protocol
+    KV PUT of (joined-key -> joined-fields). No Spark OCS connector
+    exists; the compiled spec targets a foreachPartition KV sink —
+    key/value layout and expiry carried from the reference config."""
+    return {
+        "proxy": param["proxy"],
+        "port": str(param.get("port", 11211)),
+        "writeMode": param.get("writeMode", "set"),  # set|add|replace|append
+        "writeFormat": param.get("writeFormat", "text"),
+        "expireTime": str(param.get("expireTime", 0)),
+        "indexes": ",".join(str(i) for i in param.get("indexes", [0])),
+        "fieldDelimiter": param.get("fieldDelimiter", ""),
+    }
+
+
+def ots_read_options(param: dict[str, Any]) -> dict[str, Any]:
+    """otsreader (batch range scan) analog (otsreader/.../OtsReader.java):
+    DataX splits the primary-key range into even slices (range.begin/
+    end + explicit split points). Compiled to a predicate list the
+    generic partitioned-read path consumes — one Spark partition per pk
+    slice, same shape as sources/jdbc.pk_range_predicates.
+    """
+    rng = param["range"]
+    pk = param["column"][0]["name"] if param.get("column") else "pk"
+    bounds = [rng["begin"]] + list(rng.get("split", [])) + [rng["end"]]
+    predicates = [
+        f"{pk} >= {lo} AND {pk} < {hi}" for lo, hi in zip(bounds, bounds[1:])
+    ]
+    return {
+        "endpoint": param["endpoint"],
+        "instance": param["instanceName"],
+        "table": param["table"],
+        "columns": [c["name"] for c in param.get("column", [])],
+        "predicates": predicates,
+    }
+
+
 def hbase_catalog(param: dict[str, Any]) -> dict[str, Any]:
     """hbase11xreader/-writer analog: build the shc/hbase-spark catalog
     from DataX's column list (rowkey template + cf:qualifier columns,

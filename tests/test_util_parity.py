@@ -63,6 +63,41 @@ def test_expand_shards():
     assert expand_shards("t_[098-101]") == ["t_098", "t_099", "t_100", "t_101"]
 
 
+def test_writer_connector_option_builders():
+    from datax_spark.sources.connectors import (
+        cassandra_write_options,
+        mongodb_write_options,
+        ocs_write_options,
+        ots_read_options,
+    )
+
+    m = mongodb_write_options({
+        "address": ["h1:27017", "h2:27017"], "dbName": "d",
+        "collectionName": "c",
+        "writeMode": {"isReplace": True, "replaceKey": "uid"},
+    })
+    assert m["operationType"] == "replace" and m["idFieldList"] == "uid"
+    assert m["connection.uri"] == "h1:27017,h2:27017"
+
+    c = cassandra_write_options({
+        "host": "ch", "keyspace": "k", "table": "t", "batchSize": 64,
+    })
+    assert c["spark.cassandra.output.batch.size.rows"] == "64"
+
+    o = ocs_write_options({
+        "proxy": "p", "writeMode": "add", "indexes": [0, 1],
+    })
+    assert o["writeMode"] == "add" and o["indexes"] == "0,1"
+
+    r = ots_read_options({
+        "endpoint": "e", "instanceName": "i", "table": "t",
+        "column": [{"name": "uid"}, {"name": "val"}],
+        "range": {"begin": 0, "end": 100, "split": [50]},
+    })
+    assert r["predicates"] == ["uid >= 0 AND uid < 50",
+                               "uid >= 50 AND uid < 100"]
+
+
 def test_filter_by_regex_full_match():
     names = ["pt=20240101", "pt=20240102", "other"]
     assert filter_by_regex(names, r"pt=2024010[12]") == names[:2]
