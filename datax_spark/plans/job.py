@@ -130,6 +130,35 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
         fmt = param.get("fileType", name.replace("reader", ""))
         if fmt in ("txtfile", "hdfs", "oss", "ftp", "txt"):
             fmt = param.get("fileType", "csv")
+        if fmt in ("seq", "sequence"):
+            # hdfsreader SEQ mode (hdfsreader/.../DFSUtil.java:214): the
+            # value side is a delimited text record; the key is ignored
+            # by DataX (sequenceFileStartRead reads value.toString()).
+            # One of the two legitimate RDD uses in this engine — Spark
+            # has no DataFrame sequence-file source.
+            paths = param["path"]
+            paths = paths if isinstance(paths, list) else [paths]
+            rdd = spark.sparkContext.union(
+                [spark.sparkContext.sequenceFile(p) for p in paths]
+            )
+            df = spark.createDataFrame(
+                rdd.map(lambda kv: (str(kv[1]),)), "value: string"
+            )
+            sep = param.get("fieldDelimiter")
+            if sep is not None and param.get("column"):
+                import re as _re
+
+                pat = _re.escape(sep)  # literal delimiter, like DataX
+                cols = [
+                    F.split(F.col("value"), pat, -1)
+                    .getItem(i)
+                    .alias(c if isinstance(c, str) else f"col{i}")
+                    for i, c in enumerate(param["column"])
+                ]
+                df = df.select(*cols)
+            if param.get("where"):
+                df = df.filter(param["where"])
+            return df
         r = spark.read.format(fmt)
         if fmt == "csv":
             r = r.option("sep", param.get("fieldDelimiter", ","))

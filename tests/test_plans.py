@@ -181,3 +181,26 @@ def test_writer_empty_as_null_and_encoding(spark, tmp_path):
     )
     rows = {int(r["id"]): r["s"] for r in back.collect()}
     assert rows[1] is None and rows[2] == "x" and rows[3] is None
+
+
+def test_seq_file_reader(spark, tmp_path):
+    """hdfsreader SEQ mode (DFSUtil.java:214): value side is a delimited
+    text record, key ignored; one of the two legitimate RDD uses."""
+    seq = str(tmp_path / "seqdata")
+    spark.sparkContext.parallelize(
+        [("k1", "a,1"), ("k2", "b,2"), ("k3", "c,3")], 2
+    ).saveAsSequenceFile(seq)
+    df = compile_reader(
+        spark,
+        {
+            "name": "hdfsreader",
+            "parameter": {
+                "fileType": "seq",
+                "path": seq,
+                "fieldDelimiter": ",",
+                "column": ["name", "num"],
+            },
+        },
+    )
+    rows = {r["name"]: r["num"] for r in df.collect()}
+    assert rows == {"a": "1", "b": "2", "c": "3"}
