@@ -139,6 +139,47 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     }
 
 
+def bench_ann_recall(spark, sf_dir: str) -> dict:
+    """recall@10 vs brute force: trained IVF across the n_probes dial,
+    sign-bucket at matched scanned fraction for contrast."""
+    from datax_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).persist()
+    cents = kmeans_fit(emb, k=8, iters=4)
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+
+    def recall(approx_df, exact_ids):
+        got = {r["vec_id"] for r in approx_df.collect()}
+        return len(got & exact_ids) / max(len(exact_ids), 1)
+
+    out: dict = {}
+    exacts = [
+        {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        for q in queries
+    ]
+    for n_probes in (1, 2, 4):
+        r = sum(
+            recall(ivf_topk_trained(emb, q, cents, k=10, n_probes=n_probes), e)
+            for q, e in zip(queries, exacts)
+        ) / len(queries)
+        out[f"trained_p{n_probes}"] = round(r, 3)
+    r = sum(
+        recall(ivf_topk(emb, q, k=10, n_bits=4, n_probes=4), e)
+        for q, e in zip(queries, exacts)
+    ) / len(queries)
+    out["sign_bucket_p4of16"] = round(r, 3)
+    emb.unpersist()
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     from datax_spark.config import get_spark
@@ -161,6 +202,8 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         times[name] = round(time.monotonic() - t0, 3)
 
+    recall = bench_ann_recall(spark, SF_DIR)
+
     total = round(time.monotonic() - t_start, 2)
     print(
         json.dumps(
@@ -172,6 +215,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "cdc": cdc,
+                "ann_recall_at_10": recall,
                 "cpus": CPUS,
             },
             sort_keys=True,

@@ -362,6 +362,18 @@ def run_job(
     instead of moving data (hooks do NOT fire — nothing committed).
     """
     if isinstance(spec, dict):
+        entries = spec["job"]["content"]
+        if len(entries) > 1:
+            # DataX runs every content[] entry (multi-table jobs,
+            # ConfigParser splits them into task groups); here each
+            # entry is one reader->transforms->writer pipeline, executed
+            # in order, sharing the job-level settings.
+            results = []
+            for i in range(len(entries)):
+                sub = {"job": {"setting": spec["job"].get("setting", {}),
+                               "content": [entries[i]]}}
+                results.append(run_job(spark, sub, hooks=hooks))
+            return results
         spec = JobSpec.from_dict(spec)
     if spec.dry_run:
         return dry_run_job(spark, spec)

@@ -204,3 +204,27 @@ def test_seq_file_reader(spark, tmp_path):
     )
     rows = {r["name"]: r["num"] for r in df.collect()}
     assert rows == {"a": "1", "b": "2", "c": "3"}
+
+
+def test_multi_table_job(spark, tmp_path):
+    """content[] with several entries runs every reader->writer pair
+    (DataX multi-table jobs; ConfigParser splits them into task groups)."""
+    import os as _os
+
+    srcs, dsts = [], []
+    for i in range(3):
+        s = str(tmp_path / f"mt_in{i}")
+        d = str(tmp_path / f"mt_out{i}")
+        spark.createDataFrame([(i, f"v{i}")], ["id", "s"]).write.parquet(s)
+        srcs.append(s)
+        dsts.append(d)
+    spec = {"job": {"content": [
+        {"reader": {"name": "parquetreader", "parameter": {"path": s}},
+         "writer": {"name": "parquetwriter", "parameter": {"path": d}}}
+        for s, d in zip(srcs, dsts)
+    ]}}
+    results = run_job(spark, spec)
+    assert results == dsts
+    for i, d in enumerate(dsts):
+        assert _os.path.exists(d)
+        assert spark.read.parquet(d).collect()[0]["id"] == i

@@ -3,6 +3,7 @@
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -148,3 +149,67 @@ def test_stream_bytes_per_trigger(spark, stream_log, tmp_path):
     fp, n = _state_fp(table)
     assert n == len(oracle)
     assert fp == state_fingerprint(oracle)
+
+
+def test_watermark_windowed_agg_drops_late_events(spark, tmp_path):
+    """Watermark + windowed agg (append mode): a finalized window emits
+    once the watermark passes it, and an event older than the watermark
+    is dropped instead of corrupting the emitted count — the late-data
+    contract for windowed aggregations (the CDC apply path itself
+    handles lateness via latest-wins, which needs no watermark)."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from pyspark.sql.types import TimestampType
+
+    logdir = str(tmp_path / "wmlog")
+    schema = StructType([
+        StructField("k", StringType()), StructField("ts", TimestampType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batches = [
+        # 5 on-time events in the 10:00-10:05 window
+        [(f"k{i}", base + dt.timedelta(seconds=i)) for i in range(5)],
+        # far-future event: advances the watermark past 10:05
+        [("adv", base + dt.timedelta(hours=1))],
+        # second advancing batch: the 10:00 window is EVICTED + emitted
+        # here (eviction uses the watermark computed by the previous
+        # batch — Spark admits late rows until the state is gone)
+        [("adv2", base + dt.timedelta(hours=1, minutes=1))],
+        # late event for the already-emitted window -> dropped
+        [("late", base + dt.timedelta(seconds=30))],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        seg = _os.path.join(logdir, f"seg={i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(seg)
+        for f in _os.listdir(seg):
+            _os.utime(_os.path.join(seg, f), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(logdir + "/seg=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("wm_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress for so in p["stateOperators"]
+    )
+    rows = {
+        r["window"]["start"].strftime("%H:%M"): r["count"]
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    assert rows.get("10:00") == 5  # late event NOT counted
+    assert dropped >= 1
