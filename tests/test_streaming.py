@@ -213,3 +213,51 @@ def test_watermark_windowed_agg_drops_late_events(spark, tmp_path):
     }
     assert rows.get("10:00") == 5  # late event NOT counted
     assert dropped >= 1
+
+
+def test_stateful_repo_stats_accumulate_across_batches(spark, stream_log, tmp_path):
+    """applyInPandasWithState custom operator: per-repo counters persist
+    in the state store ACROSS micro-batches — the final emitted row per
+    repo equals the batch-agnostic aggregate of the whole log."""
+    from datax_spark.streaming.stateful import repo_stats_stream
+
+    log_dir, events_pdf = stream_log
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(log_dir + "/seg=*")
+        .filter(F.col("repo").isNotNull())  # quarantine runs first IRL
+    )
+    out = repo_stats_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("repo_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches > 1  # state genuinely crossed batch boundaries
+
+    # memory sink in update mode appends each emission (collect order is
+    # not emission order); counters are cumulative, so the max-events row
+    # per repo is the final state
+    got = {}
+    for r in spark.sql("SELECT * FROM repo_stats").collect():
+        cur = got.get(r["repo"])
+        cand = (r["events"], r["deletes"], r["max_seq"])
+        if cur is None or cand[0] > cur[0]:
+            got[r["repo"]] = cand
+    clean_pdf = events_pdf[events_pdf["repo"].notna()]
+    want_events = clean_pdf.groupby("repo").size()
+    want_deletes = (
+        clean_pdf[clean_pdf["op"] == "delete"].groupby("repo").size()
+    )
+    want_maxseq = clean_pdf.groupby("repo")["seq"].max()
+    for repo, (ev, de, mx) in got.items():
+        assert ev == int(want_events[repo])
+        assert de == int(want_deletes.get(repo, 0))
+        assert mx == int(want_maxseq[repo])
+    assert set(got) == set(want_events.index)
