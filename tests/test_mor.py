@@ -150,3 +150,31 @@ def test_mor_maybe_compact_policy(spark, tmp_path):
     # fragmentation rule fires regardless of byte ratio
     stats = t.maybe_compact(max_delta_ratio=10.0, max_files_per_bucket=0)
     assert stats["compacted_buckets"] > 0
+
+
+def test_mor_time_travel_across_compaction(spark, tmp_path):
+    """Version pinning survives later appends AND compaction: an old
+    snapshot keeps its own base/delta file lists (immutable manifests),
+    so `read(version=v)` reproduces the state exactly until vacuum."""
+    log_df, logdir = _make_log(spark, tmp_path, n=4000)
+    t = MorTable.create(spark, str(tmp_path / "t7"), SCHEMA, KEYS, "repo", 8)
+    segs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(logdir) if d.startswith("seg=")
+    )
+    from datax_spark.streaming.pipeline import apply_batch
+    apply_batch(t, spark.read.parquet(os.path.join(logdir, f"seg={segs[0]}")),
+                batch_id=segs[0])
+    v_after_first = t.current_version()
+    fp_v1 = state_fingerprint(
+        t.read(version=v_after_first).orderBy(KEYS).toPandas()
+    )
+    for seg in segs[1:]:
+        apply_batch(t, spark.read.parquet(os.path.join(logdir, f"seg={seg}")),
+                    batch_id=seg)
+    t.compact()
+    # pinned read unchanged by later appends + compaction
+    assert state_fingerprint(
+        t.read(version=v_after_first).orderBy(KEYS).toPandas()
+    ) == fp_v1
+    # and the pinned version still resolves via its own deltas
+    assert any(t.snapshot(v_after_first).deltas.values())
