@@ -158,10 +158,21 @@ def write_segments(df: DataFrame, out_dir: str) -> list[str]:
     import time as _time
 
     stage = out_dir.rstrip("/") + "__stage"
-    # duplicate the partition column so it survives inside the data files
+    # duplicate the partition column so it survives inside the data files;
+    # salt the repartition so each segment lands as MULTIPLE files (a
+    # single fat file per segment would cap downstream read parallelism
+    # at file-split granularity)
+    # Range-partition on (segment, seq): each segment splits into
+    # contiguous seq-range files whose part-file NAMES ascend with seq.
+    # That matters because a streaming tail may chunk one segment into
+    # several micro-batches (maxFilesPerTrigger), and the COW merge
+    # applies batches unconditionally — so file replay order must follow
+    # the seq total order. Per-file mtimes are stamped in name order
+    # below to make the file source's ordering explicit.
+    n_parts = max(64, df.sparkSession.sparkContext.defaultParallelism * 2)
     (
         df.withColumn("_seg", F.col("batch_file"))
-        .repartition("_seg")
+        .repartitionByRange(n_parts, F.col("_seg"), F.col("seq"))
         .write.mode("overwrite")
         .partitionBy("_seg")
         .parquet(stage)
@@ -180,8 +191,12 @@ def write_segments(df: DataFrame, out_dir: str) -> list[str]:
         if os.path.exists(dst):
             shutil.rmtree(dst)
         os.rename(src, dst)
-        for f in os.listdir(dst):
-            os.utime(os.path.join(dst, f), (now + i, now + i))
+        # mtimes strictly increasing across segments AND across a
+        # segment's files in seq order (part-file names ascend with the
+        # range partitioning above)
+        for j, f in enumerate(sorted(os.listdir(dst))):
+            t = now + i * 1000 + j
+            os.utime(os.path.join(dst, f), (t, t))
         paths.append(dst)
     shutil.rmtree(stage, ignore_errors=True)
     return paths
