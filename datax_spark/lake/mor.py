@@ -46,10 +46,17 @@ from datax_spark.operators.merge import CDC_META_COLS, DELETE_OP, MergeResult
 
 SEQ_META = "_seq"
 OP_META = "_op"
-# Broadcast the delta KEY projection when the delta parquet bytes are
-# under this; keys are a narrow slice of the files, so this is
-# conservative. Past it, fall back to a shuffle join (sized by deltas,
-# still never by the base).
+# Broadcast the delta KEY projection outright when the delta parquet
+# bytes are under this; keys are a narrow slice of the files, so this is
+# conservative. Past it, the key side is first DISTINCT-reduced (content
+# bytes dominate delta file size, so the distinct key projection is far
+# smaller than this proxy suggests) and handed to AQE, whose runtime
+# size check can still turn the anti-join into a broadcast. Only when
+# the distinct key set itself exceeds the runtime broadcast threshold
+# does Spark fall back to a sort-merge/shuffled-hash anti-join — which
+# DOES shuffle the base by key; that is unavoidable once the key set
+# cannot fit on one node, and compaction policy (maybe_compact) exists
+# precisely to keep deltas far below this regime.
 BROADCAST_DELTA_BYTES = 256 << 20
 
 
@@ -98,11 +105,16 @@ class MorTable(LakeTable):
         is scan → broadcast-anti-join → union (PLANS.md §6 fragment).
         """
         latest = dedup_latest(delta, key_cols, SEQ_META)
-        # anti-join keys straight off the delta scan (no distinct needed —
-        # the broadcast hash relation dedups; avoids a second exchange)
-        keys = delta.select(*key_cols)
         if delta_bytes <= BROADCAST_DELTA_BYTES:
-            keys = F.broadcast(keys)
+            # anti-join keys straight off the delta scan (no distinct
+            # needed — the broadcast hash relation dedups; avoids a
+            # second exchange)
+            keys = F.broadcast(delta.select(*key_cols))
+        else:
+            # big deltas: shrink the build side to the distinct key set
+            # before the join so AQE's runtime size check can still pick
+            # a broadcast far past the file-byte proxy above
+            keys = delta.select(*key_cols).distinct()
         survivors = base.join(keys, on=key_cols, how="left_anti")
         return survivors.unionByName(latest)
 

@@ -108,8 +108,11 @@ class Snapshot:
     # Sharded-manifest bookkeeping (set by LakeTable load/commit paths):
     # {"buckets": {bucket: ref_relpath}, "deltas": {...}} for buckets whose
     # file list is stored in a content-addressed side file instead of
-    # inline. Not part of equality/serialization of the dataclass itself.
-    _refs: dict[str, dict[str, str]] | None = None
+    # inline. Excluded from equality/repr: two identical snapshots loaded
+    # via different paths (inline vs sharded refs) must compare equal.
+    _refs: dict[str, dict[str, str]] | None = field(
+        default=None, compare=False, repr=False
+    )
 
 
 def bucket_expr(bucket_key: str, num_buckets: int):

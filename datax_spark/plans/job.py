@@ -215,9 +215,13 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
     if param.get("where") and "jdbcUrl" not in param:
         df = df.filter(param["where"])
     if channel:
-        # adjustChannelNumber analog: floor parallelism at `channel`.
-        if df.rdd.getNumPartitions() < channel:
-            df = df.repartition(channel)
+        # adjustChannelNumber analog: an explicit channel count is the
+        # requested parallelism, exactly like DataX's needChannelNumber
+        # (JobContainer.java adjustChannelNumber). Repartition
+        # unconditionally — probing the current partition count via
+        # df.rdd forces a DataFrame->RDD plan conversion just to decide,
+        # which costs more than the round-robin exchange it tries to skip.
+        df = df.repartition(channel)
     return df
 
 

@@ -6,15 +6,19 @@ a first-class, exactly-once operation:
 
 1. read the quarantine parquet log, EXCLUDING batches a previous replay
    already consumed (a `_replayed.json` ledger makes replay idempotent);
-2. apply the caller's repair function (DataFrame -> DataFrame, pure
+2. record an INTENT (chosen replay batch_id + source batches) in the
+   ledger BEFORE applying;
+3. apply the caller's repair function (DataFrame -> DataFrame, pure
    column ops — e.g. op remapping, null backfill);
-3. push the repaired rows through the SAME apply path as live traffic
+4. push the repaired rows through the SAME apply path as live traffic
    (``apply_batch``): still-dirty rows re-quarantine under the NEW batch
    id, clean rows dedup+merge with the usual batch-id fence;
-4. record the consumed source batches in the ledger.
+5. mark the intent consumed after success.
 
-A crashed replay is safe: the merge fence makes the re-run's apply a
-no-op, and the ledger is written only after a successful apply.
+A crashed replay is safe BECAUSE of the intent record: a re-run resumes
+the pending intent's batch_id (not last_batch_id+1), so if the previous
+attempt crashed after the merge committed, the fence makes the re-apply
+a genuine no-op — no duplicate batch, no double hooks/metrics/versions.
 """
 
 from __future__ import annotations
@@ -77,26 +81,40 @@ def replay_quarantine(
     """
     cfg = config or PipelineConfig()
     spark = table.spark
-    todo = source_batches or pending_batches(spark, quarantine_dir)
-    if not todo:
-        return None
+    ledger = _read_ledger(quarantine_dir) if os.path.isdir(quarantine_dir) else {
+        "batches": [], "replays": []
+    }
+    intent = ledger.get("intent")
+    if intent is not None:
+        # A prior replay crashed between intent and completion: finish it
+        # with the SAME batch_id so the merge fence dedupes if the crashed
+        # attempt already committed.
+        todo = [int(b) for b in intent["sources"]]
+        batch_id = int(intent["batch_id"])
+    else:
+        todo = [int(b) for b in (source_batches or pending_batches(spark, quarantine_dir))]
+        if not todo:
+            return None
+        if batch_id is None:
+            last = table.last_batch_id(cfg.stream_id)
+            batch_id = (last if last is not None else -1) + 1
+        ledger["intent"] = {"batch_id": int(batch_id), "sources": todo}
+        _write_ledger(quarantine_dir, ledger)
     df = (
         spark.read.option("pathGlobFilter", "*.parquet")
         .parquet(quarantine_dir)
-        .filter(F.col("_batch_id").isin([int(b) for b in todo]))
+        .filter(F.col("_batch_id").isin(todo))
         .drop(REASON_COL, "_batch_id")
     )
     if repair_fn is not None:
         df = repair_fn(df)
-    if batch_id is None:
-        last = table.last_batch_id(cfg.stream_id)
-        batch_id = (last if last is not None else -1) + 1
     metrics = apply_batch(table, df, batch_id, cfg)
     ledger = _read_ledger(quarantine_dir)
-    ledger["batches"] = sorted(set(ledger["batches"]) | {int(b) for b in todo})
+    ledger["batches"] = sorted(set(ledger["batches"]) | set(todo))
     ledger["replays"].append(
-        {"batch_id": int(batch_id), "sources": [int(b) for b in todo],
+        {"batch_id": int(batch_id), "sources": todo,
          "applied": bool(metrics.applied)}
     )
+    ledger.pop("intent", None)
     _write_ledger(quarantine_dir, ledger)
     return metrics

@@ -185,18 +185,25 @@ def write_segments(df: DataFrame, out_dir: str) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     now = _time.time()
     paths = []
-    for i, s in enumerate(segs):
+    # mtimes strictly increasing across segments AND across a segment's
+    # files in seq order (part-file names ascend with the range
+    # partitioning above). The stride is the ACTUAL per-segment file
+    # count, not a fixed constant — a fixed stride overlaps the next
+    # segment's range once a segment exceeds it (n_parts scales with
+    # defaultParallelism, so high-core hosts would hit that), and an
+    # overlap lets the streaming file source interleave segments,
+    # breaking the seq replay-order contract the COW merge depends on.
+    tick = 0
+    for s in segs:
         src = os.path.join(stage, f"_seg={s}")
         dst = os.path.join(out_dir, f"seg={s}")
         if os.path.exists(dst):
             shutil.rmtree(dst)
         os.rename(src, dst)
-        # mtimes strictly increasing across segments AND across a
-        # segment's files in seq order (part-file names ascend with the
-        # range partitioning above)
-        for j, f in enumerate(sorted(os.listdir(dst))):
-            t = now + i * 1000 + j
+        for f in sorted(os.listdir(dst)):
+            t = now + tick
             os.utime(os.path.join(dst, f), (t, t))
+            tick += 1
         paths.append(dst)
     shutil.rmtree(stage, ignore_errors=True)
     return paths

@@ -22,12 +22,17 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datax_spark.lake.table import LakeTable
+from datax_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
 from datax_spark.operators.dedup import dedup_latest
-from datax_spark.operators.merge import MergeResult, bucket_stats_agg, merge_apply
+from datax_spark.operators.merge import (
+    DELETE_OP,
+    MergeResult,
+    OP_COL,
+    merge_apply,
+)
 from datax_spark.util import RateLimiter
 from datax_spark.quality.quarantine import (
     REASON_COL,
@@ -94,6 +99,63 @@ class PipelineConfig:
     write_mode: str = "replace"
 
 
+DIRTY_BUCKET = -1
+_REASONS = ("invalid_op", "null_key", "null_content")
+
+
+def batch_stats_agg(
+    tagged: DataFrame,
+    bucket_key: str,
+    num_buckets: int,
+    key_cols: list[str],
+    want_bytes: bool = False,
+) -> list:
+    """ONE per-bucket stats pass over the tagged (reason-annotated) batch.
+
+    Dirty rows are routed to sentinel bucket ``DIRTY_BUCKET``; every real
+    bucket therefore aggregates clean rows only, so its
+    (max_seq, deletes, events, distinct_keys) feed the merge directly,
+    while the quality counters (total/dirty/per-reason[/bytes]) fall out
+    of the same job by summing across ALL buckets — the DataX
+    Communication counters (TransformerExchanger.java:117-127) as side
+    outputs of the one narrow stats scan, with no Observation machinery
+    (Observation retrieval is unsupported inside foreachBatch on Spark 4,
+    which used to force a second scan per streaming micro-batch).
+    The scan is column-pruned to keys/op/seq + the reason expression's
+    inputs; a batch is O(rows-scanned) with exactly 2 Spark jobs total
+    (this + the write), batch and streaming alike.
+    """
+    is_dirty = F.col(REASON_COL).isNotNull()
+    bucket = (
+        F.when(is_dirty, F.lit(DIRTY_BUCKET))
+        .otherwise(bucket_expr(bucket_key, num_buckets))
+        .alias(BUCKET_COL)
+    )
+    aggs = [
+        F.max("seq").alias("max_seq"),
+        F.sum(F.when(F.col(OP_COL) == DELETE_OP, 1).otherwise(0)).alias("deletes"),
+        F.count(F.lit(1)).alias("events"),
+        F.count_distinct(*[F.col(k) for k in key_cols]).alias("distinct_keys"),
+        *[
+            F.sum((F.col(REASON_COL) == r).cast("long")).alias(r)
+            for r in _REASONS
+        ],
+    ]
+    if want_bytes:
+        aggs.append(
+            F.sum(
+                F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("bytes")
+        )
+    sel = [bucket, F.col(REASON_COL), F.col("seq"), F.col(OP_COL)]
+    sel += [F.col(k) for k in key_cols]
+    if want_bytes:
+        sel.append(F.col("content"))
+    return tagged.select(*sel).groupBy(BUCKET_COL).agg(*aggs).collect()
+
+
 def apply_batch(
     table: LakeTable,
     events: DataFrame,
@@ -113,11 +175,6 @@ def apply_batch(
         m.applied = False
         return m
 
-    # Quality metrics ride the merge's own first action via Observation —
-    # zero extra jobs/scans over the batch (DataX counts per-record in the
-    # exchanger, TransformerExchanger.java:117-127; here the counters are
-    # free side-outputs of the dedup shuffle's scan).
-    obs = Observation(f"quality-{batch_id}")
     tagged = events.withColumn(REASON_COL, dirty_reason_col())
     is_dirty = F.col(REASON_COL).isNotNull()
     # Byte accounting (bps throttle / metrics) forces the otherwise
@@ -126,36 +183,21 @@ def apply_batch(
     want_bytes = (
         cfg.max_bytes_per_sec is not None or cfg.metrics_path is not None
     )
-    byte_aggs = (
-        [
-            F.sum(
-                F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast(
-                    "decimal(38,0)"
-                )
-            ).alias("bytes")
-        ]
-        if want_bytes
-        else []
-    )
-    tagged = tagged.observe(
-        obs,
-        F.count(F.lit(1)).alias("total"),
-        F.sum(is_dirty.cast("long")).alias("dirty"),
-        F.sum((F.col(REASON_COL) == "invalid_op").cast("long")).alias("invalid_op"),
-        F.sum((F.col(REASON_COL) == "null_key").cast("long")).alias("null_key"),
-        F.sum((F.col(REASON_COL) == "null_content").cast("long")).alias("null_content"),
-        *byte_aggs,
-    )
     clean = tagged.filter(~is_dirty).drop(REASON_COL)
 
-    # Stats job first (narrow, column-pruned scan of key/op/seq only — it
-    # also fires the Observation), then one wide write job that
-    # materializes the dedup into cache once and reads it for both the
-    # anti-join key side and the upsert images.
+    # Stats job first (narrow scan; quality counters AND per-bucket merge
+    # stats in one pass — see batch_stats_agg), then one wide write job
+    # that references the dedup subtree for both the anti-join key side
+    # and the upsert images.
     props = table.snapshot().properties
-    stats = bucket_stats_agg(
-        clean, props["bucket_key"], props["num_buckets"], key_cols=KEY_COLS
+    all_stats = batch_stats_agg(
+        tagged, props["bucket_key"], props["num_buckets"], KEY_COLS,
+        want_bytes=want_bytes,
     )
+    stats = [
+        r for r in all_stats
+        if r[BUCKET_COL] is not None and r[BUCKET_COL] != DIRTY_BUCKET
+    ]
     deduped = dedup_latest(clean, KEY_COLS)
     if cfg.write_mode not in ("replace", "update"):
         raise ValueError(f"unknown write_mode {cfg.write_mode!r}")
@@ -188,26 +230,22 @@ def apply_batch(
             )
         finally:
             deduped.unpersist()
-    try:
-        got = obs.get
-    except Exception:
-        # Observation retrieval is unsupported inside foreachBatch
-        # micro-batches (Spark 4 toPyRow assertion); fall back to one
-        # narrow aggregate job (column-pruned: keys + op + content only).
-        got = tagged.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(is_dirty.cast("long")).alias("dirty"),
-            F.sum((F.col(REASON_COL) == "invalid_op").cast("long")).alias("invalid_op"),
-            F.sum((F.col(REASON_COL) == "null_key").cast("long")).alias("null_key"),
-            F.sum((F.col(REASON_COL) == "null_content").cast("long")).alias("null_content"),
-            *byte_aggs,
-        ).first().asDict()
-    m.total_records = got["total"] or 0
-    m.bytes_estimate = int(got.get("bytes") or 0) if want_bytes else 0
-    m.dirty_records = got["dirty"] or 0
+    # Quality counters: driver-side sums over the O(num_buckets) stats
+    # rows — dirty rows all landed in the sentinel bucket, so totals are
+    # exact and no second scan of the batch ever runs.
+    m.total_records = sum(int(r["events"]) for r in all_stats)
+    m.bytes_estimate = (
+        sum(int(r["bytes"] or 0) for r in all_stats) if want_bytes else 0
+    )
+    m.dirty_records = sum(
+        int(r["events"]) for r in all_stats
+        if r[BUCKET_COL] is None or r[BUCKET_COL] == DIRTY_BUCKET
+    )
     m.clean_records = m.total_records - m.dirty_records
     m.dirty_reasons = {
-        k: got[k] for k in ("invalid_op", "null_key", "null_content") if got[k]
+        k: v
+        for k in _REASONS
+        if (v := sum(int(r[k] or 0) for r in all_stats))
     }
     if cfg.quarantine_dir and m.dirty_records:
         append_quarantine(

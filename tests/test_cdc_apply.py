@@ -158,6 +158,44 @@ def test_delete_then_reinsert_within_batch(spark, tmp_path):
     assert state.iloc[0]["content"] == "v3"
 
 
+def test_apply_batch_is_two_actions(spark, log_df, tmp_path):
+    """The batch budget PLANS.md §7 claims: ONE narrow stats collect
+    (which also carries the quality counters — no Observation, no second
+    scan over the batch) + ONE wide write. Streaming shares this exact
+    code path, so this pins the per-micro-batch action count too. The
+    broadcast-exchange build of the anti-join key side runs as its own
+    Spark job by design (a subjob of the write, not an extra scan)."""
+    table = make_table(spark, str(tmp_path / "tjobs"))
+    sc = spark.sparkContext
+    # AQE splits one query into a job per materialized shuffle stage, so
+    # job count only maps to actions with it off for the measurement.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("apply-batch-job-count", "count jobs")
+    try:
+        apply_batch(table, log_df, batch_id=0)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    st = sc.statusTracker()
+    kinds = {"stats": 0, "write": 0, "broadcast": 0}
+    for j in st.getJobIdsForGroup("apply-batch-job-count"):
+        info = st.getJobInfo(j)
+        names = " ".join(
+            si.name
+            for s in (list(info.stageIds) if info else [])
+            if (si := st.getStageInfo(s))
+        )
+        if "parquet at" in names:
+            kinds["write"] += 1
+        elif "collect at" in names:
+            kinds["stats"] += 1
+        else:
+            kinds["broadcast"] += 1
+    assert kinds["stats"] == 1, f"expected 1 stats job, got {kinds}"
+    assert kinds["write"] == 1, f"expected 1 write job, got {kinds}"
+    assert kinds["broadcast"] <= 1, f"unexpected extra jobs: {kinds}"
+
+
 def test_commit_conflict_detected(spark, tmp_path):
     table = make_table(spark, str(tmp_path / "t6"))
     base = table.current_version()
