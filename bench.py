@@ -102,23 +102,36 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     )
     apply_segments(spark, wt, wl, config=PipelineConfig())
 
-    table = LakeTable.create(
-        spark, os.path.join(root, "lake"), schema,
-        ["repo", "path", "commit"], "repo", 32,
-    )
-    t0 = time.monotonic()
-    apply_segments(spark, table, logdir, config=PipelineConfig())
-    dt = time.monotonic() - t0
-
     from datax_spark.lake.mor import MorTable
 
-    mor = MorTable.create(
-        spark, os.path.join(root, "mor"), schema,
-        ["repo", "path", "commit"], "repo", 32,
-    )
-    t0 = time.monotonic()
-    apply_segments(spark, mor, logdir, config=PipelineConfig())
-    mor_dt = time.monotonic() - t0
+    # Best-of-N INTERLEAVED reps on fresh tables (same protocol as
+    # tools/scaling_bench.py): this host's wall-clock swings ±15-60%
+    # between sessions (NOTES.md), so a single timed apply is noise —
+    # the r1->r2 headline "regression" was exactly that. Interleaving
+    # COW/MOR within each rep keeps slow host phases from biasing one
+    # path; best-of is the stable low-noise estimator for CPU-bound work.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    cow_times: list[float] = []
+    mor_times: list[float] = []
+    mor = None
+    for rep in range(reps):
+        table = LakeTable.create(
+            spark, os.path.join(root, f"lake{rep}"), schema,
+            ["repo", "path", "commit"], "repo", 32,
+        )
+        t0 = time.monotonic()
+        apply_segments(spark, table, logdir, config=PipelineConfig())
+        cow_times.append(time.monotonic() - t0)
+
+        mor = MorTable.create(
+            spark, os.path.join(root, f"mor{rep}"), schema,
+            ["repo", "path", "commit"], "repo", 32,
+        )
+        t0 = time.monotonic()
+        apply_segments(spark, mor, logdir, config=PipelineConfig())
+        mor_times.append(time.monotonic() - t0)
+    dt = min(cow_times)
+    mor_dt = min(mor_times)
     # Resolved-read cost, pre- and post-compaction (the round-2 MOR read
     # path: base anti-joins broadcast delta keys, only deltas shuffle).
     t0 = time.monotonic()
@@ -131,8 +144,10 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     return {
         "events": n_events,
         "apply_sec": round(dt, 2),
+        "apply_sec_reps": [round(t, 2) for t in cow_times],
         "events_per_sec": round(n_events / dt),
         "mor_apply_sec": round(mor_dt, 2),
+        "mor_apply_sec_reps": [round(t, 2) for t in mor_times],
         "mor_events_per_sec": round(n_events / mor_dt),
         "mor_read_sec": round(mor_read_dt, 2),
         "mor_read_postcompact_sec": round(mor_read_compacted_dt, 2),

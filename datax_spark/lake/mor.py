@@ -246,13 +246,14 @@ class MorTable(LakeTable):
             return self.compact(max_files_per_bucket=1)
         return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
 
-    def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
+    def _compact_once(self, max_files_per_bucket: int) -> dict[str, int]:
         """Fold deltas into resolved base files for fragmented buckets.
 
         Keeps each surviving row's original ``_seq`` (resolution stays
         monotone vs any not-yet-applied future batch) and drops
         tombstones (nothing older remains underneath them). The commit
         replaces the bucket's base files and clears its delta list.
+        Retry-on-conflict comes from LakeTable.compact.
         """
         snap = self.snapshot()
         props = snap.properties

@@ -115,6 +115,12 @@ class Snapshot:
     )
 
 
+def _union_schema(a: StructType, b: StructType) -> StructType:
+    """Additive union: ``a``'s fields, then ``b``'s new ones in order."""
+    names = {f.name for f in a.fields}
+    return StructType(list(a.fields) + [f for f in b.fields if f.name not in names])
+
+
 def bucket_expr(bucket_key: str, num_buckets: int):
     """Deterministic bucket id for a row: pmod(xxhash64(key), B).
 
@@ -364,6 +370,79 @@ class LakeTable:
                 out[b] = files
         return out
 
+    # ------------------------------------------------- optimistic concurrency
+    def _check_stream_fence(
+        self, cur: Snapshot, stream_updates: dict[str, Any] | None
+    ) -> None:
+        """Abort a rebase when the current snapshot already fenced our batch.
+
+        The failover-fencing rule (odpswriter/.../OdpsWriter.java:327-354):
+        if another writer advanced our stream's ``last_batch_id`` to or past
+        the batch we are committing, our apply is a duplicate — rebasing it
+        would double-apply, so it must die as a CommitConflict.
+        """
+        for sid, upd in (stream_updates or {}).items():
+            bid = upd.get("last_batch_id")
+            cur_last = (cur.properties.get("streams", {}).get(sid) or {}).get(
+                "last_batch_id"
+            )
+            if bid is not None and cur_last is not None and bid <= cur_last:
+                raise CommitConflict(
+                    f"stream {sid!r} fenced: batch {bid} already committed "
+                    f"(current last_batch_id={cur_last}) at {self.path}"
+                )
+
+    def _check_buckets_unchanged(
+        self, orig: Snapshot, cur: Snapshot, buckets: list[int]
+    ) -> None:
+        """A replace commit read ``buckets`` content at ``orig``; rebasing is
+        only safe if no intervening commit touched those buckets (base files
+        OR deltas)."""
+        for b in buckets:
+            sb = str(b)
+            if cur.buckets.get(sb, []) != orig.buckets.get(sb, []) or (
+                cur.deltas.get(sb, []) != orig.deltas.get(sb, [])
+            ):
+                raise CommitConflict(
+                    f"bucket {sb} changed since base v{orig.version}; "
+                    f"replace commit cannot rebase at {self.path}"
+                )
+
+    def _commit_loop(self, orig: Snapshot, build, rebase_check, rebase: bool,
+                     max_retries: int) -> Snapshot:
+        """CAS-publish with automatic rebase.
+
+        ``build(base_snapshot) -> Snapshot`` constructs the candidate on
+        top of any base; ``rebase_check(cur)`` raises CommitConflict when
+        rebasing onto ``cur`` is unsafe. The loop handles the DataX
+        taskgroup-failover analog (TaskGroupContainer.java:162-241)
+        declaratively: a loser of the manifest CAS reloads the winner's
+        snapshot, verifies disjointness/fencing, and re-publishes — so an
+        apply racing a compact()/vacuum() or a second stream on other
+        buckets commits instead of stranding its staged files.
+        """
+        attempt_base_v = orig.version
+        base = orig
+        for attempt in range(max_retries + 1):
+            cur_v = self.current_version()
+            if cur_v != attempt_base_v:
+                if not rebase:
+                    raise CommitConflict(
+                        f"base version {orig.version} superseded at {self.path}"
+                    )
+                cur = self.snapshot(cur_v)
+                rebase_check(cur)
+                attempt_base_v = cur_v
+                base = cur
+            snap = build(base)
+            try:
+                self._write_manifest(snap, base)
+                return snap
+            except CommitConflict:
+                if not rebase or attempt == max_retries:
+                    raise
+        raise CommitConflict(f"retries exhausted at {self.path}")  # unreachable
+
     def commit_replace_buckets(
         self,
         base_version: int,
@@ -372,46 +451,56 @@ class LakeTable:
         schema: StructType | None = None,
         stream_updates: dict[str, Any] | None = None,
         lineage_updates: dict[str, Any] | None = None,
+        rebase: bool = True,
+        max_retries: int = 5,
     ) -> Snapshot:
         """Publish a snapshot replacing ``replaced_buckets`` with staged files.
 
-        Untouched buckets carry forward by reference. Raises CommitConflict
-        if ``base_version`` is no longer current (optimistic concurrency).
+        Untouched buckets carry forward by reference. If ``base_version``
+        was superseded meanwhile, the commit REBASES automatically when
+        safe — no intervening commit touched the replaced buckets and no
+        stream fence was crossed — and raises CommitConflict otherwise
+        (or always, with ``rebase=False``).
         """
-        base = self.snapshot(base_version)
-        if self.current_version() != base_version:
-            raise CommitConflict(
-                f"base version {base_version} superseded at {self.path}"
-            )
+        orig = self.snapshot(base_version)
         staged = (
             self._list_staged(self.path, commit_rel) if commit_rel else {}
         )
-        buckets = dict(base.buckets)
-        deltas = dict(base.deltas)
-        for b in replaced_buckets:
-            sb = str(b)
-            if sb in staged:
-                buckets[sb] = staged[sb]
-            else:
-                buckets.pop(sb, None)  # bucket emptied (all rows deleted)
-            # replacing a bucket folds its deltas into the new base files
-            deltas.pop(sb, None)
-        props = json.loads(json.dumps(base.properties))
-        if stream_updates:
-            props.setdefault("streams", {}).update(stream_updates)
-        lineage = dict(base.lineage)
-        for b, stats in (lineage_updates or {}).items():
-            lineage[str(b)] = stats
-        snap = Snapshot(
-            version=base_version + 1,
-            schema_json=(schema or base.schema).jsonValue(),
-            buckets=buckets,
-            properties=props,
-            lineage=lineage,
-            deltas=deltas,
-        )
-        self._write_manifest(snap, base)
-        return snap
+        want_schema = schema or orig.schema
+
+        def check(cur: Snapshot) -> None:
+            self._check_stream_fence(cur, stream_updates)
+            self._check_buckets_unchanged(orig, cur, replaced_buckets)
+
+        def build(base: Snapshot) -> Snapshot:
+            buckets = dict(base.buckets)
+            deltas = dict(base.deltas)
+            for b in replaced_buckets:
+                sb = str(b)
+                if sb in staged:
+                    buckets[sb] = staged[sb]
+                else:
+                    buckets.pop(sb, None)  # bucket emptied (all rows deleted)
+                # replacing a bucket folds its deltas into the new base files
+                deltas.pop(sb, None)
+            props = json.loads(json.dumps(base.properties))
+            if stream_updates:
+                props.setdefault("streams", {}).update(stream_updates)
+            lineage = dict(base.lineage)
+            for b, stats in (lineage_updates or {}).items():
+                lineage[str(b)] = stats
+            return Snapshot(
+                version=base.version + 1,
+                # union with the rebased-onto schema: evolution is
+                # additive-only, so merging both writers' columns is safe
+                schema_json=_union_schema(base.schema, want_schema).jsonValue(),
+                buckets=buckets,
+                properties=props,
+                lineage=lineage,
+                deltas=deltas,
+            )
+
+        return self._commit_loop(orig, build, check, rebase, max_retries)
 
     # ------------------------------------------------------------ properties
     def last_batch_id(self, stream_id: str) -> int | None:
@@ -469,6 +558,8 @@ class LakeTable:
         schema: StructType | None = None,
         lineage_updates: dict[str, Any] | None = None,
         as_delta: bool = False,
+        rebase: bool = True,
+        max_retries: int = 5,
     ) -> Snapshot:
         """Publish a snapshot APPENDING staged files to their buckets.
 
@@ -481,34 +572,41 @@ class LakeTable:
         read): keys may overlap base and prior deltas; MorTable.read
         resolves latest-wins. Buckets fragment one file per batch either
         way, so pair with ``compact``.
+
+        An append never reads table content, so a superseded base rebases
+        unconditionally onto the current snapshot (two streams on any
+        buckets, or an apply racing a compact) — EXCEPT across a stream
+        fence, which means another writer already applied this batch.
         """
-        base = self.snapshot(base_version)
-        if self.current_version() != base_version:
-            raise CommitConflict(
-                f"base version {base_version} superseded at {self.path}"
-            )
+        orig = self.snapshot(base_version)
         staged = self._list_staged(self.path, commit_rel)
-        buckets = dict(base.buckets)
-        deltas = dict(base.deltas)
-        target = deltas if as_delta else buckets
-        for b, files in staged.items():
-            target[b] = target.get(b, []) + files
-        props = json.loads(json.dumps(base.properties))
-        if stream_updates:
-            props.setdefault("streams", {}).update(stream_updates)
-        lineage = dict(base.lineage)
-        for b, stats in (lineage_updates or {}).items():
-            lineage[str(b)] = stats
-        snap = Snapshot(
-            version=base_version + 1,
-            schema_json=(schema or base.schema).jsonValue(),
-            buckets=buckets,
-            properties=props,
-            lineage=lineage,
-            deltas=deltas,
-        )
-        self._write_manifest(snap, base)
-        return snap
+        want_schema = schema or orig.schema
+
+        def check(cur: Snapshot) -> None:
+            self._check_stream_fence(cur, stream_updates)
+
+        def build(base: Snapshot) -> Snapshot:
+            buckets = dict(base.buckets)
+            deltas = dict(base.deltas)
+            target = deltas if as_delta else buckets
+            for b, files in staged.items():
+                target[b] = target.get(b, []) + files
+            props = json.loads(json.dumps(base.properties))
+            if stream_updates:
+                props.setdefault("streams", {}).update(stream_updates)
+            lineage = dict(base.lineage)
+            for b, stats in (lineage_updates or {}).items():
+                lineage[str(b)] = stats
+            return Snapshot(
+                version=base.version + 1,
+                schema_json=_union_schema(base.schema, want_schema).jsonValue(),
+                buckets=buckets,
+                properties=props,
+                lineage=lineage,
+                deltas=deltas,
+            )
+
+        return self._commit_loop(orig, build, check, rebase, max_retries)
 
     def append_insert_only(
         self, df: DataFrame, batch_id: int | None = None, stream_id: str = "default"
@@ -541,14 +639,26 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------ maintenance
-    def compact(self, max_files_per_bucket: int = 1) -> dict[str, int]:
+    def compact(self, max_files_per_bucket: int = 1, max_retries: int = 3) -> dict[str, int]:
         """Bin-pack buckets whose file count exceeds the threshold.
 
         A long-running CDC stream leaves ~one file per bucket per batch;
         compaction rewrites only the fragmented buckets (copy-on-write,
         same publish path as a MERGE) and carries the rest forward by
         reference. Combine with ``vacuum`` to reclaim the old files.
+        Losing a commit race to a concurrent apply re-runs the whole
+        compaction against the winner's snapshot (the stale rewrite's
+        staged files are left for vacuum).
         """
+        for attempt in range(max_retries + 1):
+            try:
+                return self._compact_once(max_files_per_bucket)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _compact_once(self, max_files_per_bucket: int) -> dict[str, int]:
         snap = self.snapshot()
         props = snap.properties
         fragmented = [
@@ -574,7 +684,7 @@ class LakeTable:
             "files_after": files_after,
         }
 
-    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+    def vacuum(self, keep_last: int = 2, min_age_sec: float = 0.0) -> dict[str, int]:
         """Drop old snapshots and delete data files they alone reference.
 
         Equivalent of Iceberg ``expire_snapshots`` + ``remove_orphan_files``:
@@ -583,7 +693,16 @@ class LakeTable:
         files orphaned by crashed commits that never published). Readers of
         retained snapshots are unaffected — files are immutable and only
         unreferenced ones are removed. Driver-side O(files) metadata work.
+
+        ``min_age_sec``: skip commit dirs younger than this. A CONCURRENT
+        in-flight commit's staged files are unreferenced until its
+        manifest publishes, so a production vacuum racing live writers
+        must set this above the worst-case stage->publish latency (the
+        Iceberg ``older_than`` analog); 0 is only safe with writers
+        quiesced.
         """
+        import time as _time
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         mdir = os.path.join(self.path, MANIFEST_DIR)
@@ -600,9 +719,12 @@ class LakeTable:
             for files in snap.deltas.values():
                 referenced.update(files)
         removed_files = 0
+        now = _time.time()
         data_root = os.path.join(self.path, DATA_DIR)
         for commit_dir in sorted(os.listdir(data_root)):
             cpath = os.path.join(data_root, commit_dir)
+            if min_age_sec > 0 and now - os.path.getmtime(cpath) < min_age_sec:
+                continue
             for root, _dirs, files in os.walk(cpath, topdown=False):
                 for f in files:
                     rel = os.path.relpath(os.path.join(root, f), self.path)

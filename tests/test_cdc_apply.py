@@ -200,8 +200,23 @@ def test_commit_conflict_detected(spark, tmp_path):
     table = make_table(spark, str(tmp_path / "t6"))
     base = table.current_version()
     table.commit_replace_buckets(base, "", [], stream_updates={"s": {"last_batch_id": 0}})
+    # rebase=False keeps the strict optimistic-concurrency behavior
     with pytest.raises(CommitConflict):
-        table.commit_replace_buckets(base, "", [], stream_updates={"s": {"last_batch_id": 1}})
+        table.commit_replace_buckets(
+            base, "", [], stream_updates={"s": {"last_batch_id": 1}},
+            rebase=False,
+        )
+    # a replayed batch id can never rebase past the fence
+    with pytest.raises(CommitConflict):
+        table.commit_replace_buckets(
+            base, "", [], stream_updates={"s": {"last_batch_id": 0}}
+        )
+    # a NEWER batch on untouched buckets rebases cleanly
+    snap = table.commit_replace_buckets(
+        base, "", [], stream_updates={"s": {"last_batch_id": 1}}
+    )
+    assert snap.version == table.current_version()
+    assert table.last_batch_id("s") == 1
 
 
 def test_schema_evolution_additive(spark, tmp_path):
