@@ -522,7 +522,7 @@ def q_cdc_time_travel(spark, sf_dir):
     return table.read(version=v_after_first).select("repo", "path", "commit", "content")
 
 
-def q_cdc_patch_apply(spark, sf_dir):
+def q_cdc_patch_apply(spark, sf_dir, mor: bool = False):
     """Partial-column (UpdateRow) MERGE end-to-end — writeMode=update.
 
     Same two-batch replay as cdc_lake_apply, but with an extra nullable
@@ -531,9 +531,16 @@ def q_cdc_patch_apply(spark, sf_dir):
     (otswriter UpdateRow, OTSConst.java:17-18), while whole-row replace
     would null it out. The oracle replays the same batch-boundary patch
     composition in SQL.
+
+    ``mor=True`` runs the SAME replay through a MorTable: patches land
+    as _patch-tagged deltas and the coalesce happens at read resolution
+    (lake/mor._resolve_patch) — value-checked against the identical
+    oracle, proving the deferred column-wise resolution equals the COW
+    batch-boundary composition.
     """
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
+    from datax_spark.lake.mor import MorTable
     from datax_spark.lake.table import LakeTable
     from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
 
@@ -560,7 +567,8 @@ def q_cdc_patch_apply(spark, sf_dir):
         [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
         + [StructField("val", DoubleType())]
     )
-    table = LakeTable.create(
+    cls = MorTable if mor else LakeTable
+    table = cls.create(
         spark, os.path.join(root, "t"), schema,
         ["repo", "path", "commit"], "repo", num_buckets=8,
     )
@@ -568,6 +576,11 @@ def q_cdc_patch_apply(spark, sf_dir):
     apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
     apply_batch(table, chg.filter(F.col("seq") > mid), 1, cfg)
     return table.read().select("repo", "path", "commit", "content", "val")
+
+
+def q_cdc_mor_patch_apply(spark, sf_dir):
+    """UpdateRow on merge-on-read: patch-tagged deltas, coalesce-at-read."""
+    return q_cdc_patch_apply(spark, sf_dir, mor=True)
 
 
 def q_cdc_lake_apply(spark, sf_dir):
@@ -748,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_apply": q_cdc_lake_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_patch_apply": q_cdc_patch_apply,
+        "cdc_mor_patch_apply": q_cdc_mor_patch_apply,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_sql_view": q_cdc_sql_view,
         "dx_transforms": q_dx_transforms,
@@ -1022,6 +1036,10 @@ def oracle_sql() -> dict[str, str]:
                content, val
         FROM final
     """
+    # MOR patch resolves column-wise at read; provably equal to the COW
+    # batch-boundary composition (tests/test_patch_merge.py), so it
+    # shares the oracle.
+    sql["cdc_mor_patch_apply"] = sql["cdc_patch_apply"]
     sql["cdc_sql_view"] = f"""
         WITH chg AS ({_CHG_SQL}),
         clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "cdc_lake_apply",
     "cdc_mor_apply",
     "cdc_patch_apply",
+    "cdc_mor_patch_apply",
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_jaccard",

@@ -38,14 +38,27 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from datax_spark.lake.table import BUCKET_COL, LakeTable, Snapshot
+from datax_spark.lake.table import BUCKET_COL, CommitConflict, LakeTable, Snapshot
 from datax_spark.operators.dedup import dedup_latest
 from datax_spark.operators.merge import CDC_META_COLS, DELETE_OP, MergeResult
 
 SEQ_META = "_seq"
 OP_META = "_op"
+# True on delta rows written by a writeMode='update' (partial-column /
+# ots UpdateRow) apply: at resolution, a NULL column in a patch row means
+# "keep the older value" instead of "set to NULL". False/absent rows are
+# full images (PutRow) and act as barriers that supersede everything
+# older for their key.
+PATCH_META = "_patch"
+META_COLS = (SEQ_META, OP_META, PATCH_META)
 # Broadcast the delta KEY projection outright when the delta parquet
 # bytes are under this; keys are a narrow slice of the files, so this is
 # conservative. Past it, the key side is first DISTINCT-reduced (content
@@ -75,7 +88,11 @@ class MorTable(LakeTable):
     ) -> "MorTable":
         stored = StructType(
             list(schema.fields)
-            + [StructField(SEQ_META, LongType()), StructField(OP_META, StringType())]
+            + [
+                StructField(SEQ_META, LongType()),
+                StructField(OP_META, StringType()),
+                StructField(PATCH_META, BooleanType()),
+            ]
         )
         super().create(
             spark, path, stored, key_cols, bucket_key, num_buckets,
@@ -118,13 +135,104 @@ class MorTable(LakeTable):
         survivors = base.join(keys, on=key_cols, how="left_anti")
         return survivors.unionByName(latest)
 
+    def _resolve_patch(
+        self, base: DataFrame, delta: DataFrame, key_cols: list[str],
+        delta_bytes: int,
+    ) -> DataFrame:
+        """Column-wise latest-wins resolution honoring partial-row patches.
+
+        Semantics (ots UpdateRow, otswriter/.../model/OTSConst.java:17-18,
+        matching the COW patch path merge.py:183-210 at batch
+        granularity): per key, a FULL row (delete tombstone or replace
+        image) at seq s is a BARRIER — nothing older than s contributes,
+        and the base row dies. Each payload column then takes the value
+        of the latest delta row >= the barrier that set it non-NULL;
+        keys with NO barrier fall back to the base row's value per
+        column. Existence = latest row's op != delete.
+
+        Physical shape: the delta flows through ONE hash exchange (the
+        window and the groupBy share the key partitioning); the base is
+        scanned twice but NEVER shuffled — survivors via broadcast
+        anti-join, old images via broadcast semi-join whose output is
+        bounded by the delta key count (the same trick as the COW patch),
+        then broadcast into the patch join.
+        """
+        from pyspark.sql.window import Window
+
+        payload = [c for c in base.columns if c not in key_cols and c not in META_COLS]
+        # A barrier supersedes everything older for its key: any full
+        # (non-patch) image, and EVERY delete — a patch-tagged delete
+        # still kills the row (a later partial rebuilds it from NULLs,
+        # exactly like the COW path where the key left the table).
+        is_barrier = (~F.coalesce(F.col(PATCH_META), F.lit(False))) | (
+            F.col(OP_META) == DELETE_OP
+        )
+        w = Window.partitionBy(*[F.col(k) for k in key_cols])
+        barrier = F.max(F.when(is_barrier, F.col(SEQ_META))).over(w)
+        live = delta.withColumn("_barrier", barrier).filter(
+            F.col(SEQ_META) >= F.coalesce(F.col("_barrier"), F.lit(-(1 << 62)))
+        )
+        aggs = [
+            F.max(SEQ_META).alias(SEQ_META),
+            F.max_by(OP_META, SEQ_META).alias(OP_META),
+            F.max("_barrier").alias("_had_barrier"),
+        ]
+        for c in payload:
+            # a delete row's payload never contributes column values
+            aggs.append(
+                F.max_by(
+                    F.col(c),
+                    F.when(
+                        F.col(c).isNotNull() & (F.col(OP_META) != DELETE_OP),
+                        F.col(SEQ_META),
+                    ),
+                ).alias(c)
+            )
+        agg = live.groupBy(*key_cols).agg(*aggs)
+
+        keys = delta.select(*key_cols)
+        if delta_bytes <= BROADCAST_DELTA_BYTES:
+            keys = F.broadcast(keys)
+        else:
+            keys = keys.distinct()
+        survivors = base.join(keys, on=key_cols, how="left_anti")
+        old = base.join(keys, on=key_cols, how="left_semi").select(
+            *key_cols, *[F.col(c).alias("_old_" + c) for c in payload]
+        )
+        if delta_bytes <= BROADCAST_DELTA_BYTES:
+            old = F.broadcast(old)
+        joined = agg.join(old, on=key_cols, how="left")
+        cols = [F.col(k) for k in key_cols]
+        for c in payload:
+            cols.append(
+                F.when(F.col("_had_barrier").isNotNull(), F.col(c))
+                .otherwise(F.coalesce(F.col(c), F.col("_old_" + c)))
+                .alias(c)
+            )
+        cols += [
+            F.col(SEQ_META),
+            F.col(OP_META),
+            F.lit(False).alias(PATCH_META),  # resolved rows are full images
+        ]
+        return survivors.unionByName(joined.select(*cols))
+
+    def _resolve_any(
+        self, snap: Snapshot, base: DataFrame, delta: DataFrame,
+        delta_bytes: int,
+    ) -> DataFrame:
+        """Pick the resolution strategy: the cheap whole-row path unless
+        any patch delta may exist (snapshot property ``mor_patch``, set by
+        patch applies and cleared when compaction drains all deltas)."""
+        key_cols = snap.properties["key_cols"]
+        if snap.properties.get("mor_patch"):
+            return self._resolve_patch(base, delta, key_cols, delta_bytes)
+        return self._resolve(base, delta, key_cols, delta_bytes)
+
     def read(self, buckets=None, version=None) -> DataFrame:
         """Resolved view: latest-wins per key, tombstones removed."""
         snap = self.snapshot(version)
-        props = snap.properties
         payload = [
-            f.name for f in snap.schema.fields
-            if f.name not in (SEQ_META, OP_META)
+            f.name for f in snap.schema.fields if f.name not in META_COLS
         ]
         not_tombstone = F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
         base = self._read_files(self._abs_files(snap, buckets, "base"), snap.schema)
@@ -132,8 +240,8 @@ class MorTable(LakeTable):
         if not delta_files:
             return base.filter(not_tombstone).select(*payload)
         delta = self._read_files(delta_files, snap.schema)
-        resolved = self._resolve(
-            base, delta, props["key_cols"], self._delta_bytes(delta_files)
+        resolved = self._resolve_any(
+            snap, base, delta, self._delta_bytes(delta_files)
         )
         return resolved.filter(not_tombstone).select(*payload)
 
@@ -147,11 +255,23 @@ class MorTable(LakeTable):
         batch_id: int,
         stream_id: str = "default",
         bucket_stats: list | None = None,
+        patch: bool = False,
     ) -> MergeResult:
-        """Append one deduplicated change batch — O(batch), no read-back."""
+        """Append one deduplicated change batch — O(batch), no read-back.
+
+        ``patch=True`` marks the batch's rows as partial-column images
+        (ots UpdateRow / writeMode=update): resolution coalesces NULL
+        columns from older state instead of overwriting (_resolve_patch).
+        Still O(batch) at write — the patch cost is paid at read/compact.
+        """
         base_version = self.current_version()
         snap = self.snapshot(base_version)
         props = snap.properties
+        if patch and PATCH_META not in {f.name for f in snap.schema.fields}:
+            raise ValueError(
+                "MOR table predates partial-patch support (no _patch "
+                "meta column); recreate it to use write_mode='update'"
+            )
 
         last = (props.get("streams", {}).get(stream_id) or {}).get("last_batch_id")
         if last is not None and batch_id <= last:
@@ -166,9 +286,13 @@ class MorTable(LakeTable):
             and f.name not in CDC_META_COLS
         ]
         if new_cols:
-            fields = [f for f in stored_schema.fields if f.name not in (SEQ_META, OP_META)]
+            fields = [f for f in stored_schema.fields if f.name not in META_COLS]
             fields += new_cols
-            fields += [StructField(SEQ_META, LongType()), StructField(OP_META, StringType())]
+            fields += [
+                StructField(m.name, m.dataType)
+                for m in stored_schema.fields
+                if m.name in META_COLS
+            ]
             stored_schema = StructType(fields)
         cols = []
         for f in stored_schema.fields:
@@ -176,6 +300,8 @@ class MorTable(LakeTable):
                 cols.append(F.col("seq").cast("long").alias(SEQ_META))
             elif f.name == OP_META:
                 cols.append(F.col("op").cast("string").alias(OP_META))
+            elif f.name == PATCH_META:
+                cols.append(F.lit(bool(patch)).alias(PATCH_META))
             elif f.name in have:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
@@ -204,6 +330,7 @@ class MorTable(LakeTable):
             schema=stored_schema if new_cols else None,
             lineage_updates=lineage,
             as_delta=True,
+            property_updates={"mor_patch": True} if patch else None,
         )
         return MergeResult(
             version=new_snap.version,
@@ -273,8 +400,8 @@ class MorTable(LakeTable):
         delta_files = self._abs_files(snap, fragmented, "delta")
         if delta_files:
             delta = self._read_files(delta_files, snap.schema)
-            resolved = self._resolve(
-                base, delta, props["key_cols"], self._delta_bytes(delta_files)
+            resolved = self._resolve_any(
+                snap, base, delta, self._delta_bytes(delta_files)
             )
         else:
             resolved = base
@@ -287,6 +414,18 @@ class MorTable(LakeTable):
         new_snap = self.commit_replace_buckets(
             self.current_version(), commit_rel, replaced_buckets=fragmented
         )
+        if snap.properties.get("mor_patch") and not any(new_snap.deltas.values()):
+            # All patch deltas folded: downgrade future reads to the cheap
+            # whole-row resolution. Metadata-only CAS with rebase=False —
+            # if a racing patch apply slips in, skip and stay conservative.
+            try:
+                new_snap = self.commit_replace_buckets(
+                    new_snap.version, "", [],
+                    property_updates={"mor_patch": False},
+                    rebase=False,
+                )
+            except CommitConflict:
+                pass
         files_after = sum(len(new_snap.buckets.get(str(b), [])) for b in fragmented)
         return {
             "compacted_buckets": len(fragmented),

@@ -453,6 +453,7 @@ class LakeTable:
         lineage_updates: dict[str, Any] | None = None,
         rebase: bool = True,
         max_retries: int = 5,
+        property_updates: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Publish a snapshot replacing ``replaced_buckets`` with staged files.
 
@@ -486,6 +487,8 @@ class LakeTable:
             props = json.loads(json.dumps(base.properties))
             if stream_updates:
                 props.setdefault("streams", {}).update(stream_updates)
+            if property_updates:
+                props.update(json.loads(json.dumps(property_updates)))
             lineage = dict(base.lineage)
             for b, stats in (lineage_updates or {}).items():
                 lineage[str(b)] = stats
@@ -560,6 +563,7 @@ class LakeTable:
         as_delta: bool = False,
         rebase: bool = True,
         max_retries: int = 5,
+        property_updates: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Publish a snapshot APPENDING staged files to their buckets.
 
@@ -594,6 +598,8 @@ class LakeTable:
             props = json.loads(json.dumps(base.properties))
             if stream_updates:
                 props.setdefault("streams", {}).update(stream_updates)
+            if property_updates:
+                props.update(json.loads(json.dumps(property_updates)))
             lineage = dict(base.lineage)
             for b, stats in (lineage_updates or {}).items():
                 lineage[str(b)] = stats

@@ -95,7 +95,8 @@ class PipelineConfig:
     on_commit: list = field(default_factory=list)
     # DataX writeMode analog: 'replace' = whole-row last-write-wins (ots
     # PutRow); 'update' = partial-column patch, null incoming columns
-    # keep the old value (ots UpdateRow). COW tables only.
+    # keep the old value (ots UpdateRow). COW patches at merge time;
+    # MOR appends patch-tagged deltas and coalesces at read/compact.
     write_mode: str = "replace"
 
 
@@ -201,21 +202,19 @@ def apply_batch(
     deduped = dedup_latest(clean, KEY_COLS)
     if cfg.write_mode not in ("replace", "update"):
         raise ValueError(f"unknown write_mode {cfg.write_mode!r}")
-    if cfg.write_mode == "update" and props.get("table_mode") == "mor":
-        raise ValueError(
-            "write_mode='update' (partial-column patch) requires the COW "
-            "read-back; MOR deltas cannot patch without resolving"
-        )
     if props.get("table_mode") == "mor":
         # Merge-on-read: append the deduped delta, O(batch) — one pass,
         # no persist (the delta is consumed exactly once by the write).
+        # write_mode='update' appends PATCH-tagged rows; the coalesce
+        # against older state is deferred to read/compact (_resolve_patch).
         from datax_spark.lake.mor import MorTable
 
         mor = table if isinstance(table, MorTable) else MorTable(
             table.spark, table.path
         )
         result: MergeResult = mor.apply_deduped(
-            deduped, batch_id, cfg.stream_id, bucket_stats=stats
+            deduped, batch_id, cfg.stream_id, bucket_stats=stats,
+            patch=cfg.write_mode == "update",
         )
     else:
         deduped = deduped.persist()
