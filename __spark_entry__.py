@@ -371,6 +371,31 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=4, n_probes=5)
 
 
+def q_ann_ivf_index(spark, sf_dir):
+    """The cell-partitioned IVF SERVING layout end-to-end: fit the
+    codebook, materialize inverted lists as parquet partitions
+    (write_ivf_index, which also persists the centroids), then answer
+    the query from the index alone — ivf_index_topk reloads the fitted
+    centroids from _ivf_meta.json (no refit) and the probe predicate
+    prunes partitions at PLAN time (PartitionFilters, asserted in
+    tests/test_ann_trained.py). Rows-only driver check like
+    ann_ivf_trained (iterative k-means has no SQL oracle); recall and
+    the centroid round-trip live in pytest."""
+    import os as _os
+
+    from datax_spark.functions.similarity import ivf_index_topk, write_ivf_index
+
+    emb = _read(spark, sf_dir, "embeddings")
+    root = _tmproot("dx_ivf_idx_")
+    idx = _os.path.join(root, "ivf")
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    write_ivf_index(emb, idx, centroids)
+    # serving path: centroids come from the index metadata, not a refit
+    return ivf_index_topk(
+        spark, idx, _query_vec(spark, sf_dir), k=5, n_probes=2
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -783,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_index": q_ann_ivf_index,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,

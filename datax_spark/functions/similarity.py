@@ -207,6 +207,9 @@ def ivf_topk_trained(
     )
 
 
+IVF_META = "_ivf_meta.json"
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -221,7 +224,15 @@ def write_ivf_index(
     search reads ~n_probes/k of the corpus from disk instead of
     filtering after a full scan. This is the 100-TB serving layout; the
     predicate-only ``ivf_topk_trained`` is the ad-hoc path.
+
+    The fitted centroids are persisted alongside the data
+    (``_ivf_meta.json``), so serving NEVER refits: ``ivf_index_topk``
+    and ``read_ivf_centroids`` read the codebook back from the index —
+    the FAISS index-file analog.
     """
+    import json
+    import os
+
     (
         df.withColumn("_cell", centroid_assign(_dbl(F.col(vec_col)), centroids))
         .repartition("_cell")
@@ -229,19 +240,44 @@ def write_ivf_index(
         .mode("overwrite")
         .parquet(path)
     )
+    meta = {
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "vec_col": vec_col,
+        "k": len(centroids),
+    }
+    tmp = os.path.join(path, IVF_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, IVF_META))
+
+
+def read_ivf_centroids(path: str) -> list[list[float]]:
+    """Load the fitted codebook persisted by ``write_ivf_index``."""
+    import json
+    import os
+
+    with open(os.path.join(path, IVF_META)) as f:
+        return json.load(f)["centroids"]
 
 
 def ivf_index_topk(
     spark,
     path: str,
     query_vec: list[float],
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     k: int = 5,
     n_probes: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Top-k over a cell-partitioned index — partition-pruned scan."""
+    """Top-k over a cell-partitioned index — partition-pruned scan.
+
+    ``centroids=None`` (the serving default) loads the codebook the
+    index writer persisted; passing them explicitly skips the metadata
+    read for repeated queries.
+    """
+    if centroids is None:
+        centroids = read_ivf_centroids(path)
     probes = probe_centroids(query_vec, centroids, n_probes)
     v = _dbl(F.col(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec])

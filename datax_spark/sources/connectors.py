@@ -162,3 +162,75 @@ def hbase_catalog(param: dict[str, Any]) -> dict[str, Any]:
         "rowkey": "key",
         "columns": columns,
     }
+
+
+def hbase_read_spec(param: dict[str, Any]) -> dict[str, Any]:
+    """hbase11xreader mode dispatch (Hbase11xReader.java + ModeType.java):
+    ``normal`` -> one row per rowkey via the catalog; ``multiVersionFixedColumn``
+    -> one row per CELL VERSION (explode_cell_versions applies the
+    layout), requiring ``maxVersion`` exactly like the reference
+    (Hbase11xHelper.java:462 validates it)."""
+    mode = param.get("mode", "normal")
+    if mode not in ("normal", "multiVersionFixedColumn"):
+        raise ValueError(f"unknown hbase reader mode {mode!r}")
+    spec: dict[str, Any] = {"mode": mode, "catalog": hbase_catalog(param)}
+    if mode == "multiVersionFixedColumn":
+        if "maxVersion" not in param:
+            raise ValueError("multiVersionFixedColumn requires maxVersion")
+        max_version = int(param["maxVersion"])
+        if max_version == 0 or max_version < -1:
+            raise ValueError("maxVersion must be -1 (all) or a positive count")
+        spec["maxVersion"] = max_version
+        # the scan must fetch every retained version for the explode
+        spec["scan"] = {"hbase.spark.query.maxVersions": (
+            2147483647 if max_version == -1 else max_version
+        )}
+    return spec
+
+
+def explode_cell_versions(
+    df,
+    cell_cols: list[str],
+    rowkey_col: str = "rowkey",
+    max_version: int = -1,
+):
+    """multiVersionFixedColumn layout: one row per cell VERSION.
+
+    Input: one row per rowkey where each ``cf:qualifier`` column is an
+    ``array<struct<ts:long, value>>`` of its versions (the raw shape a
+    cell-level scan yields). Output matches the reference's 4-column
+    record (MultiVersionTask.java:71-90): (rowkey, column, timestamp,
+    value), newest-first per cell, capped at ``max_version`` newest
+    versions (-1 = all, like scan.setMaxVersions()).
+
+    Scale shape: the version cap is applied INSIDE the row (sort_array
+    desc + slice on the per-cell array) before a single explode — no
+    window, no shuffle, so the transform is a pure narrow map at any
+    table size.
+    """
+    from pyspark.sql import functions as F
+
+    def tagger(col_name: str):
+        # factory-bound name: a defaulted second lambda arg would be
+        # interpreted as (element, index) by F.transform — the NOTES.md
+        # transform-lambda arity trap
+        def tag(s):
+            return F.struct(
+                F.lit(col_name).alias("column"),
+                s["ts"].alias("timestamp"),
+                s["value"].alias("value"),
+            )
+
+        return tag
+
+    def per_cell(col_name: str):
+        ver = F.sort_array(F.col(col_name), asc=False)  # struct sorts ts-first
+        if max_version is not None and max_version > 0:
+            ver = F.slice(ver, 1, max_version)
+        return F.transform(ver, tagger(col_name))
+
+    cells = F.flatten(F.array(*[per_cell(c) for c in cell_cols]))
+    return (
+        df.select(F.col(rowkey_col).alias("rowkey"), F.explode(cells).alias("_c"))
+        .select("rowkey", "_c.column", "_c.timestamp", "_c.value")
+    )

@@ -138,3 +138,31 @@ def test_ivf_index_partition_pruning(spark, emb, centroids, tmp_path):
             ivf_topk_trained(emb, q, centroids, k=TOPK, n_probes=2).collect()]
     got = [(r["vec_id"], r["cosine_sim"]) for r in res.collect()]
     assert got == want
+
+
+def test_ivf_index_centroid_roundtrip(spark, emb, centroids, tmp_path):
+    """The index persists its fitted codebook: serving loads it back
+    bit-exact and never refits (centroids=None default)."""
+    from datax_spark.functions.similarity import (
+        ivf_index_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_rt")
+    write_ivf_index(emb, idx, centroids)
+    loaded = read_ivf_centroids(idx)
+    assert loaded == [[float(x) for x in c] for c in centroids]
+
+    q = _queries(emb, 1)[0][1]
+    with_explicit = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_index_topk(spark, idx, q, centroids, k=TOPK, n_probes=2).collect()
+    ]
+    from_meta = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_index_topk(spark, idx, q, k=TOPK, n_probes=2).collect()
+    ]
+    assert from_meta == with_explicit
+    # the meta side-file must not confuse the parquet reader
+    assert spark.read.parquet(idx).count() == emb.count()

@@ -132,6 +132,71 @@ def test_stream_late_segment_arrival(spark, stream_log, tmp_path):
     assert fp == state_fingerprint(oracle)
 
 
+def test_stream_lineage_in_metrics_and_listener(spark, stream_log, tmp_path):
+    """Per-batch LINEAGE on the streaming path: every applied micro-batch
+    writes a metrics JSONL line whose ``lineage`` maps bucket -> max_seq
+    (ShardCheckpoint.java:8-51 analog), the per-bucket watermarks compose
+    monotonically to the final snapshot lineage, and the
+    ProgressJsonListener emits matching per-batch progress lines — the
+    DataX speed/stat reporting trail (CommunicationTool.java:56-108)."""
+    import json
+
+    from datax_spark.streaming.listener import ProgressJsonListener
+
+    log_dir, _ = stream_log
+    table = _mk_table(spark, str(tmp_path / "tbl_lin"))
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    progress_path = str(tmp_path / "progress.jsonl")
+    listener = ProgressJsonListener(progress_path)
+    spark.streams.addListener(listener)
+    try:
+        tail_and_apply(
+            spark,
+            table.path,
+            log_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_lin"),
+            schema=EVENT_SCHEMA,
+            config=PipelineConfig(
+                quarantine_dir=str(tmp_path / "quar_lin"),
+                metrics_path=metrics_path,
+            ),
+            max_files_per_trigger=2,
+        )
+    finally:
+        spark.streams.removeListener(listener)
+
+    lines = [json.loads(x) for x in open(metrics_path)]
+    applied = [m for m in lines if m["applied"]]
+    assert len(applied) >= 2  # genuinely multiple micro-batches
+    assert all(m["lineage"] for m in applied), "every batch exposes lineage"
+    # per-bucket max_seq must be monotone across batches and compose to
+    # the final snapshot's recorded lineage
+    high: dict = {}
+    for m in applied:
+        for b, s in m["lineage"].items():
+            assert s >= high.get(b, -1), "lineage watermark regressed"
+            high[b] = s
+    snap_lineage = {
+        b: st["max_seq"] for b, st in table.snapshot().lineage.items()
+    }
+    assert snap_lineage == high
+
+    # listener delivery is async (event-bus): poll briefly for the tail
+    import time as _time
+
+    deadline = _time.monotonic() + 15
+    while _time.monotonic() < deadline:
+        progress = [json.loads(x) for x in open(progress_path)]
+        batches = [p for p in progress
+                   if p["event"] == "progress" and p["numInputRows"] > 0]
+        if len(batches) >= len(applied):
+            break
+        _time.sleep(0.5)
+    # one listener line per batch (allow the final event to be dropped by
+    # the bus when the query stops before delivery)
+    assert len(batches) >= len(applied) - 1 >= 1
+
+
 def test_stream_bytes_per_trigger(spark, stream_log, tmp_path):
     """bps-style trigger budget (maxBytesPerTrigger, soft cap >= 1 file):
     state still converges to the oracle under byte-bounded batches."""

@@ -144,6 +144,61 @@ def test_connector_builders():
     assert h["columns"]["q"]["cf"] == "cf"
 
 
+def test_hbase_read_spec_modes():
+    from datax_spark.sources.connectors import hbase_read_spec
+
+    base = {"table": "t", "column": [{"name": "rowkey"}, {"name": "cf:q"}]}
+    assert hbase_read_spec(base)["mode"] == "normal"
+    mv = hbase_read_spec({**base, "mode": "multiVersionFixedColumn",
+                          "maxVersion": 3})
+    assert mv["maxVersion"] == 3
+    assert mv["scan"]["hbase.spark.query.maxVersions"] == 3
+    # -1 = all versions, like scan.setMaxVersions()
+    mv_all = hbase_read_spec({**base, "mode": "multiVersionFixedColumn",
+                              "maxVersion": -1})
+    assert mv_all["scan"]["hbase.spark.query.maxVersions"] == 2147483647
+    with pytest.raises(ValueError, match="maxVersion"):
+        hbase_read_spec({**base, "mode": "multiVersionFixedColumn"})
+    with pytest.raises(ValueError, match="mode"):
+        hbase_read_spec({**base, "mode": "multiVersionDynamicColumn"})
+
+
+def test_explode_cell_versions(spark):
+    """Executed multiVersionFixedColumn explode: one row per cell
+    version, 4-column layout (rowkey, column, timestamp, value) like
+    MultiVersionTask.convertCellToLine, newest-first, capped at
+    maxVersion — all inside the row, no shuffle."""
+    from datax_spark.sources.connectors import explode_cell_versions
+
+    df = spark.createDataFrame(
+        [
+            ("r1",
+             [(100, "a1"), (300, "a3"), (200, "a2")],
+             [(50, "b1")]),
+            ("r2", [], [(10, "x"), (20, "y")]),
+        ],
+        "rowkey string, `cf:a` array<struct<ts:long,value:string>>, "
+        "`cf:b` array<struct<ts:long,value:string>>",
+    )
+    out = explode_cell_versions(df, ["cf:a", "cf:b"], max_version=2)
+    assert out.columns == ["rowkey", "column", "timestamp", "value"]
+    rows = [(r["rowkey"], r["column"], r["timestamp"], r["value"])
+            for r in out.collect()]
+    # r1 cf:a keeps the 2 NEWEST versions in desc order; ts=100 dropped
+    assert rows.count(("r1", "cf:a", 300, "a3")) == 1
+    assert rows.count(("r1", "cf:a", 200, "a2")) == 1
+    assert not any(r[0] == "r1" and r[1] == "cf:a" and r[2] == 100 for r in rows)
+    assert ("r1", "cf:b", 50, "b1") in rows
+    assert ("r2", "cf:b", 20, "y") in rows and ("r2", "cf:b", 10, "x") in rows
+    assert len(rows) == 5
+    # no shuffle: the plan is scan -> project/explode only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # max_version=-1 keeps everything
+    all_rows = explode_cell_versions(df, ["cf:a", "cf:b"], max_version=-1)
+    assert all_rows.count() == 6
+
+
 def test_pandas_transform_chain(spark):
     import datax_spark.operators.pandas_transforms  # noqa: F401  (registers)
 
