@@ -228,8 +228,13 @@ class MorTable(LakeTable):
             return self._resolve_patch(base, delta, key_cols, delta_bytes)
         return self._resolve(base, delta, key_cols, delta_bytes)
 
-    def read(self, buckets=None, version=None) -> DataFrame:
-        """Resolved view: latest-wins per key, tombstones removed."""
+    def read(self, buckets=None, version=None, tag=None) -> DataFrame:
+        """Resolved view: latest-wins per key, tombstones removed.
+        ``tag`` reads a named pinned snapshot (LakeTable.create_tag)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         snap = self.snapshot(version)
         payload = [
             f.name for f in snap.schema.fields if f.name not in META_COLS

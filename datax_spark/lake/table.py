@@ -322,16 +322,76 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
-    def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
         """Read a consistent snapshot (optionally only some buckets).
 
         The manifest schema is passed explicitly so files written before an
         additive schema evolution read with nulls in the new columns — the
         DataX column-mapping analog (SURVEY.md §1.2) without a rewrite.
         Reads base files only; MOR delta resolution lives in MorTable.read.
+        ``tag`` resolves a named snapshot ref (create_tag) — time travel
+        by name, stable across later commits/compactions.
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         snap = self.snapshot(version)
         return self._read_files(self._abs_files(snap, buckets), snap.schema)
+
+    # ------------------------------------------------------------------ tags
+    def _tag_path(self, name: str) -> str:
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self.path, MANIFEST_DIR, "tags", f"{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None,
+                   replace: bool = False) -> int:
+        """Pin a named ref to a snapshot version (Iceberg tag analog).
+
+        Tags are one-file-per-name under ``_manifests/tags/``; creation
+        is exclusive (two writers racing the same new tag: one wins)
+        unless ``replace=True`` atomically moves an existing tag. A
+        tagged version survives ``vacuum`` — its manifest and every file
+        it references are retained until the tag is deleted.
+        """
+        v = version if version is not None else self.current_version()
+        self.snapshot(v)  # must exist
+        path = self._tag_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        doc = json.dumps({"version": v}, sort_keys=True)
+        if replace:
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(doc)
+            os.replace(tmp, path)
+        else:
+            with open(path, "x") as f:
+                f.write(doc)
+        return v
+
+    def resolve_tag(self, name: str) -> int:
+        with open(self._tag_path(name)) as f:
+            return int(json.load(f)["version"])
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.path, MANIFEST_DIR, "tags")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for n in sorted(os.listdir(d)):
+            if n.endswith(".json"):
+                with open(os.path.join(d, n)) as f:
+                    out[n[:-5]] = int(json.load(f)["version"])
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        os.unlink(self._tag_path(name))
 
     # --------------------------------------------------------------- commits
     def write_bucket_data(self, df: DataFrame, num_buckets: int, bucket_key: str) -> str:
@@ -716,7 +776,11 @@ class LakeTable:
             int(n[1:-5]) for n in os.listdir(mdir)
             if n.startswith("v") and n.endswith(".json")
         )
-        keep_versions = versions[-keep_last:]
+        # tagged versions are pinned: their manifests and referenced
+        # files survive vacuum until the tag is deleted (Iceberg refs
+        # retention semantics)
+        tagged = set(self.tags().values()) & set(versions)
+        keep_versions = sorted(set(versions[-keep_last:]) | tagged)
         referenced: set[str] = set()
         for v in keep_versions:
             snap = self.snapshot(v)
@@ -740,9 +804,10 @@ class LakeTable:
                 if not os.listdir(root):
                     os.rmdir(root)
         removed_snapshots = 0
-        for v in versions[:-keep_last]:
-            os.unlink(self._manifest_path(v))
-            removed_snapshots += 1
+        for v in versions:
+            if v not in keep_versions:
+                os.unlink(self._manifest_path(v))
+                removed_snapshots += 1
         # sharded-manifest side files: drop refs no kept snapshot points at
         removed_refs = 0
         refs_root = os.path.join(self.path, REFS_DIR)

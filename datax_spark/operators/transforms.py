@@ -159,18 +159,70 @@ for _n, _f in {
     _REGISTRY[_n] = _f
 
 
+def compile_python_transform(spec: TransformSpec):
+    """The CONFIG-EMBEDDED custom transform — the dx_groovy analog.
+
+    DataX compiles Groovy source straight out of the job config, once
+    per task, into a Transformer (GroovyTransformer.java:45-88 +
+    GroovyTransformerStaticUtil). Here the config carries PYTHON source
+    (``parameters.code``) defining ``transform(series) -> series`` over
+    a pandas Series, or an import path (``parameters.entryPoint`` =
+    "module:function") to the same signature. Either way the function is
+    resolved ONCE at chain-compile time and wrapped in an
+    Arrow-vectorized pandas_udf — config code never runs per-row, and a
+    compile error fails the job at plan time exactly like a Groovy
+    compile error fails DataX's job init (not mid-flight).
+
+    Same trust model as the reference: job configs are code. Do not
+    feed untrusted job.json to the engine (dx_groovy has the identical
+    property — CVE-grade by design in both systems; registry-only
+    deployments can simply not enable this transformer).
+    """
+    import pandas as pd  # noqa: F401  (available to config code)
+
+    p = spec.parameters
+    out_type = p.get("outputType", "string")
+    if "entryPoint" in p:
+        mod_name, _, fn_name = p["entryPoint"].partition(":")
+        import importlib
+
+        fn = getattr(importlib.import_module(mod_name), fn_name or "transform")
+    elif "code" in p:
+        ns: dict[str, Any] = {"pd": pd}
+        exec(compile(p["code"], f"<dx_python:{spec.column}>", "exec"), ns)
+        fn = ns.get(p.get("functionName", "transform"))
+        if not callable(fn):
+            raise ValueError(
+                "dx_python code must define transform(series) "
+                f"(or parameters.functionName), got {sorted(ns)!r}"
+            )
+    else:
+        raise ValueError("dx_python requires parameters.code or .entryPoint")
+
+    udf = F.pandas_udf(fn, out_type)
+
+    def apply(df: DataFrame) -> DataFrame:
+        out_col = p.get("output", spec.column)
+        return df.withColumn(out_col, udf(F.col(spec.column)))
+
+    return apply
+
+
 def apply_transform_chain(df: DataFrame, specs: list[TransformSpec]) -> DataFrame:
     """Compile a config-ordered transformer chain into DataFrame ops.
 
     Column transforms rewrite their column in place (DataX transformers
-    mutate the Record cell); dx_filter drops matching rows; registered
-    pandas transforms take/return whole DataFrames.
+    mutate the Record cell); dx_filter drops matching rows; dx_python
+    compiles config-embedded source once into an Arrow pandas_udf;
+    registered pandas transforms take/return whole DataFrames.
     """
     for spec in specs:
         if spec.name == "dx_filter":
             df = dx_filter(
                 df, spec.column, spec.parameters["code"], spec.parameters["value"]
             )
+        elif spec.name == "dx_python":
+            df = compile_python_transform(spec)(df)
         elif spec.name in _REGISTRY:
             newcol = _REGISTRY[spec.name](spec.column, **spec.parameters)
             df = df.withColumn(spec.column, newcol)

@@ -144,6 +144,41 @@ def ots_read_options(param: dict[str, Any]) -> dict[str, Any]:
     }
 
 
+def ads_write_spec(param: dict[str, Any]) -> dict[str, Any]:
+    """adswriter analog (adswriter/.../AdsWriter.java:64-89,185-226):
+    three writeModes — ``load`` (default; stage to intermediate storage
+    then a set-based bulk LOAD, offline tables only), ``insert`` /
+    ``stream`` (direct row inserts through the MySQL protocol with a
+    batch size). Compiled to this engine's two native sinks: load ->
+    LakeTable.bulk_load-style staged parallel write + one commit;
+    insert/stream -> the partitioned executor append (sources/jdbc
+    insert path) with DataX's batch size carried over.
+    """
+    mode = (param.get("writeMode") or "load").lower()
+    if mode not in ("load", "insert", "stream"):
+        raise ValueError("writeMode must be 'load' or 'insert' or 'stream'")
+    spec: dict[str, Any] = {
+        "url": param["url"],
+        "schema": param["schema"],
+        "table": param["table"],
+        "writeMode": mode,
+    }
+    if mode == "load":
+        spec["strategy"] = "bulk_load"
+        # LOAD overwrites the target partition/table (truncate semantics)
+        spec["overwrite"] = bool(param.get("overWrite", True))
+        spec["partition"] = param.get("partition")
+    else:
+        spec["strategy"] = "append"
+        spec["batchSize"] = int(param.get("batchSize", 32))
+        spec["jdbc"] = {
+            "jdbcUrl": f"jdbc:mysql://{param['url']}/{param['schema']}",
+            "table": param["table"],
+            "writeMode": "insert",
+        }
+    return spec
+
+
 def hbase_catalog(param: dict[str, Any]) -> dict[str, Any]:
     """hbase11xreader/-writer analog: build the shc/hbase-spark catalog
     from DataX's column list (rowkey template + cf:qualifier columns,

@@ -92,3 +92,79 @@ def test_progress_listener_writes_jsonl(spark, tmp_path):
     finally:
         spark.streams.removeListener(listener)
     assert "started" in events and "terminated" in events
+
+
+def test_tags_time_travel_and_vacuum_retention(spark, tmp_path):
+    """Named snapshot tags (Iceberg refs analog): read-by-tag is stable
+    across later commits AND compaction, vacuum retains tagged versions
+    + their files, and deleting the tag releases them."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "tt"), SCHEMA, ["repo", "path", "commit"], "repo", 4
+    )
+    apply_batch(table, _events(spark, [
+        ("r1", "p", "c", "py", "v1", "insert", 1),
+        ("r2", "p", "c", "py", "v1", "insert", 2),
+    ]), 0)
+    v_tagged = table.create_tag("release-1")
+    want = sorted((r["repo"], r["content"])
+                  for r in table.read(tag="release-1").collect())
+    for i in range(1, 4):
+        apply_batch(table, _events(spark, [
+            ("r1", "p", "c", "py", f"v{i+1}", "update", 10 * i),
+            (f"n{i}", "p", "c", "py", "x", "insert", 10 * i + 1),
+        ]), i)
+    table.compact()
+    assert table.tags() == {"release-1": v_tagged}
+    got = sorted((r["repo"], r["content"])
+                 for r in table.read(tag="release-1").collect())
+    assert got == want  # stable across commits + compaction
+
+    stats = table.vacuum(keep_last=1)
+    assert stats["removed_snapshots"] > 0
+    # tagged version AND its files survived
+    got = sorted((r["repo"], r["content"])
+                 for r in table.read(tag="release-1").collect())
+    assert got == want
+    # duplicate tag creation is exclusive; replace moves it atomically
+    with pytest.raises(FileExistsError):
+        table.create_tag("release-1")
+    table.create_tag("release-1", replace=True)
+    assert table.resolve_tag("release-1") == table.current_version()
+
+    table.create_tag("old", version=v_tagged)
+    table.delete_tag("old")
+    table.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(v_tagged)  # released once untagged
+
+
+def test_tags_on_mor_across_compaction(spark, tmp_path):
+    """A tag pinned on a MOR snapshot with LIVE DELTAS must read the
+    same resolved state after a compaction rewrites the current base —
+    the tagged manifest still references the old base+delta files and
+    vacuum keeps them."""
+    from datax_spark.lake.mor import MorTable
+
+    mor = MorTable.create(
+        spark, str(tmp_path / "mt"), SCHEMA, ["repo", "path", "commit"], "repo", 4
+    )
+    apply_batch(mor, _events(spark, [
+        ("r1", "p", "c", "py", "a", "insert", 1),
+        ("r2", "p", "c", "py", "b", "insert", 2),
+    ]), 0)
+    apply_batch(mor, _events(spark, [
+        ("r1", "p", "c", "py", "a2", "update", 3),
+    ]), 1)
+    assert any(mor.snapshot().deltas.values())  # tag covers live deltas
+    mor.create_tag("with-deltas")
+    want = sorted((r["repo"], r["content"])
+                  for r in mor.read(tag="with-deltas").collect())
+    apply_batch(mor, _events(spark, [
+        ("r2", "p", "c", "py", "b2", "update", 4),
+    ]), 2)
+    mor.compact(max_files_per_bucket=0)
+    assert not any(mor.snapshot().deltas.values())
+    mor.vacuum(keep_last=1)
+    got = sorted((r["repo"], r["content"])
+                 for r in mor.read(tag="with-deltas").collect())
+    assert got == want == [("r1", "a2"), ("r2", "b")]

@@ -228,3 +228,61 @@ def test_multi_table_job(spark, tmp_path):
     for i, d in enumerate(dsts):
         assert _os.path.exists(d)
         assert spark.read.parquet(d).collect()[0]["id"] == i
+
+
+def test_config_embedded_python_transform_job(spark, tmp_path):
+    """dx_groovy analog round trip: job.json carries inline Python source
+    (GroovyTransformer.java:45-88 compiles Groovy from config the same
+    way); it compiles ONCE into an Arrow pandas_udf at plan time and a
+    broken source fails the job up front, not mid-flight."""
+    src = str(tmp_path / "pyin")
+    dst = str(tmp_path / "pyout")
+    spark.createDataFrame(
+        [(1, "abc"), (2, "xyz")], ["id", "s"]
+    ).write.option("header", "true").csv(src)
+
+    def job_with(code):
+        return {"job": {"content": [{
+            "reader": {"name": "txtfilereader",
+                       "parameter": {"path": src, "fileType": "csv",
+                                     "header": True}},
+            "transformer": [{
+                "name": "dx_python",
+                "parameter": {"column": "s", "code": code},
+            }],
+            "writer": {"name": "txtfilewriter",
+                       "parameter": {"path": dst, "fileType": "csv",
+                                     "header": True,
+                                     "writeMode": "truncate"}},
+        }]}}
+
+    run_job(spark, job_with(
+        "def transform(series):\n    return series.str.upper() + '!'\n"
+    ))
+    rows = {r["id"]: r["s"] for r in
+            spark.read.option("header", "true").csv(dst).collect()}
+    assert rows == {"1": "ABC!", "2": "XYZ!"}
+
+    # compile errors surface at plan time (job init), like a Groovy
+    # compile failure in the reference
+    import pytest as _pytest
+    with _pytest.raises(SyntaxError):
+        run_job(spark, job_with("def transform(series:\n    return"))
+    with _pytest.raises(ValueError, match="transform"):
+        run_job(spark, job_with("x = 1\n"))
+
+
+def test_entrypoint_python_transform(spark):
+    """dx_python via entryPoint import path (the registry-friendly form)."""
+    from datax_spark.operators.transforms import (
+        TransformSpec,
+        apply_transform_chain,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.5,)], ["v"])
+    out = apply_transform_chain(df, [TransformSpec(
+        "dx_python", "v",
+        {"entryPoint": "tests.py_transform_fixture:double_it",
+         "outputType": "double"},
+    )])
+    assert sorted(r["v"] for r in out.collect()) == [2.0, 5.0]

@@ -163,6 +163,22 @@ def test_hbase_read_spec_modes():
         hbase_read_spec({**base, "mode": "multiVersionDynamicColumn"})
 
 
+def test_ads_write_spec_modes():
+    from datax_spark.sources.connectors import ads_write_spec
+
+    base = {"url": "h:3306", "schema": "db", "table": "t"}
+    load = ads_write_spec(base)  # default mode
+    assert load["writeMode"] == "load" and load["strategy"] == "bulk_load"
+    assert load["overwrite"] is True
+    ins = ads_write_spec({**base, "writeMode": "insert", "batchSize": 64})
+    assert ins["strategy"] == "append" and ins["batchSize"] == 64
+    assert ins["jdbc"]["jdbcUrl"] == "jdbc:mysql://h:3306/db"
+    stream = ads_write_spec({**base, "writeMode": "stream"})
+    assert stream["strategy"] == "append"
+    with pytest.raises(ValueError, match="writeMode"):
+        ads_write_spec({**base, "writeMode": "upsert"})
+
+
 def test_explode_cell_versions(spark):
     """Executed multiVersionFixedColumn explode: one row per cell
     version, 4-column layout (rowkey, column, timestamp, value) like
