@@ -608,6 +608,45 @@ def q_cdc_mor_patch_apply(spark, sf_dir):
     return q_cdc_patch_apply(spark, sf_dir, mor=True)
 
 
+def q_cdc_change_feed(spark, sf_dir):
+    """Row-level change feed between snapshots (Delta CDF analog): apply
+    the 2-batch events changelog, then emit what batch 2 CHANGED —
+    insert/delete/update_preimage/update_postimage per key — via
+    LakeTable.read_changes, which diffs only the buckets whose manifest
+    file lists changed. The oracle recomputes the same diff from the
+    two replayed states in SQL."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
+    chg = chg.select(
+        F.col("repo").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("na").alias("lang"),
+        "content",
+        "op",
+        "seq",
+    )
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_cdf_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    v_after_first = table.current_version()
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    return table.read_changes(v_after_first).select(
+        "repo", "path", "commit", "content", "_change_type"
+    )
+
+
 def q_cdc_lake_apply(spark, sf_dir):
     """The real exactly-once lake engine end-to-end (COW MERGE mode).
 
@@ -787,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_mor_patch_apply": q_cdc_mor_patch_apply,
+        "cdc_change_feed": q_cdc_change_feed,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_sql_view": q_cdc_sql_view,
         "dx_transforms": q_dx_transforms,
@@ -1075,6 +1115,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM ded WHERE rn = 1 AND op != 'delete')
         SELECT repo, count(*) AS n_rows, max(length(content)) AS max_len
         FROM final GROUP BY repo
+    """
+    # change feed = diff of the two replayed states; a key changed by
+    # batch 2 with a different full row emits pre+post images, same-row
+    # keys emit nothing (exceptAll semantics).
+    sql["cdc_change_feed"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        mid AS (SELECT floor(max(seq) / 2) AS m FROM chg),
+        d1 AS (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY seq DESC) AS rn
+               FROM clean WHERE seq <= (SELECT m FROM mid)),
+        s1 AS (SELECT user_id, content FROM d1 WHERE rn = 1 AND op != 'delete'),
+        d2 AS (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean),
+        s2 AS (SELECT user_id, content FROM d2 WHERE rn = 1 AND op != 'delete'),
+        upd AS (SELECT s1.user_id, s1.content AS pre, s2.content AS post
+                FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+                WHERE s1.content IS DISTINCT FROM s2.content),
+        feed AS (
+          SELECT user_id, content, 'insert' AS _change_type FROM s2
+          WHERE user_id NOT IN (SELECT user_id FROM s1)
+          UNION ALL
+          SELECT user_id, content, 'delete' FROM s1
+          WHERE user_id NOT IN (SELECT user_id FROM s2)
+          UNION ALL
+          SELECT user_id, pre, 'update_preimage' FROM upd
+          UNION ALL
+          SELECT user_id, post, 'update_postimage' FROM upd)
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
+               content, _change_type
+        FROM feed
     """
     sql["cdc_time_travel"] = f"""
         WITH chg AS ({_CHG_SQL}),

@@ -417,7 +417,7 @@ class MorTable(LakeTable):
             resolved, props["num_buckets"], props["bucket_key"]
         )
         new_snap = self.commit_replace_buckets(
-            self.current_version(), commit_rel, replaced_buckets=fragmented
+            snap.version, commit_rel, replaced_buckets=fragmented
         )
         if snap.properties.get("mor_patch") and not any(new_snap.deltas.values()):
             # All patch deltas folded: downgrade future reads to the cheap

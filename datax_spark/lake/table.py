@@ -115,6 +115,19 @@ class Snapshot:
     )
 
 
+def _conform_payload(df: DataFrame, payload: list[str], schema: StructType) -> DataFrame:
+    """Project to exactly ``payload`` in order, casting to ``schema``'s
+    types and nulling columns the frame lacks (pre-evolution snapshots)."""
+    fields = {f.name: f for f in schema.fields}
+    have = set(df.columns)
+    cols = []
+    for name in payload:
+        dt = fields[name].dataType
+        col = F.col(name).cast(dt) if name in have else F.lit(None).cast(dt)
+        cols.append(col.alias(name))
+    return df.select(*cols)
+
+
 def _union_schema(a: StructType, b: StructType) -> StructType:
     """Additive union: ``a``'s fields, then ``b``'s new ones in order."""
     names = {f.name for f in a.fields}
@@ -565,6 +578,93 @@ class LakeTable:
 
         return self._commit_loop(orig, build, check, rebase, max_retries)
 
+    # ------------------------------------------------------------ change feed
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (Delta CDF /
+        Iceberg incremental-read analog): the engine not only INGESTS a
+        changelog but can EMIT one downstream.
+
+        Returns the payload columns plus ``_change_type`` in
+        ('insert', 'delete', 'update_preimage', 'update_postimage') and
+        ``_commit_version`` — each change attributed to the commit that
+        produced it, by diffing consecutive snapshots.
+
+        Scale shape: a commit's manifest names exactly which buckets
+        changed (file-list inequality — O(num_buckets) driver work), so
+        the diff reads ONLY those buckets at both versions; untouched
+        buckets (the overwhelming majority of a 100-TB table under CDC)
+        are never scanned. Within a changed bucket the diff is
+        ``exceptAll`` both ways + key-classification joins, all bounded
+        by the changed buckets' size. Works on COW and MOR alike (MOR
+        states are read resolved). Raises if an intermediate manifest
+        was vacuumed away.
+        """
+        to_version = (
+            self.current_version() if to_version is None else to_version
+        )
+        if to_version < from_version:
+            raise ValueError("to_version must be >= from_version")
+        props = self.snapshot(to_version).properties
+        key_cols: list[str] = props["key_cols"]
+        parts: list[DataFrame] = []
+        for v in range(from_version, to_version):
+            old_snap, new_snap = self.snapshot(v), self.snapshot(v + 1)
+            changed = sorted(
+                int(b)
+                for b in set(old_snap.buckets) | set(new_snap.buckets)
+                | set(old_snap.deltas) | set(new_snap.deltas)
+                if old_snap.buckets.get(b, []) != new_snap.buckets.get(b, [])
+                or old_snap.deltas.get(b, []) != new_snap.deltas.get(b, [])
+            )
+            if not changed:
+                continue
+            payload = [
+                f.name for f in new_snap.schema.fields
+                if not f.name.startswith("_")
+            ]
+            old_df = _conform_payload(
+                self.read(buckets=changed, version=v), payload, new_snap.schema
+            )
+            new_df = _conform_payload(
+                self.read(buckets=changed, version=v + 1), payload,
+                new_snap.schema,
+            )
+            pre = old_df.exceptAll(new_df)
+            post = new_df.exceptAll(old_df)
+            post_keys = post.select(*key_cols).distinct()
+            pre_keys = pre.select(*key_cols).distinct()
+            ct = "_change_type"
+            frames = [
+                pre.join(post_keys, key_cols, "left_semi")
+                .withColumn(ct, F.lit("update_preimage")),
+                pre.join(post_keys, key_cols, "left_anti")
+                .withColumn(ct, F.lit("delete")),
+                post.join(pre_keys, key_cols, "left_semi")
+                .withColumn(ct, F.lit("update_postimage")),
+                post.join(pre_keys, key_cols, "left_anti")
+                .withColumn(ct, F.lit("insert")),
+            ]
+            pair = frames[0]
+            for f in frames[1:]:
+                pair = pair.unionByName(f)
+            parts.append(pair.withColumn("_commit_version", F.lit(v + 1)))
+        if not parts:
+            schema = self.snapshot(to_version).schema
+            from pyspark.sql.types import IntegerType, StringType, StructField
+
+            empty_schema = StructType(
+                [f for f in schema.fields if not f.name.startswith("_")]
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", IntegerType())]
+            )
+            return self.spark.createDataFrame([], empty_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ------------------------------------------------------------ properties
     def last_batch_id(self, stream_id: str) -> int | None:
         streams = self.snapshot().properties.get("streams", {})
@@ -608,7 +708,7 @@ class LakeTable:
             conformed, props["num_buckets"], props["bucket_key"]
         )
         return self.commit_replace_buckets(
-            self.current_version(),
+            snap.version,
             commit_rel,
             replaced_buckets=list(range(props["num_buckets"])),
         )
@@ -701,7 +801,7 @@ class LakeTable:
             {stream_id: {"last_batch_id": batch_id}} if batch_id is not None else None
         )
         return self.commit_append_buckets(
-            self.current_version(), commit_rel, stream_updates=updates
+            snap.version, commit_rel, stream_updates=updates
         )
 
     # ------------------------------------------------------------ maintenance
@@ -741,7 +841,7 @@ class LakeTable:
             df, props["num_buckets"], props["bucket_key"]
         )
         new_snap = self.commit_replace_buckets(
-            self.current_version(), commit_rel, replaced_buckets=fragmented
+            snap.version, commit_rel, replaced_buckets=fragmented
         )
         files_after = sum(len(new_snap.buckets.get(str(b), [])) for b in fragmented)
         return {

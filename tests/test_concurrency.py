@@ -213,3 +213,43 @@ def test_append_rebase_over_replace(spark, tmp_path):
     assert snap.version == table.current_version()
     got = table.read().filter(F.col("repo") == "zz/new").collect()
     assert len(got) == 1 and got[0]["content"] == "fresh"
+
+
+def test_compact_cannot_fold_away_concurrent_delta(spark, tmp_path):
+    """Deterministic replay of the race the threaded test caught: a
+    compaction that resolved snapshot v must NOT commit once an apply
+    appended a delta at v+1 to a bucket it is replacing — committing
+    would silently drop that delta's rows. The replace commit must see
+    the changed delta list and refuse to rebase."""
+    table = make_mor(spark, str(tmp_path / "race"), num_buckets=2)
+    df = generate_changelog(spark, n_events=500, n_keys=80, seed=5,
+                            dirty_pct=0.0)
+    apply_batch(table, df, batch_id=0)
+    snap = table.snapshot()
+    props = snap.properties
+    buckets_with_deltas = sorted(int(b) for b in snap.deltas if snap.deltas[b])
+    assert buckets_with_deltas
+    # compaction's staged rewrite, resolved from snapshot v
+    resolved = table._read_files(
+        table._abs_files(snap, buckets_with_deltas, "base")
+        + table._abs_files(snap, buckets_with_deltas, "delta"),
+        snap.schema,
+    )
+    commit_rel = table.write_bucket_data(
+        resolved, props["num_buckets"], props["bucket_key"]
+    )
+    # a concurrent apply lands first, adding deltas to the same buckets
+    df2 = generate_changelog(spark, n_events=300, n_keys=80, seed=5,
+                             dirty_pct=0.0)
+    df2 = df2.withColumn("seq", F.col("seq") + F.lit(100_000))
+    apply_batch(table, df2, batch_id=1)
+    with pytest.raises(CommitConflict):
+        table.commit_replace_buckets(
+            snap.version, commit_rel, replaced_buckets=buckets_with_deltas
+        )
+    # and the public compact() retries against the NEW snapshot, so the
+    # late delta survives into the compacted base
+    want = fingerprint(table)
+    table.compact(max_files_per_bucket=0)
+    assert not any(table.snapshot().deltas.values())
+    assert fingerprint(table) == want
