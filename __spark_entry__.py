@@ -426,6 +426,33 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_stub(to_media(docs))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Media resize plumbing (STUB pixels, real Arrow/mapInPandas shape):
+    deterministic content-addressed output the oracle reproduces."""
+    from datax_spark.functions.multimodal import resize_stub
+
+    docs = _read(spark, sf_dir, "documents")
+    return resize_stub(to_media(docs), 32, 24)
+
+
+def q_multimodal_framesample(spark, sf_dir):
+    """Video frame-sampling plumbing: 1 payload -> 4 (frame_index,
+    byte_offset, frame_sha) rows, fan-out inside the Arrow batch."""
+    from datax_spark.functions.multimodal import frame_sample_stub
+
+    docs = _read(spark, sf_dir, "documents")
+    return frame_sample_stub(to_media(docs), n_frames=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing: payload -> array<double> embedding
+    (hash-arithmetic stub standing in for the model call)."""
+    from datax_spark.functions.multimodal import feature_extract_stub
+
+    docs = _read(spark, sf_dir, "documents")
+    return feature_extract_stub(to_media(docs), dim=8)
+
+
 def q_job_transform_chain(spark, sf_dir):
     """plans/job transformer-chain path: dx_filter + dx_substr composed."""
     from datax_spark.operators.transforms import TransformSpec, apply_transform_chain
@@ -854,6 +881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_framesample": q_multimodal_framesample,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1049,6 +1079,24 @@ def oracle_sql() -> dict[str, str]:
                sha256(text) AS content_sha,
                (16 + octet_length(encode(text)) % 64)::BIGINT AS width,
                (16 + ('0x' || substr(sha256(text), 1, 4))::BIGINT % 64)::BIGINT AS height
+        FROM documents
+    """
+    sql["multimodal_resize"] = """
+        SELECT doc_id, 32::BIGINT AS width, 24::BIGINT AS height,
+               sha256(sha256(text) || 'x32x24') AS resized_sha
+        FROM documents
+    """
+    sql["multimodal_framesample"] = """
+        SELECT doc_id, i::BIGINT AS frame_index,
+               ((i * octet_length(encode(text))) // 4)::BIGINT AS byte_offset,
+               sha256(sha256(text) || ':' ||
+                      ((i * octet_length(encode(text))) // 4)) AS frame_sha
+        FROM documents, (SELECT unnest(range(4)) AS i)
+    """
+    sql["multimodal_features"] = """
+        SELECT doc_id,
+               [((('0x' || substr(sha256(text), 4*j + 1, 4))::BIGINT) % 1000)
+                / 1000.0 for j in range(8)] AS features
         FROM documents
     """
     # The lake engine paths (COW MERGE and MOR append+resolve) produce a

@@ -98,6 +98,15 @@ class PipelineConfig:
     # keep the old value (ots UpdateRow). COW patches at merge time;
     # MOR appends patch-tagged deltas and coalesces at read/compact.
     write_mode: str = "replace"
+    # Run the compaction POLICY after every committed batch: MOR tables
+    # use maybe_compact (delta-ratio + file-count bound — a no-op
+    # decision is one driver-side file listing, no Spark job), COW
+    # tables bin-pack fragmented buckets. This is what keeps the
+    # steady-state resolved-read cost flat over a 10^10-event stream
+    # (BASELINE.md round-2 sustained run); compact_options feed through
+    # (max_delta_ratio / max_files_per_bucket).
+    auto_compact: bool = False
+    compact_options: dict = field(default_factory=dict)
 
 
 DIRTY_BUCKET = -1
@@ -279,6 +288,20 @@ def apply_batch(
     if m.applied:
         for hook in cfg.on_commit:
             hook(m)
+        if cfg.auto_compact:
+            if props.get("table_mode") == "mor":
+                from datax_spark.lake.mor import MorTable
+
+                mor = table if isinstance(table, MorTable) else MorTable(
+                    table.spark, table.path
+                )
+                mor.maybe_compact(**cfg.compact_options)
+            else:
+                table.compact(
+                    max_files_per_bucket=cfg.compact_options.get(
+                        "max_files_per_bucket", 8
+                    )
+                )
     return m
 
 

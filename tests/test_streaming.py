@@ -326,3 +326,46 @@ def test_stateful_repo_stats_accumulate_across_batches(spark, stream_log, tmp_pa
         assert de == int(want_deletes.get(repo, 0))
         assert mx == int(want_maxseq[repo])
     assert set(got) == set(want_events.index)
+
+
+def test_stream_auto_compact_bounds_deltas(spark, stream_log, tmp_path):
+    """PipelineConfig(auto_compact=True) runs the compaction policy after
+    every committed micro-batch: the MOR table's deltas stay bounded by
+    the policy while the streamed state still matches the oracle — the
+    steady-state contract the 10^10-event extrapolation assumes."""
+    from datax_spark.lake.mor import MorTable
+
+    log_dir, events_pdf = stream_log
+    table = MorTable.create(
+        spark, str(tmp_path / "tbl_ac"), TABLE_SCHEMA,
+        key_cols=["repo", "path", "commit"], bucket_key="repo",
+        num_buckets=4,
+    )
+    tail_and_apply(
+        spark,
+        table.path,
+        log_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_ac"),
+        schema=EVENT_SCHEMA,
+        config=PipelineConfig(
+            quarantine_dir=str(tmp_path / "quar_ac"),
+            auto_compact=True,
+            compact_options={"max_delta_ratio": 0.2, "max_files_per_bucket": 2},
+        ),
+        max_files_per_trigger=2,
+    )
+    snap = table.snapshot()
+    # the policy kept per-bucket fragmentation at/below its bound
+    # (at most one post-policy batch of deltas can be outstanding)
+    for b in set(snap.buckets) | set(snap.deltas):
+        n = len(snap.buckets.get(b, [])) + len(snap.deltas.get(b, []))
+        assert n <= 3, f"bucket {b} fragmented to {n} files"
+    oracle = replay_oracle_pandas(events_pdf)
+    pdf = (
+        table.read()
+        .select("repo", "path", "commit", "lang", "content")
+        .orderBy("repo", "path", "commit")
+        .toPandas()
+    )
+    assert len(pdf) == len(oracle)
+    assert state_fingerprint(pdf) == state_fingerprint(oracle)
