@@ -148,9 +148,20 @@ def bucket_expr(bucket_key: str, num_buckets: int):
 class LakeTable:
     """A bucketed, snapshot-versioned parquet table with CAS commits."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, branch: str | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # Writable BRANCH (Iceberg branch / WAP analog): commits on a
+        # branch table publish manifests under _manifests/branches/<name>/
+        # in their own CAS version sequence forked from main; data files
+        # and content-addressed refs are shared. None = main.
+        self.branch = branch
+
+    @property
+    def _mdir(self) -> str:
+        if self.branch is None:
+            return os.path.join(self.path, MANIFEST_DIR)
+        return os.path.join(self.path, MANIFEST_DIR, "branches", self.branch)
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -206,12 +217,12 @@ class LakeTable:
 
     # ------------------------------------------------------------- snapshots
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.path, MANIFEST_DIR, f"v{version:08d}.json")
+        return os.path.join(self._mdir, f"v{version:08d}.json")
 
     def current_version(self) -> int:
         names = [
             n
-            for n in os.listdir(os.path.join(self.path, MANIFEST_DIR))
+            for n in os.listdir(self._mdir)
             if n.startswith("v") and n.endswith(".json")
         ]
         if not names:
@@ -220,7 +231,11 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = version if version is not None else self.current_version()
-        with open(self._manifest_path(v)) as f:
+        mpath = self._manifest_path(v)
+        if self.branch is not None and not os.path.exists(mpath):
+            # pre-fork history is shared with main
+            mpath = os.path.join(self.path, MANIFEST_DIR, f"v{v:08d}.json")
+        with open(mpath) as f:
             d = json.loads(f.read())
         refs: dict[str, dict[str, str]] = {"buckets": {}, "deltas": {}}
         for kind in ("buckets", "deltas"):
@@ -405,6 +420,94 @@ class LakeTable:
 
     def delete_tag(self, name: str) -> None:
         os.unlink(self._tag_path(name))
+
+    # -------------------------------------------------------------- branches
+    def _branches_root(self) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, "branches")
+
+    def create_branch(self, name: str, version: int | None = None) -> "LakeTable":
+        """Fork a writable branch at ``version`` (default: current head).
+
+        The write-audit-publish pattern (Iceberg WAP analog): ingest
+        into a branch, audit it (read-by-branch, quality checks), then
+        ``publish_branch`` fast-forwards main atomically — main readers
+        never see unaudited commits. The branch gets its OWN CAS version
+        sequence seeded with a hard link to the fork manifest; data
+        files and sharded refs are shared (immutable, content-addressed).
+        Returns a table handle opened on the branch (same class, so a
+        MorTable branch keeps MOR semantics).
+        """
+        if self.branch is not None:
+            raise ValueError("create_branch from the main table only")
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(f"invalid branch name {name!r}")
+        v = version if version is not None else self.current_version()
+        self.snapshot(v)  # must exist
+        bdir = os.path.join(self._branches_root(), name)
+        os.makedirs(os.path.dirname(bdir), exist_ok=True)
+        os.mkdir(bdir)  # exclusive: racing creators, one wins
+        os.link(self._manifest_path(v), os.path.join(bdir, f"v{v:08d}.json"))
+        return type(self)(self.spark, self.path, branch=name)
+
+    def branches(self) -> dict[str, int]:
+        """branch name -> head version."""
+        root = self._branches_root()
+        if not os.path.isdir(root):
+            return {}
+        out = {}
+        for n in sorted(os.listdir(root)):
+            heads = [
+                int(x[1:-5]) for x in os.listdir(os.path.join(root, n))
+                if x.startswith("v") and x.endswith(".json")
+            ]
+            if heads:
+                out[n] = max(heads)
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self._branches_root(), name))
+
+    def publish_branch(self, name: str, drop: bool = True) -> int:
+        """Fast-forward main to the branch head (the WAP 'publish').
+
+        Links every branch manifest after the fork point into main's
+        version sequence via the same CAS (so a racing main commit makes
+        the publish fail with CommitConflict — rebase by re-branching).
+        Stream fences, lineage, and properties ride along in the branch
+        manifests, so replays stay exactly-once after publication.
+        Returns the new main head version.
+        """
+        if self.branch is not None:
+            raise ValueError("publish from the main table only")
+        bdir = os.path.join(self._branches_root(), name)
+        versions = sorted(
+            int(x[1:-5]) for x in os.listdir(bdir)
+            if x.startswith("v") and x.endswith(".json")
+        )
+        if not versions:
+            raise FileNotFoundError(f"branch {name!r} has no manifests")
+        fork, head = versions[0], versions[-1]
+        cur = self.current_version()
+        if cur != fork:
+            raise CommitConflict(
+                f"main moved to v{cur} since branch {name!r} forked at "
+                f"v{fork}; re-branch and replay to publish"
+            )
+        for v in versions[1:]:
+            try:
+                os.link(
+                    os.path.join(bdir, f"v{v:08d}.json"),
+                    self._manifest_path(v),
+                )
+            except FileExistsError as e:
+                raise CommitConflict(
+                    f"main gained v{v} during publish of {name!r}"
+                ) from e
+        if drop:
+            self.drop_branch(name)
+        return head
 
     # --------------------------------------------------------------- commits
     def write_bucket_data(self, df: DataFrame, num_buckets: int, bucket_key: str) -> str:
@@ -882,8 +985,17 @@ class LakeTable:
         tagged = set(self.tags().values()) & set(versions)
         keep_versions = sorted(set(versions[-keep_last:]) | tagged)
         referenced: set[str] = set()
+        kept_snaps: list[Snapshot] = []
         for v in keep_versions:
-            snap = self.snapshot(v)
+            kept_snaps.append(self.snapshot(v))
+        # live branches pin everything their manifests reference (a
+        # branch head may point at data no main snapshot still lists)
+        for bname in self.branches():
+            bt = LakeTable(self.spark, self.path, branch=bname)
+            for x in os.listdir(bt._mdir):
+                if x.startswith("v") and x.endswith(".json"):
+                    kept_snaps.append(bt.snapshot(int(x[1:-5])))
+        for snap in kept_snaps:
             for files in snap.buckets.values():
                 referenced.update(files)
             for files in snap.deltas.values():
@@ -913,8 +1025,8 @@ class LakeTable:
         refs_root = os.path.join(self.path, REFS_DIR)
         if os.path.isdir(refs_root):
             kept_refs: set[str] = set()
-            for v in keep_versions:
-                snap_refs = self.snapshot(v)._refs or {}
+            for snap in kept_snaps:
+                snap_refs = snap._refs or {}
                 for kind_refs in snap_refs.values():
                     kept_refs.update(
                         os.path.basename(r) for r in kind_refs.values()

@@ -219,7 +219,7 @@ def apply_batch(
         from datax_spark.lake.mor import MorTable
 
         mor = table if isinstance(table, MorTable) else MorTable(
-            table.spark, table.path
+            table.spark, table.path, branch=table.branch
         )
         result: MergeResult = mor.apply_deduped(
             deduped, batch_id, cfg.stream_id, bucket_stats=stats,
@@ -293,7 +293,7 @@ def apply_batch(
                 from datax_spark.lake.mor import MorTable
 
                 mor = table if isinstance(table, MorTable) else MorTable(
-                    table.spark, table.path
+                    table.spark, table.path, branch=table.branch
                 )
                 mor.maybe_compact(**cfg.compact_options)
             else:
