@@ -20,6 +20,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     speculation: bool = False,
+    hive: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for the CDC apply path.
 
@@ -65,6 +66,24 @@ def get_spark(
             builder.config("spark.speculation", "true")
             .config("spark.speculation.multiplier", "3")
             .config("spark.speculation.quantile", "0.9")
+        )
+    if hive:
+        # Hive catalog (embedded per-process Derby metastore in a temp
+        # dir so concurrent processes don't fight over ./metastore_db).
+        # Needed only for Hive SerDe formats (hdfsreader's RCFile mode);
+        # everything else runs on the in-memory catalog. Must be set at
+        # FIRST session creation in the process — enableHiveSupport on
+        # an existing plain session is a silent no-op.
+        import tempfile
+
+        meta = tempfile.mkdtemp(prefix="dx_metastore_")
+        builder = (
+            builder.enableHiveSupport()
+            .config("spark.sql.warehouse.dir", os.path.join(meta, "warehouse"))
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={meta}/metastore_db;create=true",
+            )
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

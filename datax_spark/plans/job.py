@@ -26,6 +26,7 @@ options; everything else executes for real.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -117,6 +118,90 @@ def jdbc_read_options(param: dict[str, Any]) -> dict[str, str]:
     return opts
 
 
+# DataX hdfsreader column types -> Hive DDL types (DFSUtil.java rcfile
+# branch reads through the Hive ColumnarSerDe with exactly this map).
+_HIVE_TYPES = {
+    "string": "STRING", "long": "BIGINT", "int": "INT", "double": "DOUBLE",
+    "boolean": "BOOLEAN", "bool": "BOOLEAN", "date": "TIMESTAMP",
+    "bytes": "BINARY", "float": "FLOAT",
+}
+
+
+def _require_hive(spark: SparkSession, what: str) -> None:
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "hive":
+        raise RuntimeError(
+            f"{what} needs a Hive-enabled session: "
+            "get_spark(..., hive=True) at first session creation"
+        )
+
+
+def _rc_ddl_cols(columns: list) -> str:
+    cols = []
+    for i, c in enumerate(columns):
+        if isinstance(c, dict):
+            nm = c.get("name", f"col{i}")
+            tp = _HIVE_TYPES.get(str(c.get("type", "string")).lower(), "STRING")
+        else:
+            nm, tp = str(c), "STRING"
+        cols.append(f"`{nm}` {tp}")
+    return ", ".join(cols)
+
+
+def _read_rcfile(spark: SparkSession, param: dict[str, Any]) -> DataFrame:
+    """hdfsreader fileType=rcfile (hdfsreader/.../DFSUtil.java:244
+    rcFileStartRead): read through the Hive ColumnarSerDe by declaring a
+    transient EXTERNAL table over the path — column names/types come
+    from the job's `column` list exactly like the reference requires.
+    The table is metadata only (dropped immediately; EXTERNAL keeps the
+    files); the scan itself is Spark's ordinary HiveTableScan."""
+    import uuid as _uuid
+
+    _require_hive(spark, "fileType=rcfile")
+    if not param.get("column"):
+        raise ValueError("rcfile read requires a typed `column` list")
+    path = param["path"]
+    path = path[0] if isinstance(path, list) else path
+    tbl = f"dx_rc_{_uuid.uuid4().hex[:12]}"
+    spark.sql(
+        f"CREATE EXTERNAL TABLE {tbl} ({_rc_ddl_cols(param['column'])}) "
+        f"STORED AS RCFILE LOCATION '{os.path.abspath(path)}'"
+    )
+    # the transient catalog entry stays until session end (dropping it
+    # would invalidate the lazy plan); EXTERNAL means it owns no data
+    return spark.table(tbl)
+
+
+def _write_rcfile(df: DataFrame, param: dict[str, Any]) -> None:
+    """hdfswriter fileType=rcfile: stage through a transient EXTERNAL
+    Hive table at the target path (writeMode append/nonConflict like the
+    other file writers)."""
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    _require_hive(spark, "fileType=rcfile")
+    path = os.path.abspath(param["path"])
+    mode = param.get("writeMode", "append")
+    if mode == "nonConflict" and os.path.isdir(path) and os.listdir(path):
+        raise FileExistsError(f"nonConflict: {path} is not empty")
+    if mode == "truncate" and os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    # Hive DDL accepts Spark's primitive type names verbatim
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    tbl = f"dx_rcw_{_uuid.uuid4().hex[:12]}"
+    spark.sql(
+        f"CREATE EXTERNAL TABLE {tbl} ({cols}) STORED AS RCFILE "
+        f"LOCATION '{path}'"
+    )
+    try:
+        df.write.insertInto(tbl, overwrite=False)
+    finally:
+        spark.sql(f"DROP TABLE {tbl}")
+
+
 def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | None = None) -> DataFrame:
     """reader spec -> DataFrame (declarative: pushdown/pruning apply)."""
     name = reader["name"]
@@ -159,6 +244,8 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
             if param.get("where"):
                 df = df.filter(param["where"])
             return df
+        if fmt == "rcfile":
+            return _read_rcfile(spark, param)
         r = spark.read.format(fmt)
         if fmt == "csv":
             r = r.option("sep", param.get("fieldDelimiter", ","))
@@ -281,6 +368,9 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
     fmt = param.get("fileType", name.replace("writer", ""))
     if fmt in ("txtfile", "hdfs", "oss", "ftp", "txt"):
         fmt = param.get("fileType", "csv")
+    if fmt == "rcfile":
+        _write_rcfile(df, param)
+        return param["path"]
     mode = {"append": "append", "nonConflict": "errorifexists", "truncate": "overwrite",
             "overwrite": "overwrite"}.get(param.get("writeMode", "append"), "append")
     if param.get("emptyAsNull"):
