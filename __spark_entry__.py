@@ -313,6 +313,23 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_dedup_corpus_quality(spark, sf_dir):
+    """Quality-aware dedup decision: each near-dup cluster collapses to
+    its HIGHEST-QUALITY member (ties -> smallest doc_id), singletons keep
+    themselves — what a pre-training pipeline actually ships, vs the
+    arbitrary min-id representative of dedup_corpus."""
+    from datax_spark.functions.dedup import select_representatives
+
+    docs = _read(spark, sf_dir, "documents")
+    clusters = neardup_clusters(lsh_candidate_pairs(docs))
+    qm = quality_metrics("text")
+    scored = docs.select("doc_id", qm["quality"].alias("quality"))
+    return select_representatives(scored, clusters).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+        "quality",
+    )
+
+
 def q_text_filter_pipeline(spark, sf_dir):
     """Quality-gate composition: language + quality score + length floor
     in one pass — the standard pre-training corpus filter chain."""
@@ -869,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_corpus_quality": q_dedup_corpus_quality,
         "dedup_embedding": q_dedup_embedding,
         "text_filter_pipeline": q_text_filter_pipeline,
         "ann_topk": q_ann_topk,
@@ -1018,6 +1036,36 @@ def oracle_sql() -> dict[str, str]:
           HAVING node != min(root))
         SELECT d.doc_id, d.lang, d.source FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+    sql["dedup_corpus_quality"] = f"""
+        WITH RECURSIVE {_shingles_cte()},
+        sig AS ({_sig_select()}),
+        bands AS ({_bands_cte()}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+        und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, root) AS (
+          SELECT DISTINCT src AS node, src AS root FROM und
+          UNION
+          SELECT u.dst AS node, r.root FROM reach r JOIN und u ON u.src = r.node
+        ),
+        members AS (SELECT node AS doc_id, min(root) AS cluster_id
+                    FROM reach GROUP BY node),
+        q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+        tagged AS (
+          SELECT q.doc_id, coalesce(m.cluster_id, q.doc_id) AS cluster_id,
+                 q.quality
+          FROM q LEFT JOIN members m ON m.doc_id = q.doc_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn
+          FROM tagged)
+        SELECT doc_id, cluster_id::BIGINT AS cluster_id, quality
+        FROM ranked WHERE rn = 1
     """
     sql["text_filter_pipeline"] = f"""
         SELECT q.doc_id, l.pred_lang, q.quality, q.n_tokens

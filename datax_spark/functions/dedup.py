@@ -421,3 +421,45 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b", round6(sim).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def select_representatives(
+    scored: DataFrame,
+    clusters: DataFrame,
+    priority_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup decision: keep the BEST doc per near-dup
+    cluster instead of the arbitrary min-id one.
+
+    ``scored``: one row per document with ``id_col`` + ``priority_col``
+    (e.g. the text quality score) — higher is better, ties break to the
+    smallest id so the choice is deterministic. ``clusters``: the
+    (doc_id, cluster_id, keep) output of ``neardup_clusters``; documents
+    absent from it are singletons and keep themselves.
+
+    This is what a training-data pipeline actually wants from dedup:
+    near-duplicate groups collapse to their highest-quality member, not
+    to whichever happened to have the lowest id. Physical shape: one
+    left join (cluster map is the small side — only docs that appear in
+    a candidate pair), one per-cluster max_by aggregation (map-side
+    partial), one semi-join back; no windows, no O(n^2).
+    """
+    member = clusters.select(id_col, "cluster_id")
+    tagged = scored.join(member, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    rep = tagged.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(priority_col).alias("p"),
+                (-F.col(id_col)).alias("t"),  # ties -> smallest id wins
+            ),
+        ).alias("_rep_id")
+    )
+    return (
+        tagged.join(rep, "cluster_id")
+        .filter(F.col(id_col) == F.col("_rep_id"))
+        .drop("_rep_id")
+    )

@@ -228,3 +228,23 @@ def test_embedding_neardup_default_sign_block(emb):
     assert 0 < n_auto <= n_glob  # blocked is a recall-subset of exact
     # blocked pairs are a subset of the global pairs
     assert auto.join(glob, ["vec_a", "vec_b"], "left_anti").count() == 0
+
+
+def test_select_representatives_quality_and_ties(spark):
+    from datax_spark.functions.dedup import select_representatives
+
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.3), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    # cluster 1 = {1,2,3}: 2 and 3 tie on quality -> smaller id (2) wins;
+    # cluster 4 = {4}; doc 9 never appeared in a pair -> singleton
+    clusters = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (4, 4, True)],
+        "doc_id long, cluster_id long, keep boolean",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in select_representatives(scored, clusters).collect()
+    }
+    assert got == {(2, 1), (4, 4), (9, 9)}
