@@ -469,15 +469,20 @@ class LakeTable:
 
         shutil.rmtree(os.path.join(self._branches_root(), name))
 
-    def publish_branch(self, name: str, drop: bool = True) -> int:
-        """Fast-forward main to the branch head (the WAP 'publish').
+    def publish_branch(self, name: str, drop: bool = True,
+                       rebase: bool = False) -> int:
+        """Publish a branch into main (the WAP 'publish').
 
-        Links every branch manifest after the fork point into main's
-        version sequence via the same CAS (so a racing main commit makes
-        the publish fail with CommitConflict — rebase by re-branching).
-        Stream fences, lineage, and properties ride along in the branch
-        manifests, so replays stay exactly-once after publication.
-        Returns the new main head version.
+        Fast-forward path (main unmoved since the fork): links every
+        branch manifest after the fork point into main's version
+        sequence via the same CAS. With ``rebase=True`` and a moved
+        main, each branch commit is REPLAYED onto main as a bucket-level
+        diff vs its branch parent — appends always rebase, replaced
+        buckets require main not to have touched them since the fork,
+        and stream fences abort a double-apply — the same safety rules
+        as `_commit_loop`. Stream fences, lineage, and properties ride
+        along either way, so replays stay exactly-once after
+        publication. Returns the new main head version.
         """
         if self.branch is not None:
             raise ValueError("publish from the main table only")
@@ -491,10 +496,16 @@ class LakeTable:
         fork, head = versions[0], versions[-1]
         cur = self.current_version()
         if cur != fork:
-            raise CommitConflict(
-                f"main moved to v{cur} since branch {name!r} forked at "
-                f"v{fork}; re-branch and replay to publish"
-            )
+            if not rebase:
+                raise CommitConflict(
+                    f"main moved to v{cur} since branch {name!r} forked at "
+                    f"v{fork}; publish_branch(rebase=True) to replay, or "
+                    "re-branch"
+                )
+            out = self._publish_rebase(name, versions)
+            if drop:
+                self.drop_branch(name)
+            return out
         for v in versions[1:]:
             try:
                 os.link(
@@ -508,6 +519,97 @@ class LakeTable:
         if drop:
             self.drop_branch(name)
         return head
+
+    @staticmethod
+    def _diff_lists(
+        prev: dict[str, list[str]], new: dict[str, list[str]]
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+        """Per-bucket diff of two file-list maps -> (replaced, appended).
+
+        A list that EXTENDS its predecessor is an append (only the
+        suffix replays); anything else — shrunk, rewritten, or emptied —
+        is a replacement with the full new list."""
+        repl: dict[str, list[str]] = {}
+        app: dict[str, list[str]] = {}
+        for b in set(prev) | set(new):
+            old = prev.get(b, [])
+            cur = new.get(b, [])
+            if cur == old:
+                continue
+            if len(cur) > len(old) and cur[: len(old)] == old:
+                app[b] = cur[len(old):]
+            else:
+                repl[b] = cur
+        return repl, app
+
+    def _publish_rebase(self, name: str, versions: list[int]) -> int:
+        """Replay each branch commit's diff onto (moved) main."""
+        bt = type(self)(self.spark, self.path, branch=name)
+        streams_key = "streams"
+        for pv, v in zip(versions, versions[1:]):
+            prev, snap = bt.snapshot(pv), bt.snapshot(v)
+            repl_base, app_base = self._diff_lists(prev.buckets, snap.buckets)
+            repl_delta, app_delta = self._diff_lists(prev.deltas, snap.deltas)
+            stream_updates = {
+                sid: upd
+                for sid, upd in snap.properties.get(streams_key, {}).items()
+                if prev.properties.get(streams_key, {}).get(sid) != upd
+            }
+            lineage_updates = {
+                b: st for b, st in snap.lineage.items()
+                if prev.lineage.get(b) != st
+            }
+            replaced_ids = sorted(set(repl_base) | set(repl_delta))
+
+            def unchanged_since_parent(cur: Snapshot) -> None:
+                for b in replaced_ids:
+                    if cur.buckets.get(b, []) != prev.buckets.get(b, []) or (
+                        cur.deltas.get(b, []) != prev.deltas.get(b, [])
+                    ):
+                        raise CommitConflict(
+                            f"bucket {b} diverged on main since branch "
+                            f"{name!r} forked; cannot rebase its rewrite"
+                        )
+
+            def check(cur: Snapshot) -> None:
+                self._check_stream_fence(cur, stream_updates)
+                unchanged_since_parent(cur)
+
+            orig = self.snapshot(self.current_version())
+            check(orig)  # the loop only re-checks when the base moves
+
+            def build(base: Snapshot) -> Snapshot:
+                buckets = dict(base.buckets)
+                deltas = dict(base.deltas)
+                for tgt, repl, app in (
+                    (buckets, repl_base, app_base),
+                    (deltas, repl_delta, app_delta),
+                ):
+                    for b, files in repl.items():
+                        if files:
+                            tgt[b] = files
+                        else:
+                            tgt.pop(b, None)
+                    for b, files in app.items():
+                        tgt[b] = tgt.get(b, []) + files
+                props = json.loads(json.dumps(base.properties))
+                if stream_updates:
+                    props.setdefault(streams_key, {}).update(stream_updates)
+                lineage = dict(base.lineage)
+                lineage.update(lineage_updates)
+                return Snapshot(
+                    version=base.version + 1,
+                    schema_json=_union_schema(
+                        base.schema, snap.schema
+                    ).jsonValue(),
+                    buckets=buckets,
+                    properties=props,
+                    lineage=lineage,
+                    deltas=deltas,
+                )
+
+            self._commit_loop(orig, build, check, rebase=True, max_retries=5)
+        return self.current_version()
 
     # --------------------------------------------------------------- commits
     def write_bucket_data(self, df: DataFrame, num_buckets: int, bucket_key: str) -> str:

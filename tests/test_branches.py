@@ -26,6 +26,14 @@ def _state(table):
     return sorted((r["repo"], r["content"]) for r in table.read().collect())
 
 
+def fingerprint(table) -> str:
+    from datax_spark.oracle import state_fingerprint
+
+    return state_fingerprint(
+        table.read().select(*KEYS, "lang", "content").orderBy(*KEYS).toPandas()
+    )
+
+
 def test_write_audit_publish_flow(spark, tmp_path):
     """Ingest into a branch, audit it, publish: main readers never see
     unaudited commits; after publish the stream fence carries over so
@@ -130,3 +138,85 @@ def test_vacuum_retains_branch_files(spark, tmp_path):
     table.vacuum(keep_last=1)
     with pytest.raises(Exception):
         _state(br)
+
+
+def test_publish_rebase_merges_onto_moved_main(spark, tmp_path):
+    """rebase publish: main kept ingesting (stream-a) while the branch
+    audited its own batches (stream-b); the replayed merge must contain
+    BOTH and keep both stream fences."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.sources.changelog import generate_changelog
+
+    mor = MorTable.create(
+        spark, str(tmp_path / "rb"), SCHEMA, key_cols=KEYS,
+        bucket_key="repo", num_buckets=4,
+    )
+    log_a = generate_changelog(spark, n_events=1500, n_keys=200, seed=31,
+                               dirty_pct=0.0)
+    log_b = generate_changelog(spark, n_events=1500, n_keys=200, seed=32,
+                               dirty_pct=0.0)
+    log_b = log_b.withColumn("seq", F.col("seq") + F.lit(1_000_000))
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    apply_batch(mor, log_a.filter("seq < 700"), 0,
+                PipelineConfig(stream_id="stream-a"))
+    br = mor.create_branch("audit")
+    apply_batch(br, log_b, 0, PipelineConfig(stream_id="stream-b"))
+    # main moves on AFTER the fork
+    apply_batch(mor, log_a.filter("seq >= 700"), 1,
+                PipelineConfig(stream_id="stream-a"))
+
+    with pytest.raises(CommitConflict):
+        mor.publish_branch("audit")  # fast-forward impossible
+    mor.publish_branch("audit", rebase=True)
+
+    serial = MorTable.create(
+        spark, str(tmp_path / "rb_serial"), SCHEMA, key_cols=KEYS,
+        bucket_key="repo", num_buckets=4,
+    )
+    apply_batch(serial, log_a.filter("seq < 700"), 0,
+                PipelineConfig(stream_id="stream-a"))
+    apply_batch(serial, log_a.filter("seq >= 700"), 1,
+                PipelineConfig(stream_id="stream-a"))
+    apply_batch(serial, log_b, 0, PipelineConfig(stream_id="stream-b"))
+    assert fingerprint(mor) == fingerprint(serial)
+    assert mor.last_batch_id("stream-a") == 1
+    assert mor.last_batch_id("stream-b") == 0
+    # replaying the branch batch on main is now fenced
+    m = apply_batch(mor, log_b, 0, PipelineConfig(stream_id="stream-b"))
+    assert not m.applied
+
+
+def test_publish_rebase_conflicts_on_rewritten_bucket(spark, tmp_path):
+    """A branch COW rewrite of a bucket main also rewrote cannot rebase."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in KEYS + ["lang", "content"]]
+    )
+    cow = LakeTable.create(
+        spark, str(tmp_path / "rc"), schema, key_cols=KEYS,
+        bucket_key="repo", num_buckets=2,
+    )
+
+    def ev(content, seq):
+        return spark.createDataFrame(
+            [("r1", "p", "c", "py", content, "insert", seq)],
+            "repo string, path string, commit string, lang string, "
+            "content string, op string, seq long",
+        )
+
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    apply_batch(cow, ev("base", 1), 0)
+    br = cow.create_branch("risky")
+    # distinct streams so the fence passes and the BUCKET divergence is
+    # what must block the rebase (same stream+batch would hit the fence
+    # first, also correctly)
+    apply_batch(br, ev("branch-v", 2), 0, PipelineConfig(stream_id="side"))
+    apply_batch(cow, ev("main-v", 3), 1)
+    with pytest.raises(CommitConflict, match="diverged"):
+        cow.publish_branch("risky", rebase=True)
+    cow.drop_branch("risky")
+    assert _state(cow) == [("r1", "main-v")]
