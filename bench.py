@@ -34,7 +34,9 @@ BENCH_QUERIES = [
     "cdc_mor_apply",
     "cdc_patch_apply",
     "cdc_mor_patch_apply",
+    "cdc_change_feed",
     "dedup_exact",
+    "dedup_corpus_quality",
     "dedup_lsh_pairs",
     "dedup_jaccard",
     "dedup_clusters",

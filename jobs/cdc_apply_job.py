@@ -48,10 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write-mode", choices=["replace", "update"],
                    default="replace",
                    help="replace = whole-row PutRow; update = "
-                        "partial-column UpdateRow patch (COW only)")
+                        "partial-column UpdateRow patch (COW merges at "
+                        "write; MOR coalesces at read)")
     p.add_argument("--auto-compact-ratio", type=float,
-                   help="MOR: run maybe_compact(max_delta_ratio=R) after "
-                        "the batch loop")
+                   help="run the compaction policy after EVERY committed "
+                        "batch (maybe_compact(max_delta_ratio=R) on MOR; "
+                        "bin-packing on COW) — keeps resolved-read cost "
+                        "flat over a long stream")
     p.add_argument("--demo", action="store_true",
                    help="self-contained local demo on a generated log")
     return p
@@ -115,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
         max_events_per_sec=args.max_events_per_sec,
         max_bytes_per_sec=args.max_bytes_per_sec,
         write_mode=args.write_mode,
+        auto_compact=args.auto_compact_ratio is not None,
+        compact_options=(
+            {"max_delta_ratio": args.auto_compact_ratio}
+            if args.auto_compact_ratio is not None else {}
+        ),
     )
 
     if args.streaming:
@@ -136,10 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics = apply_segments(spark, table, args.log_dir, config=cfg)
         for m in metrics:
             print(m.to_json())
-        if args.mor and args.auto_compact_ratio is not None:
-            print(json.dumps(
-                table.maybe_compact(max_delta_ratio=args.auto_compact_ratio)
-            ))
+
 
     print(json.dumps({"final_rows": table.count(),
                       "version": table.current_version()}))
