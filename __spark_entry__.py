@@ -353,6 +353,22 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(emb, NEARDUP_THRESHOLD, block_col="label")
 
 
+def q_dedup_embedding_corpus(spark, sf_dir):
+    """Embedding near-dup DECISION applied to the corpus: cosine
+    candidate pairs (label-blocked) -> connected components -> drop
+    non-representatives. The semantic-dedup twin of dedup_corpus: what
+    survives is the embedding set a curation pipeline would keep."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, NEARDUP_THRESHOLD, block_col="label"
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    clusters = neardup_clusters(pairs)
+    losers = clusters.filter(~F.col("keep")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
 def _query_vec(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -431,6 +447,17 @@ def q_text_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     qm = quality_metrics("text")
     return docs.select("doc_id", *[v.alias(k) for k, v in qm.items()])
+
+
+def q_text_rare_tokens(spark, sf_dir):
+    """Corpus-frequency quality filter: per-doc fraction of tokens whose
+    GLOBAL corpus count <= 2 — the integer-exact stand-in for a
+    statistical-LM (CCNet-style) filter; docs with no tokens drop out
+    (nothing to score)."""
+    from datax_spark.functions.text import rare_token_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return rare_token_stats(docs)
 
 
 def q_text_fingerprint(spark, sf_dir):
@@ -888,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "dedup_corpus_quality": q_dedup_corpus_quality,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_corpus": q_dedup_embedding_corpus,
         "text_filter_pipeline": q_text_filter_pipeline,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -898,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_rare_tokens": q_text_rare_tokens,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_framesample": q_multimodal_framesample,
@@ -1080,6 +1109,28 @@ def oracle_sql() -> dict[str, str]:
           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cosine >= {NEARDUP_THRESHOLD}
     """
+    sql["dedup_embedding_corpus"] = f"""
+        WITH RECURSIVE
+        v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        pairs AS (
+          SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   floor((SELECT {_COS} FROM (SELECT a.vec AS v1, b.vec AS v2)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+          WHERE cosine >= {NEARDUP_THRESHOLD}),
+        und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, root) AS (
+          SELECT DISTINCT src AS node, src AS root FROM und
+          UNION
+          SELECT u.dst AS node, r.root FROM reach r JOIN und u ON u.src = r.node
+        ),
+        losers AS (
+          SELECT node AS vec_id FROM reach GROUP BY node
+          HAVING node != min(root))
+        SELECT e.vec_id, e.label FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+    """
     sql["ann_topk"] = f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         s AS (SELECT vec_id,
@@ -1115,6 +1166,19 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))::BIGINT AS bpe_tokens
         FROM documents
+    """
+    sql["text_rare_tokens"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        j AS (SELECT t.doc_id, v.cnt FROM tok t JOIN vocab v USING (tok))
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+               floor((sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS rare_ratio
+        FROM j GROUP BY doc_id
     """
     sql["text_langid"] = _langid_sql()
     sql["text_quality"] = _quality_sql()

@@ -163,3 +163,47 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
         "mean_token_len": mean_tok,
         "quality": quality,
     }
+
+
+def rare_token_stats(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+):
+    """Corpus-frequency quality filter (the CCNet statistical-LM filter
+    family, integer-exact instead of float-LM so the DuckDB oracle can
+    reproduce it bit-for-bit): per document, the fraction of its tokens
+    whose GLOBAL corpus count is <= ``rare_max_count``. Noisy/garbled
+    text is dominated by corpus-rare tokens; boilerplate sits near 0.
+
+    Returns (id_col, n_tokens, n_rare, rare_ratio). Physical shape:
+    explode -> one global token-count aggregation (map-side partial) ->
+    token-key join back (Spark picks broadcast when the vocab is small,
+    shuffle otherwise — both sides are token-count rows, never the
+    corpus) -> per-doc aggregation. Everything is integer arithmetic
+    until the final ratio, so the result is order-independent under any
+    partitioning (float sums over shuffled rows would not be).
+    """
+    from pyspark.sql import functions as F
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    )
+    vocab = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    joined = tok.join(vocab, "_tok")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("_cnt") <= rare_max_count).cast("long")).alias(
+                "n_rare"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_rare",
+            round6(F.col("n_rare") / F.col("n_tokens")).alias("rare_ratio"),
+        )
+    )
