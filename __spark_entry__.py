@@ -679,6 +679,33 @@ def q_cdc_mor_patch_apply(spark, sf_dir):
     return q_cdc_patch_apply(spark, sf_dir, mor=True)
 
 
+def q_cdc_window_counts(spark, sf_dir):
+    """Tumbling event-time window aggregate (SURVEY §2.6): per-hour
+    per-event-type counts + value sum — the same F.window operator the
+    streaming path uses with a watermark (pinned in
+    tests/test_streaming.py); here in batch form so DuckDB can
+    value-check it via time_bucket."""
+    ev = _read(spark, sf_dir, "events")
+    # exact integer micro-units: per-row floor(value*1e6) sums are
+    # order-independent under any partitioning (a raw double sum is not
+    # — partial-aggregation order vs DuckDB's sequential sum can differ
+    # at the rounding boundary)
+    micro = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(micro) / F.lit(1_000_000.0)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_cdc_change_feed(spark, sf_dir):
     """Row-level change feed between snapshots (Delta CDF analog): apply
     the 2-batch events changelog, then emit what batch 2 CHANGED —
@@ -898,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_mor_patch_apply": q_cdc_mor_patch_apply,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_window_counts": q_cdc_window_counts,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_sql_view": q_cdc_sql_view,
         "dx_transforms": q_dx_transforms,
@@ -1275,6 +1303,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM ded WHERE rn = 1 AND op != 'delete')
         SELECT repo, count(*) AS n_rows, max(length(content)) AS max_len
         FROM final GROUP BY repo
+    """
+    sql["cdc_window_counts"] = """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               sum(floor("value" * 1000000.0))::BIGINT / 1000000.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """
     # change feed = diff of the two replayed states; a key changed by
     # batch 2 with a different full row emits pre+post images, same-row

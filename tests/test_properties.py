@@ -126,3 +126,38 @@ def test_probe_centroids_orders_and_bounds(dims, k, n_probes, seed):
     # probes are sorted by distance
     dists = [d2(p) for p in probes]
     assert dists == sorted(dists)
+
+
+_file_lists = st.dictionaries(
+    st.sampled_from([str(i) for i in range(6)]),   # bucket ids
+    st.lists(st.integers(0, 50).map(lambda i: f"f{i}"), max_size=8,
+             unique=True),
+    max_size=6,
+)
+
+
+@given(prev=_file_lists, new=_file_lists)
+@settings(max_examples=200, deadline=None)
+def test_diff_lists_reconstructs_new_state(prev, new):
+    """Branch rebase soundness: applying (replaced, appended) from
+    _diff_lists onto `prev` must reconstruct `new` EXACTLY for every
+    bucket — otherwise a rebase publish would corrupt main."""
+    from datax_spark.lake.table import LakeTable
+
+    repl, app = LakeTable._diff_lists(prev, new)
+    state = {b: list(files) for b, files in prev.items()}
+    for b, files in repl.items():
+        if files:
+            state[b] = list(files)
+        else:
+            state.pop(b, None)
+    for b, files in app.items():
+        state[b] = state.get(b, []) + list(files)
+    want = {b: files for b, files in new.items() if files or b in prev}
+    got = {b: files for b, files in state.items() if files or b in prev}
+    # normalize empties: a bucket absent vs present-with-[] is the same
+    assert {b: f for b, f in got.items() if f} == {
+        b: f for b, f in new.items() if f
+    }
+    # appends never overlap replacements
+    assert not (set(repl) & set(app))
