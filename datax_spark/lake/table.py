@@ -483,6 +483,13 @@ class LakeTable:
         as `_commit_loop`. Stream fences, lineage, and properties ride
         along either way, so replays stay exactly-once after
         publication. Returns the new main head version.
+
+        Crash mid-publish leaves a consistent PREFIX of the branch on
+        main (each linked/replayed manifest is a complete snapshot);
+        re-running publish_branch resumes — fast-forward re-links are
+        idempotent up to the CommitConflict on the first already-linked
+        version, and the rebase path's stream fences skip batches the
+        prefix already applied.
         """
         if self.branch is not None:
             raise ValueError("publish from the main table only")
@@ -495,7 +502,21 @@ class LakeTable:
             raise FileNotFoundError(f"branch {name!r} has no manifests")
         fork, head = versions[0], versions[-1]
         cur = self.current_version()
-        if cur != fork:
+
+        def _same(v: int) -> bool:
+            mp = self._manifest_path(v)
+            if not os.path.exists(mp):
+                return False
+            with open(os.path.join(bdir, f"v{v:08d}.json")) as a, open(mp) as b:
+                return a.read() == b.read()
+
+        # a crashed earlier publish leaves main at a PREFIX of the branch
+        # — that still fast-forwards (the link loop below skips
+        # already-identical versions)
+        resumed_prefix = fork < cur <= head and all(
+            _same(v) for v in versions if fork < v <= cur
+        )
+        if cur != fork and not resumed_prefix:
             if not rebase:
                 raise CommitConflict(
                     f"main moved to v{cur} since branch {name!r} forked at "
@@ -507,12 +528,15 @@ class LakeTable:
                 self.drop_branch(name)
             return out
         for v in versions[1:]:
+            src = os.path.join(bdir, f"v{v:08d}.json")
             try:
-                os.link(
-                    os.path.join(bdir, f"v{v:08d}.json"),
-                    self._manifest_path(v),
-                )
+                os.link(src, self._manifest_path(v))
             except FileExistsError as e:
+                # resume path: a prior crashed publish already linked
+                # this exact manifest — anything else is a real race
+                with open(src) as a, open(self._manifest_path(v)) as b:
+                    if a.read() == b.read():
+                        continue
                 raise CommitConflict(
                     f"main gained v{v} during publish of {name!r}"
                 ) from e
@@ -560,6 +584,24 @@ class LakeTable:
                 if prev.lineage.get(b) != st
             }
             replaced_ids = sorted(set(repl_base) | set(repl_delta))
+
+            # resume/duplicate skip: a branch commit whose stream batches
+            # are ALL already fenced on main was applied before (crashed
+            # publish or an independent replay of the same batch ids) —
+            # exactly-once means it must not replay
+            if stream_updates:
+                head_streams = self.snapshot(
+                    self.current_version()
+                ).properties.get(streams_key, {})
+                if all(
+                    upd.get("last_batch_id") is not None
+                    and (head_streams.get(sid) or {}).get("last_batch_id")
+                    is not None
+                    and upd["last_batch_id"]
+                    <= head_streams[sid]["last_batch_id"]
+                    for sid, upd in stream_updates.items()
+                ):
+                    continue
 
             def unchanged_since_parent(cur: Snapshot) -> None:
                 for b in replaced_ids:

@@ -220,3 +220,33 @@ def test_publish_rebase_conflicts_on_rewritten_bucket(spark, tmp_path):
         cow.publish_branch("risky", rebase=True)
     cow.drop_branch("risky")
     assert _state(cow) == [("r1", "main-v")]
+
+
+def test_publish_resumes_after_crash(spark, tmp_path):
+    """A publish that crashed after linking part of the branch resumes:
+    the re-run fast-forwards the remainder instead of conflicting."""
+    import os
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t5"), SCHEMA, key_cols=KEYS,
+        bucket_key="repo", num_buckets=4,
+    )
+    apply_batch(table, _events(spark, [
+        ("r1", "p", "c", "py", "v1", "insert", 1),
+    ]), 0)
+    br = table.create_branch("crashy")
+    apply_batch(br, _events(spark, [
+        ("r2", "p", "c", "py", "v2", "insert", 10),
+    ]), 1)
+    apply_batch(br, _events(spark, [
+        ("r3", "p", "c", "py", "v3", "insert", 11),
+    ]), 2)
+    # simulate the crash: only the FIRST post-fork manifest got linked
+    bdir = os.path.join(table._branches_root(), "crashy")
+    fork = table.current_version()
+    os.link(os.path.join(bdir, f"v{fork + 1:08d}.json"),
+            table._manifest_path(fork + 1))
+    assert table.current_version() == fork + 1
+    head = table.publish_branch("crashy")  # resumes, no conflict
+    assert table.current_version() == head == fork + 2
+    assert _state(table) == [("r1", "v1"), ("r2", "v2"), ("r3", "v3")]
