@@ -782,6 +782,54 @@ def q_cdc_lake_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_scan_prune(spark, sf_dir):
+    """Manifest-level file skipping (LakeTable.scan, lake/stats.py).
+
+    Loads `events` into a lake table as four append commits split by
+    event_id quartile — the natural CDC clustering where each commit's
+    files cover a narrow seq range — then range-scans the top quartile.
+    plan_scan must prove driver-side pruning engaged (only the last
+    commit's files survive their [min, max] footer bounds); the returned
+    rows are value-checked against the plain SQL filter, proving pruning
+    never changes answers. Reference analog: WHERE pushdown into the
+    generated scan SQL (plugin-rdbms-util/.../SingleTableSplitUtil
+    .java:126-139) — here the manifest itself is the index.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    root = _tmproot("dx_scan_q_")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("props", StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema, ["event_id"], "event_id",
+        num_buckets=8, stats_cols=["event_id"],
+    )
+    lo = -1
+    for i in range(4):
+        hi = mx * (i + 1) // 4
+        table.append_insert_only(
+            ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi)),
+            batch_id=i,
+        )
+        lo = hi
+    cut = mx * 3 // 4
+    plan = table.plan_scan([("event_id", ">", cut)])
+    assert plan["files_kept"] < plan["files_total"], "file skipping must engage"
+    return table.scan([("event_id", ">", cut)])
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders (DuckDB dialect, same math as the Spark expressions)
 # ---------------------------------------------------------------------------
@@ -928,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_window_counts": q_cdc_window_counts,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_sql_view": q_cdc_sql_view,
+        "cdc_scan_prune": q_cdc_scan_prune,
         "dx_transforms": q_dx_transforms,
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
@@ -1303,6 +1352,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM ded WHERE rn = 1 AND op != 'delete')
         SELECT repo, count(*) AS n_rows, max(length(content)) AS max_len
         FROM final GROUP BY repo
+    """
+    # pruned scan == plain filter (the query itself asserts pruning
+    # engaged; the oracle proves it didn't change the answer)
+    sql["cdc_scan_prune"] = """
+        SELECT event_id, user_id, event_type, props
+        FROM events
+        WHERE event_id > (SELECT max(event_id) * 3 // 4 FROM events)
     """
     sql["cdc_window_counts"] = """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "cdc_patch_apply",
     "cdc_mor_patch_apply",
     "cdc_change_feed",
+    "cdc_scan_prune",
     "dedup_exact",
     "dedup_corpus_quality",
     "dedup_lsh_pairs",

@@ -85,6 +85,7 @@ class MorTable(LakeTable):
         key_cols: list[str],
         bucket_key: str,
         num_buckets: int = 16,
+        stats_cols: list[str] | None = None,
     ) -> "MorTable":
         stored = StructType(
             list(schema.fields)
@@ -97,6 +98,7 @@ class MorTable(LakeTable):
         super().create(
             spark, path, stored, key_cols, bucket_key, num_buckets,
             extra_properties={"table_mode": "mor"},
+            stats_cols=stats_cols,
         )
         return cls(spark, path)
 
@@ -252,6 +254,51 @@ class MorTable(LakeTable):
 
     def count(self) -> int:
         return self.read().count()
+
+    def scan(self, filters, buckets=None, version=None, tag=None) -> DataFrame:
+        """Filtered RESOLVED read with manifest pruning (LakeTable.scan
+        semantics on the latest-wins view).
+
+        Bucket pruning applies to base AND delta files — a key's rows
+        live only in its hash bucket on both sides. Per-file min/max
+        skipping applies to BASE files only, and only in whole-row delta
+        mode: there a delta row supersedes its base row outright, so a
+        pruned base file can only lose rows that fail the filter anyway
+        (the residual predicate runs on the resolved output). Deltas are
+        never file-pruned — a skipped delta would resurrect the base row
+        it supersedes. In patch mode (``mor_patch`` property) resolution
+        COALESCES columns from the base old image, so a pruned base file
+        could silently null a patched row's other columns: file skipping
+        is disabled until compaction drains the patch deltas and clears
+        the flag.
+        """
+        from datax_spark.lake.stats import filters_to_expr
+
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
+        snap = self.snapshot(version)
+        plan = self.plan_scan(
+            filters, buckets, snap.version,
+            prune_files=not snap.properties.get("mor_patch"),
+        )
+        payload = [
+            f.name for f in snap.schema.fields if f.name not in META_COLS
+        ]
+        not_tombstone = F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
+        base = self._read_files(plan["files"], snap.schema)
+        delta_files = self._abs_files(snap, plan["buckets"], "delta")
+        if delta_files:
+            delta = self._read_files(delta_files, snap.schema)
+            resolved = self._resolve_any(
+                snap, base, delta, self._delta_bytes(delta_files)
+            )
+        else:
+            resolved = base
+        out = resolved.filter(not_tombstone).select(*payload)
+        expr = filters_to_expr(filters)
+        return out.filter(expr) if expr is not None else out
 
     # ----------------------------------------------------------------- write
     def apply_deduped(
@@ -419,21 +466,60 @@ class MorTable(LakeTable):
         new_snap = self.commit_replace_buckets(
             snap.version, commit_rel, replaced_buckets=fragmented
         )
-        if snap.properties.get("mor_patch") and not any(new_snap.deltas.values()):
-            # All patch deltas folded: downgrade future reads to the cheap
-            # whole-row resolution. Metadata-only CAS with rebase=False —
-            # if a racing patch apply slips in, skip and stay conservative.
-            try:
-                new_snap = self.commit_replace_buckets(
-                    new_snap.version, "", [],
-                    property_updates={"mor_patch": False},
-                    rebase=False,
-                )
-            except CommitConflict:
-                pass
+        new_snap = self._maybe_clear_patch_flag(new_snap)
         files_after = sum(len(new_snap.buckets.get(str(b), [])) for b in fragmented)
         return {
             "compacted_buckets": len(fragmented),
             "files_before": files_before,
             "files_after": files_after,
         }
+
+    def _maybe_clear_patch_flag(self, new_snap: Snapshot) -> Snapshot:
+        """All patch deltas folded: downgrade future reads to the cheap
+        whole-row resolution (and re-enable scan's base file pruning).
+        Metadata-only CAS with rebase=False — if a racing patch apply
+        slips in, skip and stay conservative."""
+        if new_snap.properties.get("mor_patch") and not any(
+            new_snap.deltas.values()
+        ):
+            try:
+                return self.commit_replace_buckets(
+                    new_snap.version, "", [],
+                    property_updates={"mor_patch": False},
+                    rebase=False,
+                )
+            except CommitConflict:
+                pass
+        return new_snap
+
+    def _rewrite_source(self, snap: Snapshot, buckets: list[int]):
+        """Clustering rewrites fold live deltas in, resolved latest-wins
+        with tombstones dropped — same semantics as compaction (the
+        replace commit clears the buckets' delta lists), just re-laid as
+        sorted bounded files instead of one file per bucket."""
+        base = self._read_files(
+            self._abs_files(snap, buckets, "base"), snap.schema
+        )
+        delta_files = self._abs_files(snap, buckets, "delta")
+        if delta_files:
+            delta = self._read_files(delta_files, snap.schema)
+            out = self._resolve_any(
+                snap, base, delta, self._delta_bytes(delta_files)
+            )
+        else:
+            out = base
+        return out.filter(
+            F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
+        )
+
+    def rewrite_clustered(
+        self,
+        sort_cols: list[str],
+        target_file_rows: int = 1_000_000,
+        buckets: list[int] | None = None,
+        max_retries: int = 3,
+    ) -> Snapshot:
+        new_snap = super().rewrite_clustered(
+            sort_cols, target_file_rows, buckets, max_retries
+        )
+        return self._maybe_clear_patch_flag(new_snap)

@@ -75,6 +75,14 @@ class Snapshot:
     # insert-only appends); delta files overlap base keys and each other
     # and are resolved at read (lake/mor.py). Always {} for COW tables.
     deltas: dict[str, list[str]] = field(default_factory=dict)
+    # bucket id -> {file relpath -> {col: [min, max]}} parquet footer
+    # bounds for the table's ``stats_cols`` property (lake/stats.py) —
+    # the manifest-level file-skipping index used by ``scan``. Populated
+    # only for BASE files (deltas are never pruned: a skipped delta
+    # could resurrect a superseded base row). {} when stats are off.
+    file_stats: dict[str, dict[str, dict[str, list]]] = field(
+        default_factory=dict
+    )
 
     @property
     def schema(self) -> StructType:
@@ -89,6 +97,7 @@ class Snapshot:
                 "properties": self.properties,
                 "lineage": self.lineage,
                 "deltas": self.deltas,
+                "file_stats": self.file_stats,
             },
             sort_keys=True,
         )
@@ -103,6 +112,7 @@ class Snapshot:
             properties=d.get("properties", {}),
             lineage=d.get("lineage", {}),
             deltas=d.get("deltas", {}),
+            file_stats=d.get("file_stats", {}),
         )
 
     # Sharded-manifest bookkeeping (set by LakeTable load/commit paths):
@@ -175,8 +185,15 @@ class LakeTable:
         num_buckets: int = 16,
         extra_properties: dict[str, Any] | None = None,
         manifest_mode: str = "sharded",
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         """Create the table.
+
+        ``stats_cols``: columns whose per-file [min, max] footer bounds
+        are recorded in the manifest at every write (lake/stats.py) so
+        ``scan(filters=...)`` can skip files driver-side. Opt-in: the
+        footer harvest is metadata-only but still nonzero work, and
+        hash-bucketed columns gain nothing from it.
 
         ``manifest_mode='sharded'`` (default) stores each bucket's file
         list in a content-addressed side file under ``_manifests/refs/``;
@@ -204,6 +221,7 @@ class LakeTable:
                 "num_buckets": num_buckets,
                 "streams": {},
                 "manifest_mode": manifest_mode,
+                "stats_cols": list(stats_cols or []),
                 **(extra_properties or {}),
             },
         )
@@ -237,9 +255,11 @@ class LakeTable:
             mpath = os.path.join(self.path, MANIFEST_DIR, f"v{v:08d}.json")
         with open(mpath) as f:
             d = json.loads(f.read())
-        refs: dict[str, dict[str, str]] = {"buckets": {}, "deltas": {}}
-        for kind in ("buckets", "deltas"):
-            resolved: dict[str, list[str]] = {}
+        refs: dict[str, dict[str, str]] = {
+            "buckets": {}, "deltas": {}, "file_stats": {}
+        }
+        for kind in ("buckets", "deltas", "file_stats"):
+            resolved: dict[str, Any] = {}
             for b, v_ in d.get(kind, {}).items():
                 if isinstance(v_, dict) and "@ref" in v_:
                     refs[kind][b] = v_["@ref"]
@@ -255,14 +275,16 @@ class LakeTable:
             properties=d.get("properties", {}),
             lineage=d.get("lineage", {}),
             deltas=d.get("deltas", {}),
+            file_stats=d.get("file_stats", {}),
         )
         snap._refs = refs
         return snap
 
     def _shard_lists(
-        self, kind: str, table: dict[str, list[str]], base: Snapshot | None
+        self, kind: str, table: dict[str, Any], base: Snapshot | None
     ) -> tuple[dict[str, Any], dict[str, str]]:
-        """File lists -> {bucket: {"@ref": path}} side-file pointers.
+        """Per-bucket values -> {bucket: {"@ref": path}} side-file pointers
+        (file lists for buckets/deltas, per-file stats maps for file_stats).
 
         An UNTOUCHED bucket (same list OBJECT as the base snapshot's —
         commit paths build new dicts via ``dict(base.buckets)``, which
@@ -279,7 +301,7 @@ class LakeTable:
         for b, files in table.items():
             ref = base_refs.get(b)
             if ref is None or base_lists.get(b) is not files:
-                blob = json.dumps(files).encode()
+                blob = json.dumps(files, sort_keys=True).encode()
                 h = hashlib.sha256(blob).hexdigest()[:24]
                 ref = os.path.join(REFS_DIR, f"{kind[0]}-{h}.json")
                 final = os.path.join(self.path, ref)
@@ -307,13 +329,20 @@ class LakeTable:
             "properties": snap.properties,
             "lineage": snap.lineage,
             "deltas": snap.deltas,
+            "file_stats": snap.file_stats,
         }
         if snap.properties.get("manifest_mode") == "sharded":
             b_out, b_refs = self._shard_lists("buckets", snap.buckets, base)
             d_out, d_refs = self._shard_lists("deltas", snap.deltas, base)
+            s_out, s_refs = self._shard_lists(
+                "file_stats", snap.file_stats, base
+            )
             doc["buckets"] = b_out
             doc["deltas"] = d_out
-            snap._refs = {"buckets": b_refs, "deltas": d_refs}
+            doc["file_stats"] = s_out
+            snap._refs = {
+                "buckets": b_refs, "deltas": d_refs, "file_stats": s_refs
+            }
         final = self._manifest_path(snap.version)
         tmp = final + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -371,6 +400,109 @@ class LakeTable:
             version = self.resolve_tag(tag)
         snap = self.snapshot(version)
         return self._read_files(self._abs_files(snap, buckets), snap.schema)
+
+    # ---------------------------------------------------------- pruned scans
+    def _bucket_id_of(self, snap: Snapshot, value: Any) -> int:
+        """Bucket id a bucket_key value hashes to.
+
+        One 1-row local job through the SAME JVM xxhash64 the write path
+        uses (bucket_expr), cast to the column's stored type first — the
+        driver never reimplements the hash, so write and prune can't
+        drift.
+        """
+        props = snap.properties
+        key = props["bucket_key"]
+        dt = {f.name: f.dataType for f in snap.schema.fields}[key]
+        row = self.spark.range(1).select(F.lit(value).cast(dt).alias(key))
+        return int(row.select(bucket_expr(key, props["num_buckets"]).alias("b")).first()["b"])
+
+    def plan_scan(
+        self,
+        filters: list[tuple[str, str, Any]],
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        tag: str | None = None,
+        prune_files: bool = True,
+    ) -> dict[str, Any]:
+        """Driver-side pruning plan for ``scan`` — which buckets and base
+        files a filtered read must touch.
+
+        Two passes, both pure manifest metadata (no Spark job except the
+        1-row bucket hash):
+
+        - **bucket pruning**: an ``=`` filter on the table's bucket key
+          pins its hash bucket — 1/num_buckets of the table;
+        - **file skipping**: per-file [min, max] footer bounds recorded
+          at write time for ``stats_cols`` (lake/stats.py) drop base
+          files whose range can't contain a matching row. CDC/append
+          commits cluster naturally on seq/event-time, so range scans
+          touch only the commits in range.
+
+        Returns ``{"version", "buckets", "files", "files_total",
+        "files_kept"}``; ``files`` are absolute base-file paths.
+        """
+        from datax_spark.lake.stats import file_survives, validate_filters
+
+        validate_filters(filters)
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
+        snap = self.snapshot(version)
+        props = snap.properties
+        sel = (
+            sorted(set(snap.buckets) | set(snap.deltas), key=int)
+            if buckets is None
+            else [str(b) for b in buckets]
+        )
+        for col, op, val in filters:
+            if op == "=" and col == props.get("bucket_key") and val is not None:
+                hit = str(self._bucket_id_of(snap, val))
+                sel = [b for b in sel if b == hit]
+        files: list[str] = []
+        total = kept = 0
+        for b in sel:
+            stats_b = snap.file_stats.get(b, {})
+            for rel in snap.buckets.get(b, []):
+                total += 1
+                if prune_files and not file_survives(stats_b.get(rel), filters):
+                    continue
+                kept += 1
+                files.append(os.path.join(self.path, rel))
+        return {
+            "version": snap.version,
+            "buckets": [int(b) for b in sel],
+            "files": files,
+            "files_total": total,
+            "files_kept": kept,
+        }
+
+    def scan(
+        self,
+        filters: list[tuple[str, str, Any]],
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Filtered read with manifest-level pruning.
+
+        ``filters`` is a conjunction of ``(column, op, literal)`` with op
+        in ``= < <= > >=``. Bucket pruning + per-file min/max skipping
+        happen driver-side (plan_scan) BEFORE Spark plans the read, so at
+        100-TB file counts the cluster opens O(surviving files), not
+        every footer; the FULL predicate is then re-applied to the
+        surviving rows, so pruning is an optimization, never a semantics
+        change. The reference's analog is WHERE pushdown into the
+        generated scan SQL (plugin-rdbms-util/.../SingleTableSplitUtil
+        .java:126-139) — here the "index" is the manifest itself.
+        """
+        from datax_spark.lake.stats import filters_to_expr
+
+        plan = self.plan_scan(filters, buckets, version, tag)
+        snap = self.snapshot(plan["version"])
+        df = self._read_files(plan["files"], snap.schema)
+        expr = filters_to_expr(filters)
+        return df.filter(expr) if expr is not None else df
 
     # ------------------------------------------------------------------ tags
     def _tag_path(self, name: str) -> str:
@@ -634,6 +766,22 @@ class LakeTable:
                             tgt.pop(b, None)
                     for b, files in app.items():
                         tgt[b] = tgt.get(b, []) + files
+                # file-skipping stats ride the rebase: a replayed bucket
+                # takes the BRANCH snapshot's bounds for its files (or
+                # drops the entry — absent stats never mis-prune, they
+                # just don't prune), appends merge the new files' bounds
+                file_stats = dict(base.file_stats)
+                for b, files in repl_base.items():
+                    st = snap.file_stats.get(b)
+                    if files and st:
+                        file_stats[b] = {rel: st.get(rel, {}) for rel in files}
+                    else:
+                        file_stats.pop(b, None)
+                for b, files in app_base.items():
+                    st = snap.file_stats.get(b) or {}
+                    add = {rel: st[rel] for rel in files if rel in st}
+                    if add:
+                        file_stats[b] = {**file_stats.get(b, {}), **add}
                 props = json.loads(json.dumps(base.properties))
                 if stream_updates:
                     props.setdefault(streams_key, {}).update(stream_updates)
@@ -648,28 +796,48 @@ class LakeTable:
                     properties=props,
                     lineage=lineage,
                     deltas=deltas,
+                    file_stats=file_stats,
                 )
 
             self._commit_loop(orig, build, check, rebase=True, max_retries=5)
         return self.current_version()
 
     # --------------------------------------------------------------- commits
-    def write_bucket_data(self, df: DataFrame, num_buckets: int, bucket_key: str) -> str:
+    def write_bucket_data(
+        self,
+        df: DataFrame,
+        num_buckets: int,
+        bucket_key: str,
+        sort_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> str:
         """Write ``df`` partitioned by bucket under a fresh staging dir.
 
         Returns the staging dir relpath. One Spark write job; files land
         directly in their final location (immutable), so publish is
         manifest-only — no rename storm (contrast DataX's per-file rename
         two-phase commit, hdfswriter/.../HdfsHelper.java:207-248).
+
+        ``sort_cols`` sorts rows WITHIN each bucket before writing and
+        ``max_records_per_file`` chunks the sorted run into bounded
+        files — together they produce range-CLUSTERED files whose footer
+        [min, max] bounds are near-disjoint, which is what makes
+        manifest file skipping (lake/stats.py) effective inside a bucket
+        (rewrite_clustered). Plain writes leave both off: no extra sort.
         """
         commit_rel = os.path.join(DATA_DIR, f"commit-{uuid.uuid4().hex}")
         out = os.path.join(self.path, commit_rel)
-        (
-            df.withColumn(BUCKET_COL, bucket_expr(bucket_key, num_buckets))
-            .repartition(BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .parquet(out)
-        )
+        staged = df.withColumn(
+            BUCKET_COL, bucket_expr(bucket_key, num_buckets)
+        ).repartition(BUCKET_COL)
+        if sort_cols:
+            # bucket-major so each bucket's rows stay contiguous in the
+            # task even when hash slots collide buckets
+            staged = staged.sortWithinPartitions(BUCKET_COL, *sort_cols)
+        writer = staged.write.partitionBy(BUCKET_COL)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(out)
         return commit_rel
 
     @staticmethod
@@ -689,6 +857,26 @@ class LakeTable:
             if files:
                 out[b] = files
         return out
+
+    def _harvest_staged_stats(
+        self, snap: Snapshot, staged: dict[str, list[str]]
+    ) -> dict[str, dict[str, dict[str, list]]]:
+        """Footer [min, max] bounds for staged files on the table's
+        ``stats_cols`` — the write-time half of manifest file skipping
+        (lake/stats.py). Pure parquet-metadata reads, no data scan; {}
+        when the table opted out. Runs once per commit, BEFORE the CAS
+        loop, so rebase retries never re-read footers."""
+        cols = snap.properties.get("stats_cols") or []
+        if not cols or not staged:
+            return {}
+        from datax_spark.lake.stats import collect_footer_stats
+
+        rel_files = [rel for files in staged.values() for rel in files]
+        per_file = collect_footer_stats(self.spark, self.path, rel_files, cols)
+        return {
+            b: {rel: per_file.get(rel, {}) for rel in files}
+            for b, files in staged.items()
+        }
 
     # ------------------------------------------------- optimistic concurrency
     def _check_stream_fence(
@@ -774,6 +962,7 @@ class LakeTable:
         rebase: bool = True,
         max_retries: int = 5,
         property_updates: dict[str, Any] | None = None,
+        file_stats_updates: dict[str, dict[str, dict[str, list]]] | None = None,
     ) -> Snapshot:
         """Publish a snapshot replacing ``replaced_buckets`` with staged files.
 
@@ -781,13 +970,19 @@ class LakeTable:
         was superseded meanwhile, the commit REBASES automatically when
         safe — no intervening commit touched the replaced buckets and no
         stream fence was crossed — and raises CommitConflict otherwise
-        (or always, with ``rebase=False``).
+        (or always, with ``rebase=False``). A replaced bucket's old file
+        stats are always dropped (stale bounds would mis-prune);
+        ``file_stats_updates`` installs the new files' bounds.
         """
         orig = self.snapshot(base_version)
         staged = (
             self._list_staged(self.path, commit_rel) if commit_rel else {}
         )
         want_schema = schema or orig.schema
+        if file_stats_updates is None:
+            fsu = self._harvest_staged_stats(orig, staged)
+        else:
+            fsu = {str(b): v for b, v in file_stats_updates.items()}
 
         def check(cur: Snapshot) -> None:
             self._check_stream_fence(cur, stream_updates)
@@ -796,6 +991,7 @@ class LakeTable:
         def build(base: Snapshot) -> Snapshot:
             buckets = dict(base.buckets)
             deltas = dict(base.deltas)
+            file_stats = dict(base.file_stats)
             for b in replaced_buckets:
                 sb = str(b)
                 if sb in staged:
@@ -804,6 +1000,10 @@ class LakeTable:
                     buckets.pop(sb, None)  # bucket emptied (all rows deleted)
                 # replacing a bucket folds its deltas into the new base files
                 deltas.pop(sb, None)
+                if sb in fsu:
+                    file_stats[sb] = fsu[sb]
+                else:
+                    file_stats.pop(sb, None)
             props = json.loads(json.dumps(base.properties))
             if stream_updates:
                 props.setdefault("streams", {}).update(stream_updates)
@@ -821,6 +1021,7 @@ class LakeTable:
                 properties=props,
                 lineage=lineage,
                 deltas=deltas,
+                file_stats=file_stats,
             )
 
         return self._commit_loop(orig, build, check, rebase, max_retries)
@@ -971,6 +1172,7 @@ class LakeTable:
         rebase: bool = True,
         max_retries: int = 5,
         property_updates: dict[str, Any] | None = None,
+        file_stats_updates: dict[str, dict[str, dict[str, list]]] | None = None,
     ) -> Snapshot:
         """Publish a snapshot APPENDING staged files to their buckets.
 
@@ -992,6 +1194,10 @@ class LakeTable:
         orig = self.snapshot(base_version)
         staged = self._list_staged(self.path, commit_rel)
         want_schema = schema or orig.schema
+        if file_stats_updates is None and not as_delta:
+            fsu = self._harvest_staged_stats(orig, staged)
+        else:
+            fsu = {str(b): v for b, v in (file_stats_updates or {}).items()}
 
         def check(cur: Snapshot) -> None:
             self._check_stream_fence(cur, stream_updates)
@@ -999,9 +1205,15 @@ class LakeTable:
         def build(base: Snapshot) -> Snapshot:
             buckets = dict(base.buckets)
             deltas = dict(base.deltas)
+            file_stats = dict(base.file_stats)
             target = deltas if as_delta else buckets
             for b, files in staged.items():
                 target[b] = target.get(b, []) + files
+            if not as_delta:
+                # appended files extend the bucket: merge their bounds in
+                # (existing files are immutable, their stats stay valid)
+                for b, per_file in fsu.items():
+                    file_stats[b] = {**file_stats.get(b, {}), **per_file}
             props = json.loads(json.dumps(base.properties))
             if stream_updates:
                 props.setdefault("streams", {}).update(stream_updates)
@@ -1017,6 +1229,7 @@ class LakeTable:
                 properties=props,
                 lineage=lineage,
                 deltas=deltas,
+                file_stats=file_stats,
             )
 
         return self._commit_loop(orig, build, check, rebase, max_retries)
@@ -1096,6 +1309,66 @@ class LakeTable:
             "files_before": files_before,
             "files_after": files_after,
         }
+
+    def rewrite_clustered(
+        self,
+        sort_cols: list[str],
+        target_file_rows: int = 1_000_000,
+        buckets: list[int] | None = None,
+        max_retries: int = 3,
+    ) -> Snapshot:
+        """Rewrite buckets with rows sorted by ``sort_cols`` into files of
+        at most ``target_file_rows`` rows — the Delta ``OPTIMIZE ZORDER``
+        analog (1-D linear clustering).
+
+        Hash bucketing spreads a key's rows for join/merge locality, but
+        it leaves every file spanning the full range of any OTHER column
+        — so manifest file skipping (scan/plan_scan) can't prune inside a
+        bucket. This maintenance rewrite re-lays each bucket's data as a
+        sorted run chunked into bounded files with near-disjoint footer
+        bounds: a seq/event-time range scan then touches O(range) files
+        per bucket instead of all of them. At 100 TB a bucket is many
+        files, which is exactly when this matters. Stats for the new
+        files are harvested by the replace commit as usual; a lost
+        commit race re-runs against the winner's snapshot.
+        """
+        for attempt in range(max_retries + 1):
+            try:
+                return self._rewrite_clustered_once(
+                    sort_cols, target_file_rows, buckets
+                )
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _rewrite_clustered_once(
+        self,
+        sort_cols: list[str],
+        target_file_rows: int,
+        buckets: list[int] | None,
+    ) -> Snapshot:
+        snap = self.snapshot()
+        props = snap.properties
+        sel = (
+            sorted(int(b) for b in set(snap.buckets) | set(snap.deltas))
+            if buckets is None
+            else list(buckets)
+        )
+        df = self._rewrite_source(snap, sel)
+        commit_rel = self.write_bucket_data(
+            df, props["num_buckets"], props["bucket_key"],
+            sort_cols=sort_cols, max_records_per_file=target_file_rows,
+        )
+        return self.commit_replace_buckets(
+            snap.version, commit_rel, replaced_buckets=sel
+        )
+
+    def _rewrite_source(self, snap: Snapshot, buckets: list[int]) -> DataFrame:
+        """Rows a clustering rewrite must carry for ``buckets`` — the raw
+        base files on COW; MorTable overrides to fold live deltas in
+        (the replace commit clears their lists)."""
+        return self._read_files(self._abs_files(snap, buckets), snap.schema)
 
     def vacuum(self, keep_last: int = 2, min_age_sec: float = 0.0) -> dict[str, int]:
         """Drop old snapshots and delete data files they alone reference.
