@@ -548,6 +548,46 @@ def q_cdc_mor_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_eq_delete_apply(spark, sf_dir):
+    """Merge-on-read apply with EQUALITY-DELETE files (Iceberg v2 delete-
+    file analog): deletes land as narrow (key, _seq) files committed
+    atomically with the upsert delta, applied at read as ONE broadcast
+    join over the resolved view (lake/mor.py delete_encoding='eq').
+    Value-checked against the SAME SQL replay oracle as cdc_lake_apply /
+    cdc_mor_apply — the encoding must be invisible in the final state.
+    Reference semantics: otswriter DeleteRow vs PutRow op taxonomy
+    (otswriter/.../model/OTSOpType.java) under the seq total order.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
+    chg = chg.select(
+        F.col("repo").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("na").alias("lang"),
+        "content",
+        "op",
+        "seq",
+    )
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_eqdel_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = MorTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(delete_encoding="eq")
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1, cfg)
+    return table.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_sql_view(spark, sf_dir):
     """spark.sql over a lake-table view: the engine's SQL surface.
 
@@ -970,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine": q_cdc_quarantine,
         "cdc_lake_apply": q_cdc_lake_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
+        "cdc_eq_delete_apply": q_cdc_eq_delete_apply,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_mor_patch_apply": q_cdc_mor_patch_apply,
         "cdc_change_feed": q_cdc_change_feed,
@@ -1302,6 +1343,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["cdc_lake_apply"] = _lake_final
     sql["cdc_mor_apply"] = _lake_final
+    sql["cdc_eq_delete_apply"] = _lake_final
     # writeMode=update replay: batch-latest images patch the prior state
     # column-wise (coalesce new, old) at each batch boundary.
     sql["cdc_patch_apply"] = f"""

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "cdc_apply_events",
     "cdc_lake_apply",
     "cdc_mor_apply",
+    "cdc_eq_delete_apply",
     "cdc_patch_apply",
     "cdc_mor_patch_apply",
     "cdc_change_feed",
@@ -117,7 +118,8 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     cow_times: list[float] = []
     mor_times: list[float] = []
-    mor = None
+    eq_times: list[float] = []
+    mor = eq = None
     for rep in range(reps):
         table = LakeTable.create(
             spark, os.path.join(root, f"lake{rep}"), schema,
@@ -134,8 +136,21 @@ def bench_cdc_apply(spark, sf: float) -> dict:
         t0 = time.monotonic()
         apply_segments(spark, mor, logdir, config=PipelineConfig())
         mor_times.append(time.monotonic() - t0)
+
+        # equality-delete encoding (Iceberg v2 delete files): deletes as
+        # narrow key files instead of inline tombstone rows
+        eq = MorTable.create(
+            spark, os.path.join(root, f"eqmor{rep}"), schema,
+            ["repo", "path", "commit"], "repo", 32,
+        )
+        t0 = time.monotonic()
+        apply_segments(
+            spark, eq, logdir, config=PipelineConfig(delete_encoding="eq")
+        )
+        eq_times.append(time.monotonic() - t0)
     dt = min(cow_times)
     mor_dt = min(mor_times)
+    eq_dt = min(eq_times)
     # Resolved-read cost, pre- and post-compaction (the round-2 MOR read
     # path: base anti-joins broadcast delta keys, only deltas shuffle).
     t0 = time.monotonic()
@@ -145,6 +160,10 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     t0 = time.monotonic()
     assert mor.read().count() == n_resolved
     mor_read_compacted_dt = time.monotonic() - t0
+    t0 = time.monotonic()
+    n_eq_resolved = eq.read().count()
+    eq_read_dt = time.monotonic() - t0
+    assert n_eq_resolved == n_resolved, (n_eq_resolved, n_resolved)
     return {
         "events": n_events,
         "apply_sec": round(dt, 2),
@@ -155,6 +174,10 @@ def bench_cdc_apply(spark, sf: float) -> dict:
         "mor_events_per_sec": round(n_events / mor_dt),
         "mor_read_sec": round(mor_read_dt, 2),
         "mor_read_postcompact_sec": round(mor_read_compacted_dt, 2),
+        "eq_apply_sec": round(eq_dt, 2),
+        "eq_apply_sec_reps": [round(t, 2) for t in eq_times],
+        "eq_events_per_sec": round(n_events / eq_dt),
+        "eq_read_sec": round(eq_read_dt, 2),
     }
 
 

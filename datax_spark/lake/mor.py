@@ -71,6 +71,38 @@ META_COLS = (SEQ_META, OP_META, PATCH_META)
 # cannot fit on one node, and compaction policy (maybe_compact) exists
 # precisely to keep deltas far below this regime.
 BROADCAST_DELTA_BYTES = 256 << 20
+# Alias for the per-key max delete sequence column used internally by the
+# equality-delete filter; never appears in user-visible output.
+EQ_DMAX = "_eq_dmax"
+
+
+def eq_delete_schema(schema: StructType, key_cols: list[str]) -> StructType:
+    """Schema of an equality-delete file: the key columns + ``_seq``.
+
+    The Iceberg v2 equality-delete-file analog: a delete is encoded as a
+    NARROW row (keys + the delete's sequence number) instead of a
+    full-width tombstone row — at 100 TB, delete files stay tiny no
+    matter how wide the payload is, and the read-side filter only ever
+    broadcasts keys.
+    """
+    fields = {f.name: f for f in schema.fields}
+    return StructType(
+        [StructField(k, fields[k].dataType) for k in key_cols]
+        + [StructField(SEQ_META, LongType())]
+    )
+
+
+def _filter_eq_deleted(df: DataFrame, dmax: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Drop rows superseded by an equality delete: a row is dead iff an
+    eq-delete exists for its key with delete_seq >= row seq (NULL row seq
+    = bulk-loaded pre-stream rows, dead to ANY delete). ``dmax`` is the
+    per-key max delete seq — tiny, so it broadcasts; the (100-TB) data
+    side is never shuffled."""
+    joined = df.join(F.broadcast(dmax), on=key_cols, how="left")
+    alive = F.col(EQ_DMAX).isNull() | (
+        F.coalesce(F.col(SEQ_META), F.lit(-(1 << 62))) > F.col(EQ_DMAX)
+    )
+    return joined.filter(alive).drop(EQ_DMAX)
 
 
 class MorTable(LakeTable):
@@ -218,17 +250,53 @@ class MorTable(LakeTable):
         ]
         return survivors.unionByName(joined.select(*cols))
 
-    def _resolve_any(
-        self, snap: Snapshot, base: DataFrame, delta: DataFrame,
-        delta_bytes: int,
-    ) -> DataFrame:
-        """Pick the resolution strategy: the cheap whole-row path unless
-        any patch delta may exist (snapshot property ``mor_patch``, set by
-        patch applies and cleared when compaction drains all deltas)."""
+    def _eq_dmax(self, snap: Snapshot, buckets) -> DataFrame | None:
+        """Per-key max equality-delete seq for ``buckets`` (None if the
+        buckets carry no eq-delete files). One narrow scan + one tiny
+        aggregation — delete-file-sized, never table-sized."""
+        files = self._abs_files(snap, buckets, "eq")
+        if not files:
+            return None
         key_cols = snap.properties["key_cols"]
+        eq = self._read_files(files, eq_delete_schema(snap.schema, key_cols))
+        return eq.groupBy(*key_cols).agg(F.max(SEQ_META).alias(EQ_DMAX))
+
+    def _resolve_any(
+        self, snap: Snapshot, base: DataFrame, delta: DataFrame | None,
+        delta_bytes: int, buckets=None,
+    ) -> DataFrame:
+        """Resolution dispatch + equality-delete application.
+
+        Strategy: the cheap whole-row path unless any patch delta may
+        exist (snapshot property ``mor_patch``, set by patch applies and
+        cleared when compaction drains all deltas). ``delta=None`` means
+        no delta files (base-only view, still eq-filtered).
+
+        Eq-delete placement differs by mode, deliberately:
+        - whole-row: filter the RESOLVED output — one broadcast join
+          total. Equivalent to pre-filtering both sides because
+          latest-wins is monotone in seq AND the seq replay-order
+          contract (NOTES.md) guarantees delta/delete seqs exceed any
+          base seq, so a delete can never be stale vs the base;
+        - patch: pre-filter base AND delta — a patch row older than a
+          delete must not contribute column values (the delete rebuilt
+          the row from NULLs), which a post-filter can't express.
+        """
+        key_cols = snap.properties["key_cols"]
+        dmax = self._eq_dmax(snap, buckets)
+        if delta is None:
+            if dmax is not None:
+                base = _filter_eq_deleted(base, dmax, key_cols)
+            return base
         if snap.properties.get("mor_patch"):
+            if dmax is not None:
+                base = _filter_eq_deleted(base, dmax, key_cols)
+                delta = _filter_eq_deleted(delta, dmax, key_cols)
             return self._resolve_patch(base, delta, key_cols, delta_bytes)
-        return self._resolve(base, delta, key_cols, delta_bytes)
+        out = self._resolve(base, delta, key_cols, delta_bytes)
+        if dmax is not None:
+            out = _filter_eq_deleted(out, dmax, key_cols)
+        return out
 
     def read(self, buckets=None, version=None, tag=None) -> DataFrame:
         """Resolved view: latest-wins per key, tombstones removed.
@@ -244,11 +312,9 @@ class MorTable(LakeTable):
         not_tombstone = F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
         base = self._read_files(self._abs_files(snap, buckets, "base"), snap.schema)
         delta_files = self._abs_files(snap, buckets, "delta")
-        if not delta_files:
-            return base.filter(not_tombstone).select(*payload)
-        delta = self._read_files(delta_files, snap.schema)
+        delta = self._read_files(delta_files, snap.schema) if delta_files else None
         resolved = self._resolve_any(
-            snap, base, delta, self._delta_bytes(delta_files)
+            snap, base, delta, self._delta_bytes(delta_files), buckets
         )
         return resolved.filter(not_tombstone).select(*payload)
 
@@ -289,13 +355,12 @@ class MorTable(LakeTable):
         not_tombstone = F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
         base = self._read_files(plan["files"], snap.schema)
         delta_files = self._abs_files(snap, plan["buckets"], "delta")
-        if delta_files:
-            delta = self._read_files(delta_files, snap.schema)
-            resolved = self._resolve_any(
-                snap, base, delta, self._delta_bytes(delta_files)
-            )
-        else:
-            resolved = base
+        delta = self._read_files(delta_files, snap.schema) if delta_files else None
+        # eq-delete filtering only removes rows, so base file pruning
+        # stays sound in whole-row mode exactly as without it
+        resolved = self._resolve_any(
+            snap, base, delta, self._delta_bytes(delta_files), plan["buckets"]
+        )
         out = resolved.filter(not_tombstone).select(*payload)
         expr = filters_to_expr(filters)
         return out.filter(expr) if expr is not None else out
@@ -308,6 +373,7 @@ class MorTable(LakeTable):
         stream_id: str = "default",
         bucket_stats: list | None = None,
         patch: bool = False,
+        delete_encoding: str = "inline",
     ) -> MergeResult:
         """Append one deduplicated change batch — O(batch), no read-back.
 
@@ -315,7 +381,23 @@ class MorTable(LakeTable):
         (ots UpdateRow / writeMode=update): resolution coalesces NULL
         columns from older state instead of overwriting (_resolve_patch).
         Still O(batch) at write — the patch cost is paid at read/compact.
+
+        ``delete_encoding``: how delete ops land.
+        - ``'inline'`` (default): full-width tombstone rows in the delta
+          files, resolved by latest-wins seq order.
+        - ``'eq'``: the Iceberg v2 equality-delete-file analog — deletes
+          are split out as NARROW (key_cols, _seq) files appended to the
+          buckets' ``eq_deletes`` list in the SAME atomic commit as the
+          upsert delta. At read, the per-key max delete seq broadcasts
+          and filters base+delta before resolution; compaction folds and
+          clears them. Wins when payload rows are wide (repo content):
+          delete bytes shrink from full rows to keys, and the read-side
+          delete work is a broadcast instead of rows in the dedup
+          shuffle. Requires the seq total order (NOTES.md replay-order
+          contract) — a delete kills exactly the rows with seq <= its own.
         """
+        if delete_encoding not in ("inline", "eq"):
+            raise ValueError(f"unknown delete_encoding {delete_encoding!r}")
         base_version = self.current_version()
         snap = self.snapshot(base_version)
         props = snap.properties
@@ -360,6 +442,34 @@ class MorTable(LakeTable):
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         delta = deduped_changes.select(*cols)
 
+        eq_commit_rel = None
+        if delete_encoding == "eq":
+            # split: upserts stay full-width delta rows; deletes become
+            # narrow (key, seq) equality-delete files. Both staged writes
+            # publish in ONE commit below (atomic).
+            key_cols = props["key_cols"]
+            eq_keys = deduped_changes.filter(
+                F.col("op") == DELETE_OP
+            ).select(
+                *[
+                    F.col(k).cast(
+                        {f.name: f.dataType for f in snap.schema.fields}[k]
+                    ).alias(k)
+                    for k in key_cols
+                ],
+                F.col("seq").cast("long").alias(SEQ_META),
+            )
+            delta = delta.filter(F.col(OP_META) != DELETE_OP)
+            n_deletes = (
+                sum(r["deletes"] for r in bucket_stats)
+                if bucket_stats is not None
+                else None
+            )
+            if n_deletes is None or n_deletes > 0:
+                eq_commit_rel = self.write_bucket_data(
+                    eq_keys, props["num_buckets"], props["bucket_key"]
+                )
+
         commit_rel = self.write_bucket_data(
             delta, props["num_buckets"], props["bucket_key"]
         )
@@ -375,6 +485,10 @@ class MorTable(LakeTable):
             deletes = sum(r["deletes"] for r in bucket_stats)
             events = sum(r["events"] for r in bucket_stats)
         staged = self._list_staged(self.path, commit_rel)
+        if eq_commit_rel is not None:
+            staged = {
+                **self._list_staged(self.path, eq_commit_rel), **staged
+            }
         new_snap = self.commit_append_buckets(
             base_version,
             commit_rel,
@@ -383,6 +497,7 @@ class MorTable(LakeTable):
             lineage_updates=lineage,
             as_delta=True,
             property_updates={"mor_patch": True} if patch else None,
+            eq_commit_rel=eq_commit_rel,
         )
         return MergeResult(
             version=new_snap.version,
@@ -394,7 +509,11 @@ class MorTable(LakeTable):
 
     # ----------------------------------------------------------- maintenance
     def _bucket_file_count(self, snap: Snapshot, b: str) -> int:
-        return len(snap.buckets.get(b, [])) + len(snap.deltas.get(b, []))
+        return (
+            len(snap.buckets.get(b, []))
+            + len(snap.deltas.get(b, []))
+            + len(snap.eq_deletes.get(b, []))
+        )
 
     def _side_bytes(self, snap: Snapshot, source: str) -> int:
         return self._delta_bytes(self._abs_files(snap, None, source))
@@ -415,7 +534,9 @@ class MorTable(LakeTable):
         listing, no Spark job.
         """
         snap = self.snapshot()
-        delta_b = self._side_bytes(snap, "delta")
+        # eq-delete files count toward the "unresolved" side: they cost a
+        # broadcast join per read exactly like deltas cost the dedup
+        delta_b = self._side_bytes(snap, "delta") + self._side_bytes(snap, "eq")
         base_b = self._side_bytes(snap, "base")
         fragmented = any(
             self._bucket_file_count(snap, b) > max_files_per_bucket
@@ -436,7 +557,7 @@ class MorTable(LakeTable):
         """
         snap = self.snapshot()
         props = snap.properties
-        all_buckets = set(snap.buckets) | set(snap.deltas)
+        all_buckets = set(snap.buckets) | set(snap.deltas) | set(snap.eq_deletes)
         fragmented = [
             int(b) for b in all_buckets
             if self._bucket_file_count(snap, b) > max_files_per_bucket
@@ -450,13 +571,10 @@ class MorTable(LakeTable):
             self._abs_files(snap, fragmented, "base"), snap.schema
         )
         delta_files = self._abs_files(snap, fragmented, "delta")
-        if delta_files:
-            delta = self._read_files(delta_files, snap.schema)
-            resolved = self._resolve_any(
-                snap, base, delta, self._delta_bytes(delta_files)
-            )
-        else:
-            resolved = base
+        delta = self._read_files(delta_files, snap.schema) if delta_files else None
+        resolved = self._resolve_any(
+            snap, base, delta, self._delta_bytes(delta_files), fragmented
+        )
         resolved = resolved.filter(
             F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
         )
@@ -501,13 +619,10 @@ class MorTable(LakeTable):
             self._abs_files(snap, buckets, "base"), snap.schema
         )
         delta_files = self._abs_files(snap, buckets, "delta")
-        if delta_files:
-            delta = self._read_files(delta_files, snap.schema)
-            out = self._resolve_any(
-                snap, base, delta, self._delta_bytes(delta_files)
-            )
-        else:
-            out = base
+        delta = self._read_files(delta_files, snap.schema) if delta_files else None
+        out = self._resolve_any(
+            snap, base, delta, self._delta_bytes(delta_files), buckets
+        )
         return out.filter(
             F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
         )

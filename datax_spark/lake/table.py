@@ -83,6 +83,12 @@ class Snapshot:
     file_stats: dict[str, dict[str, dict[str, list]]] = field(
         default_factory=dict
     )
+    # bucket id -> EQUALITY-DELETE file relpaths (Iceberg v2 format
+    # analog, lake/mor.py): narrow files holding only (key_cols, _seq);
+    # a row anywhere in the bucket with matching key and _seq <= the
+    # delete's is dead at read time. Always {} for COW tables and for
+    # MOR tables using inline tombstone rows.
+    eq_deletes: dict[str, list[str]] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -98,6 +104,7 @@ class Snapshot:
                 "lineage": self.lineage,
                 "deltas": self.deltas,
                 "file_stats": self.file_stats,
+                "eq_deletes": self.eq_deletes,
             },
             sort_keys=True,
         )
@@ -113,6 +120,7 @@ class Snapshot:
             lineage=d.get("lineage", {}),
             deltas=d.get("deltas", {}),
             file_stats=d.get("file_stats", {}),
+            eq_deletes=d.get("eq_deletes", {}),
         )
 
     # Sharded-manifest bookkeeping (set by LakeTable load/commit paths):
@@ -256,9 +264,9 @@ class LakeTable:
         with open(mpath) as f:
             d = json.loads(f.read())
         refs: dict[str, dict[str, str]] = {
-            "buckets": {}, "deltas": {}, "file_stats": {}
+            "buckets": {}, "deltas": {}, "file_stats": {}, "eq_deletes": {}
         }
-        for kind in ("buckets", "deltas", "file_stats"):
+        for kind in ("buckets", "deltas", "file_stats", "eq_deletes"):
             resolved: dict[str, Any] = {}
             for b, v_ in d.get(kind, {}).items():
                 if isinstance(v_, dict) and "@ref" in v_:
@@ -276,6 +284,7 @@ class LakeTable:
             lineage=d.get("lineage", {}),
             deltas=d.get("deltas", {}),
             file_stats=d.get("file_stats", {}),
+            eq_deletes=d.get("eq_deletes", {}),
         )
         snap._refs = refs
         return snap
@@ -330,6 +339,7 @@ class LakeTable:
             "lineage": snap.lineage,
             "deltas": snap.deltas,
             "file_stats": snap.file_stats,
+            "eq_deletes": snap.eq_deletes,
         }
         if snap.properties.get("manifest_mode") == "sharded":
             b_out, b_refs = self._shard_lists("buckets", snap.buckets, base)
@@ -337,11 +347,16 @@ class LakeTable:
             s_out, s_refs = self._shard_lists(
                 "file_stats", snap.file_stats, base
             )
+            e_out, e_refs = self._shard_lists(
+                "eq_deletes", snap.eq_deletes, base
+            )
             doc["buckets"] = b_out
             doc["deltas"] = d_out
             doc["file_stats"] = s_out
+            doc["eq_deletes"] = e_out
             snap._refs = {
-                "buckets": b_refs, "deltas": d_refs, "file_stats": s_refs
+                "buckets": b_refs, "deltas": d_refs, "file_stats": s_refs,
+                "eq_deletes": e_refs,
             }
         final = self._manifest_path(snap.version)
         tmp = final + f".tmp.{uuid.uuid4().hex}"
@@ -365,8 +380,10 @@ class LakeTable:
         buckets: list[int] | None = None,
         source: str = "base",
     ) -> list[str]:
-        """Absolute data file paths for ``source`` in ('base', 'delta')."""
-        table = snap.buckets if source == "base" else snap.deltas
+        """Absolute data file paths for ``source`` in ('base', 'delta', 'eq')."""
+        table = {
+            "base": snap.buckets, "delta": snap.deltas, "eq": snap.eq_deletes
+        }[source]
         sel = (
             table.items()
             if buckets is None
@@ -706,6 +723,7 @@ class LakeTable:
             prev, snap = bt.snapshot(pv), bt.snapshot(v)
             repl_base, app_base = self._diff_lists(prev.buckets, snap.buckets)
             repl_delta, app_delta = self._diff_lists(prev.deltas, snap.deltas)
+            repl_eq, app_eq = self._diff_lists(prev.eq_deletes, snap.eq_deletes)
             stream_updates = {
                 sid: upd
                 for sid, upd in snap.properties.get(streams_key, {}).items()
@@ -715,7 +733,7 @@ class LakeTable:
                 b: st for b, st in snap.lineage.items()
                 if prev.lineage.get(b) != st
             }
-            replaced_ids = sorted(set(repl_base) | set(repl_delta))
+            replaced_ids = sorted(set(repl_base) | set(repl_delta) | set(repl_eq))
 
             # resume/duplicate skip: a branch commit whose stream batches
             # are ALL already fenced on main was applied before (crashed
@@ -737,8 +755,10 @@ class LakeTable:
 
             def unchanged_since_parent(cur: Snapshot) -> None:
                 for b in replaced_ids:
-                    if cur.buckets.get(b, []) != prev.buckets.get(b, []) or (
-                        cur.deltas.get(b, []) != prev.deltas.get(b, [])
+                    if (
+                        cur.buckets.get(b, []) != prev.buckets.get(b, [])
+                        or cur.deltas.get(b, []) != prev.deltas.get(b, [])
+                        or cur.eq_deletes.get(b, []) != prev.eq_deletes.get(b, [])
                     ):
                         raise CommitConflict(
                             f"bucket {b} diverged on main since branch "
@@ -755,9 +775,11 @@ class LakeTable:
             def build(base: Snapshot) -> Snapshot:
                 buckets = dict(base.buckets)
                 deltas = dict(base.deltas)
+                eq_deletes = dict(base.eq_deletes)
                 for tgt, repl, app in (
                     (buckets, repl_base, app_base),
                     (deltas, repl_delta, app_delta),
+                    (eq_deletes, repl_eq, app_eq),
                 ):
                     for b, files in repl.items():
                         if files:
@@ -797,6 +819,7 @@ class LakeTable:
                     lineage=lineage,
                     deltas=deltas,
                     file_stats=file_stats,
+                    eq_deletes=eq_deletes,
                 )
 
             self._commit_loop(orig, build, check, rebase=True, max_retries=5)
@@ -908,8 +931,10 @@ class LakeTable:
         OR deltas)."""
         for b in buckets:
             sb = str(b)
-            if cur.buckets.get(sb, []) != orig.buckets.get(sb, []) or (
-                cur.deltas.get(sb, []) != orig.deltas.get(sb, [])
+            if (
+                cur.buckets.get(sb, []) != orig.buckets.get(sb, [])
+                or cur.deltas.get(sb, []) != orig.deltas.get(sb, [])
+                or cur.eq_deletes.get(sb, []) != orig.eq_deletes.get(sb, [])
             ):
                 raise CommitConflict(
                     f"bucket {sb} changed since base v{orig.version}; "
@@ -991,6 +1016,7 @@ class LakeTable:
         def build(base: Snapshot) -> Snapshot:
             buckets = dict(base.buckets)
             deltas = dict(base.deltas)
+            eq_deletes = dict(base.eq_deletes)
             file_stats = dict(base.file_stats)
             for b in replaced_buckets:
                 sb = str(b)
@@ -998,8 +1024,10 @@ class LakeTable:
                     buckets[sb] = staged[sb]
                 else:
                     buckets.pop(sb, None)  # bucket emptied (all rows deleted)
-                # replacing a bucket folds its deltas into the new base files
+                # replacing a bucket folds its deltas AND equality deletes
+                # into the new base files
                 deltas.pop(sb, None)
+                eq_deletes.pop(sb, None)
                 if sb in fsu:
                     file_stats[sb] = fsu[sb]
                 else:
@@ -1022,6 +1050,7 @@ class LakeTable:
                 lineage=lineage,
                 deltas=deltas,
                 file_stats=file_stats,
+                eq_deletes=eq_deletes,
             )
 
         return self._commit_loop(orig, build, check, rebase, max_retries)
@@ -1063,8 +1092,10 @@ class LakeTable:
                 int(b)
                 for b in set(old_snap.buckets) | set(new_snap.buckets)
                 | set(old_snap.deltas) | set(new_snap.deltas)
+                | set(old_snap.eq_deletes) | set(new_snap.eq_deletes)
                 if old_snap.buckets.get(b, []) != new_snap.buckets.get(b, [])
                 or old_snap.deltas.get(b, []) != new_snap.deltas.get(b, [])
+                or old_snap.eq_deletes.get(b, []) != new_snap.eq_deletes.get(b, [])
             )
             if not changed:
                 continue
@@ -1173,6 +1204,7 @@ class LakeTable:
         max_retries: int = 5,
         property_updates: dict[str, Any] | None = None,
         file_stats_updates: dict[str, dict[str, dict[str, list]]] | None = None,
+        eq_commit_rel: str | None = None,
     ) -> Snapshot:
         """Publish a snapshot APPENDING staged files to their buckets.
 
@@ -1190,9 +1222,17 @@ class LakeTable:
         unconditionally onto the current snapshot (two streams on any
         buckets, or an apply racing a compact) — EXCEPT across a stream
         fence, which means another writer already applied this batch.
+
+        ``eq_commit_rel``: a second staging dir whose files append to the
+        buckets' EQUALITY-DELETE lists (Iceberg v2 delete-file analog,
+        consumed by MorTable) — one atomic commit covers the data appends
+        and the delete files together.
         """
         orig = self.snapshot(base_version)
-        staged = self._list_staged(self.path, commit_rel)
+        staged = self._list_staged(self.path, commit_rel) if commit_rel else {}
+        eq_staged = (
+            self._list_staged(self.path, eq_commit_rel) if eq_commit_rel else {}
+        )
         want_schema = schema or orig.schema
         if file_stats_updates is None and not as_delta:
             fsu = self._harvest_staged_stats(orig, staged)
@@ -1205,10 +1245,13 @@ class LakeTable:
         def build(base: Snapshot) -> Snapshot:
             buckets = dict(base.buckets)
             deltas = dict(base.deltas)
+            eq_deletes = dict(base.eq_deletes)
             file_stats = dict(base.file_stats)
             target = deltas if as_delta else buckets
             for b, files in staged.items():
                 target[b] = target.get(b, []) + files
+            for b, files in eq_staged.items():
+                eq_deletes[b] = eq_deletes.get(b, []) + files
             if not as_delta:
                 # appended files extend the bucket: merge their bounds in
                 # (existing files are immutable, their stats stay valid)
@@ -1230,6 +1273,7 @@ class LakeTable:
                 lineage=lineage,
                 deltas=deltas,
                 file_stats=file_stats,
+                eq_deletes=eq_deletes,
             )
 
         return self._commit_loop(orig, build, check, rebase, max_retries)
@@ -1351,7 +1395,11 @@ class LakeTable:
         snap = self.snapshot()
         props = snap.properties
         sel = (
-            sorted(int(b) for b in set(snap.buckets) | set(snap.deltas))
+            sorted(
+                int(b)
+                for b in set(snap.buckets) | set(snap.deltas)
+                | set(snap.eq_deletes)
+            )
             if buckets is None
             else list(buckets)
         )
@@ -1416,6 +1464,8 @@ class LakeTable:
             for files in snap.buckets.values():
                 referenced.update(files)
             for files in snap.deltas.values():
+                referenced.update(files)
+            for files in snap.eq_deletes.values():
                 referenced.update(files)
         removed_files = 0
         now = _time.time()

@@ -107,6 +107,11 @@ class PipelineConfig:
     # (max_delta_ratio / max_files_per_bucket).
     auto_compact: bool = False
     compact_options: dict = field(default_factory=dict)
+    # MOR delete encoding: 'inline' tombstone rows in the delta files, or
+    # 'eq' equality-delete files (narrow key+seq files, the Iceberg v2
+    # delete-file analog — see MorTable.apply_deduped). COW tables reject
+    # 'eq' (deletes resolve at merge time there).
+    delete_encoding: str = "inline"
 
 
 DIRTY_BUCKET = -1
@@ -224,8 +229,14 @@ def apply_batch(
         result: MergeResult = mor.apply_deduped(
             deduped, batch_id, cfg.stream_id, bucket_stats=stats,
             patch=cfg.write_mode == "update",
+            delete_encoding=cfg.delete_encoding,
         )
     else:
+        if cfg.delete_encoding != "inline":
+            raise ValueError(
+                "delete_encoding='eq' requires a merge-on-read table "
+                "(COW merges resolve deletes at apply time)"
+            )
         deduped = deduped.persist()
         try:
             result = merge_apply(

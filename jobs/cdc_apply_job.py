@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replace = whole-row PutRow; update = "
                         "partial-column UpdateRow patch (COW merges at "
                         "write; MOR coalesces at read)")
+    p.add_argument("--delete-encoding", choices=["inline", "eq"],
+                   default="inline",
+                   help="MOR delete encoding: inline tombstone rows, or "
+                        "eq = equality-delete files (narrow key+seq "
+                        "files, Iceberg v2 analog; requires --mor)")
     p.add_argument("--auto-compact-ratio", type=float,
                    help="run the compaction policy after EVERY committed "
                         "batch (maybe_compact(max_delta_ratio=R) on MOR; "
@@ -118,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         max_events_per_sec=args.max_events_per_sec,
         max_bytes_per_sec=args.max_bytes_per_sec,
         write_mode=args.write_mode,
+        delete_encoding=args.delete_encoding,
         auto_compact=args.auto_compact_ratio is not None,
         compact_options=(
             {"max_delta_ratio": args.auto_compact_ratio}
