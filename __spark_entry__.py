@@ -588,6 +588,121 @@ def q_cdc_eq_delete_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def _events_as_repo_changelog(spark, sf_dir):
+    """The events-derived changelog in the repo-content shape shared by
+    the cdc lake queries (repo/path/commit/lang/content + op + seq)."""
+    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
+    return chg.select(
+        F.col("repo").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("na").alias("lang"),
+        "content",
+        "op",
+        "seq",
+    )
+
+
+def q_cdc_debezium_apply(spark, sf_dir):
+    """Binlog/WAL tail via the Debezium JSON envelope: the changelog is
+    re-encoded as Debezium messages (before/after images, op codes
+    c/u/d, source.lsn), parsed back by sources/envelope.from_debezium
+    (pure from_json column exprs — no Python, no shuffle in the parse),
+    and fenced-MERGE-applied. Final state equals the direct replay
+    oracle — the envelope is lossless for everything the engine
+    consumes, including dirty rows (unknown op codes pass through raw
+    and quarantine as invalid_op).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.sources.envelope import from_debezium
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    pcols = ["repo", "path", "commit", "lang", "content"]
+    img = F.struct(*[F.col(c) for c in pcols])
+    dbz_op = (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .when(F.col("op") == "delete", F.lit("d"))
+        .otherwise(F.col("op"))
+    )
+    is_del = F.col("op") == "delete"
+    env = F.to_json(
+        F.struct(
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            dbz_op.alias("op"),
+            F.lit(1).cast("long").alias("ts_ms"),
+            F.struct(F.col("seq").alias("lsn")).alias("source"),
+        )
+    )
+    schema = StructType([StructField(c, StringType()) for c in pcols])
+    parsed = from_debezium(chg.select(env.alias("value")), schema)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_dbz_q_")
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, parsed.filter(F.col("seq") <= mid), 0)
+    apply_batch(table, parsed.filter(F.col("seq") > mid), 1)
+    return table.read().select("repo", "path", "commit", "content")
+
+
+def q_cdc_canal_apply(spark, sf_dir):
+    """Binlog tail via Canal flat-message JSON (the Alibaba binlog
+    bridge — the reference's own RDS ecosystem): statement-batched row
+    arrays posexplode to one change per row, string-map images cast
+    against the payload schema (sources/envelope.from_canal), then the
+    standard fenced apply. The default id*2^20+pos sequence is
+    order-isomorphic to the source seq, so latest-wins resolves to the
+    same final state as the direct replay oracle.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.sources.envelope import from_canal
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    pcols = ["repo", "path", "commit", "lang", "content"]
+    data = F.array(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in pcols]),
+            F.array(*[F.col(c) for c in pcols]),
+        )
+    )
+    typ = (
+        F.when(F.col("op") == "insert", F.lit("INSERT"))
+        .when(F.col("op") == "update", F.lit("UPDATE"))
+        .when(F.col("op") == "delete", F.lit("DELETE"))
+        .otherwise(F.col("op"))
+    )
+    env = F.to_json(
+        F.struct(
+            data.alias("data"),
+            typ.alias("type"),
+            F.lit(1).cast("long").alias("es"),
+            F.lit(2).cast("long").alias("ts"),
+            F.col("seq").alias("id"),
+            F.lit("false").alias("isDdl"),
+        )
+    )
+    schema = StructType([StructField(c, StringType()) for c in pcols])
+    parsed = from_canal(chg.select(env.alias("value")), schema)
+    mid = int(chg.agg(F.floor(F.max("seq") / 2)).first()[0]) * (1 << 20)
+    root = _tmproot("dx_canal_q_")
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, parsed.filter(F.col("seq") <= mid), 0)
+    apply_batch(table, parsed.filter(F.col("seq") > mid), 1)
+    return table.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_sql_view(spark, sf_dir):
     """spark.sql over a lake-table view: the engine's SQL surface.
 
@@ -1011,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_apply": q_cdc_lake_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_eq_delete_apply": q_cdc_eq_delete_apply,
+        "cdc_debezium_apply": q_cdc_debezium_apply,
+        "cdc_canal_apply": q_cdc_canal_apply,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_mor_patch_apply": q_cdc_mor_patch_apply,
         "cdc_change_feed": q_cdc_change_feed,
@@ -1344,6 +1461,8 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_lake_apply"] = _lake_final
     sql["cdc_mor_apply"] = _lake_final
     sql["cdc_eq_delete_apply"] = _lake_final
+    sql["cdc_debezium_apply"] = _lake_final
+    sql["cdc_canal_apply"] = _lake_final
     # writeMode=update replay: batch-latest images patch the prior state
     # column-wise (coalesce new, old) at each batch boundary.
     sql["cdc_patch_apply"] = f"""

@@ -1,0 +1,186 @@
+"""CDC envelope parsers: Debezium / Canal JSON -> the engine changelog.
+
+The north-rule ingest path is "binlog/WAL tail -> lake upsert". Real
+binlog tails arrive as JSON envelopes from the two dominant open-source
+capture stacks:
+
+- **Debezium** (Kafka Connect): one envelope per row change —
+  ``{"before": {...}|null, "after": {...}|null, "op": "c|u|d|r",
+  "ts_ms": ..., "source": {"lsn"/"pos"/"ts_ms": ...}}``;
+- **Canal** (Alibaba's MySQL binlog bridge — the same ecosystem as the
+  DataX reference; its reader plugins consume RDS binlog the same way,
+  e.g. otsstreamreader's tunnel records,
+  otsstreamreader/.../model/StreamRecord semantics): one message per
+  STATEMENT with row batches — ``{"data": [{...}, ...], "old": [...],
+  "type": "INSERT|UPDATE|DELETE", "es": ..., "ts": ..., "id": ...}``.
+
+Both parsers are pure Column expressions (``from_json`` + projection /
+``explode``) — JVM-side, whole-stage-codegen, zero per-row Python — and
+emit the engine's canonical changelog columns::
+
+    <payload columns...>, op ('insert'|'update'|'delete'), seq (long)
+
+so the output feeds ``apply_batch`` / ``tail_and_apply`` unchanged.
+Unknown/DDL ops map to op='<raw>' which the quarantine path classifies
+as dirty (invalid_op) rather than dropping silently — the DataX
+dirty-record contract (SURVEY.md §2.5).
+
+Scale shape: parsing is a map-only stage fused into the scan; the only
+shuffle downstream is the usual dedup. Canal's per-statement row arrays
+explode to one row per change BEFORE the shuffle, so hot statements
+(bulk updates) parallelize like any other rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _payload_cols(payload_schema: StructType, src: str) -> list[Column]:
+    """Typed projection of an envelope image struct (all-string maps in
+    Canal; typed structs in Debezium) onto the payload schema."""
+    return [
+        F.col(f"{src}.{f.name}").cast(f.dataType).alias(f.name)
+        for f in payload_schema.fields
+    ]
+
+
+def debezium_envelope_schema(payload_schema: StructType) -> StructType:
+    """The subset of the Debezium envelope this parser consumes."""
+    return StructType(
+        [
+            StructField("before", payload_schema),
+            StructField("after", payload_schema),
+            StructField("op", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField(
+                "source",
+                StructType(
+                    [
+                        StructField("lsn", LongType()),
+                        StructField("pos", LongType()),
+                        StructField("row", LongType()),
+                        StructField("ts_ms", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def from_debezium(
+    raw: DataFrame,
+    payload_schema: StructType,
+    value_col: str = "value",
+    seq_expr: Column | None = None,
+) -> DataFrame:
+    """Parse Debezium JSON envelopes into the canonical changelog.
+
+    Op mapping (Debezium op codes): ``c``(create) / ``r``(snapshot read)
+    -> insert, ``u`` -> update, ``d`` -> delete; anything else (DDL
+    messages, truncate 't') passes through raw for the quarantine path.
+    The row image is ``after`` for upserts and ``before`` for deletes
+    (the only image a delete carries).
+
+    ``seq_expr``: total-order expression over the parsed envelope
+    (column root ``env``). Default: ``coalesce(source.lsn,
+    source.pos * 2^20 + source.row)`` — Postgres WAL LSN, else a MySQL
+    binlog (pos, row) composite. MUST be a total order per key for
+    latest-wins dedup to be correct (SURVEY.md §2.7).
+    """
+    env = F.from_json(F.col(value_col), debezium_envelope_schema(payload_schema))
+    parsed = raw.select(env.alias("env"))
+    if seq_expr is None:
+        seq_expr = F.coalesce(
+            F.col("env.source.lsn"),
+            F.col("env.source.pos") * F.lit(1 << 20)
+            + F.coalesce(F.col("env.source.row"), F.lit(0)),
+        )
+    op = (
+        F.when(F.col("env.op").isin("c", "r"), F.lit("insert"))
+        .when(F.col("env.op") == "u", F.lit("update"))
+        .when(F.col("env.op") == "d", F.lit("delete"))
+        .otherwise(F.col("env.op"))
+    )
+    image = F.when(F.col("env.op") == "d", F.col("env.before")).otherwise(
+        F.col("env.after")
+    )
+    parsed = parsed.select(
+        image.alias("_img"), op.alias("op"), seq_expr.cast("long").alias("seq")
+    )
+    return parsed.select(
+        *_payload_cols(payload_schema, "_img"), "op", "seq"
+    )
+
+
+def canal_envelope_schema() -> StructType:
+    """The subset of the Canal flat-message JSON this parser consumes.
+
+    Row images arrive as string->string maps (Canal serializes every
+    column as text); the typed cast happens against the payload schema
+    in :func:`from_canal` — the same typed-parse-or-dirty contract as
+    the unstructured file readers (plans/job.py).
+    """
+    return StructType(
+        [
+            StructField("data", ArrayType(MapType(StringType(), StringType()))),
+            StructField("old", ArrayType(MapType(StringType(), StringType()))),
+            StructField("type", StringType()),
+            StructField("es", LongType()),  # binlog event ts (ms)
+            StructField("ts", LongType()),  # delivery ts (ms)
+            StructField("id", LongType()),  # batch id (monotone per topic)
+            StructField("isDdl", StringType()),
+        ]
+    )
+
+
+def from_canal(
+    raw: DataFrame,
+    payload_schema: StructType,
+    value_col: str = "value",
+    seq_expr: Column | None = None,
+) -> DataFrame:
+    """Parse Canal flat-message JSON into the canonical changelog.
+
+    One Canal message carries a statement's WHOLE row batch in ``data``
+    — ``posexplode`` fans it out to one change per row before any
+    shuffle. Op mapping: INSERT -> insert, UPDATE -> update, DELETE ->
+    delete; DDL messages (isDdl=true) and unknown types pass the raw
+    type through for quarantine.
+
+    ``seq_expr`` (over columns ``env`` + ``pos``): default
+    ``id * 2^20 + pos`` — Canal's per-topic monotone batch id composed
+    with the row's position in the statement, a total order as long as
+    one topic-partition feeds one stream (Canal's own ordering
+    guarantee).
+    """
+    env = F.from_json(F.col(value_col), canal_envelope_schema())
+    parsed = raw.select(env.alias("env"))
+    exploded = parsed.select(
+        F.col("env"),
+        F.posexplode_outer(F.col("env.data")).alias("pos", "_row"),
+    )
+    if seq_expr is None:
+        seq_expr = F.col("env.id") * F.lit(1 << 20) + F.col("pos")
+    op = F.when(F.col("env.isDdl") == "true", F.lit("ddl")).otherwise(
+        F.when(F.col("env.type") == "INSERT", F.lit("insert"))
+        .when(F.col("env.type") == "UPDATE", F.lit("update"))
+        .when(F.col("env.type") == "DELETE", F.lit("delete"))
+        .otherwise(F.lower(F.coalesce(F.col("env.type"), F.lit("null"))))
+    )
+    typed = [
+        F.col("_row").getItem(f.name).cast(f.dataType).alias(f.name)
+        for f in payload_schema.fields
+    ]
+    return exploded.select(
+        *typed, op.alias("op"), seq_expr.cast("long").alias("seq")
+    )
