@@ -703,6 +703,36 @@ def q_cdc_canal_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_rebucket_apply(spark, sf_dir):
+    """Online bucket-count change mid-stream (Iceberg partition-evolution
+    analog): batch 1 applies into a 4-bucket layout, ``rebucket(16)``
+    re-hashes the full resolved state (one parallel write + one
+    replace-all CAS commit), batch 2 applies into the NEW layout — final
+    state must equal the plain replay oracle (layout is invisible to
+    semantics). This is the 100-TB knob for 'num_buckets chosen at
+    creation went stale at 100x growth'.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_rebkt_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=4,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    table.rebucket(16)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    return table.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_sql_view(spark, sf_dir):
     """spark.sql over a lake-table view: the engine's SQL surface.
 
@@ -1128,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_eq_delete_apply": q_cdc_eq_delete_apply,
         "cdc_debezium_apply": q_cdc_debezium_apply,
         "cdc_canal_apply": q_cdc_canal_apply,
+        "cdc_rebucket_apply": q_cdc_rebucket_apply,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_mor_patch_apply": q_cdc_mor_patch_apply,
         "cdc_change_feed": q_cdc_change_feed,
@@ -1463,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_eq_delete_apply"] = _lake_final
     sql["cdc_debezium_apply"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
+    sql["cdc_rebucket_apply"] = _lake_final
     # writeMode=update replay: batch-latest images patch the prior state
     # column-wise (coalesce new, old) at each batch boundary.
     sql["cdc_patch_apply"] = f"""

@@ -638,3 +638,11 @@ class MorTable(LakeTable):
             sort_cols, target_file_rows, buckets, max_retries
         )
         return self._maybe_clear_patch_flag(new_snap)
+
+    def rebucket(self, new_num_buckets: int, max_retries: int = 3) -> Snapshot:
+        """Re-hash into a new bucket count; deltas and eq-deletes fold in
+        resolved (via _rewrite_source), so the new layout starts with
+        key-unique base files only — and the patch flag clears if the
+        rewrite drained every patch delta."""
+        new_snap = super().rebucket(new_num_buckets, max_retries)
+        return self._maybe_clear_patch_flag(new_snap)

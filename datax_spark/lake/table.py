@@ -988,8 +988,14 @@ class LakeTable:
         max_retries: int = 5,
         property_updates: dict[str, Any] | None = None,
         file_stats_updates: dict[str, dict[str, dict[str, list]]] | None = None,
+        replace_lineage: bool = False,
     ) -> Snapshot:
         """Publish a snapshot replacing ``replaced_buckets`` with staged files.
+
+        ``replace_lineage=True`` makes ``lineage_updates`` the COMPLETE
+        new lineage map instead of a merge — used when the bucket id
+        space itself changes (rebucket) and old per-bucket entries would
+        otherwise linger under dead ids.
 
         Untouched buckets carry forward by reference. If ``base_version``
         was superseded meanwhile, the commit REBASES automatically when
@@ -1037,7 +1043,7 @@ class LakeTable:
                 props.setdefault("streams", {}).update(stream_updates)
             if property_updates:
                 props.update(json.loads(json.dumps(property_updates)))
-            lineage = dict(base.lineage)
+            lineage = {} if replace_lineage else dict(base.lineage)
             for b, stats in (lineage_updates or {}).items():
                 lineage[str(b)] = stats
             return Snapshot(
@@ -1417,6 +1423,74 @@ class LakeTable:
         base files on COW; MorTable overrides to fold live deltas in
         (the replace commit clears their lists)."""
         return self._read_files(self._abs_files(snap, buckets), snap.schema)
+
+    def rebucket(self, new_num_buckets: int, max_retries: int = 3) -> Snapshot:
+        """Change the table's bucket count online (Iceberg partition-
+        evolution analog for our hash layout).
+
+        ``num_buckets`` is sized at creation so one bucket ~ one
+        executor-sized rewrite unit; at 100x data growth that sizing
+        goes stale — buckets outgrow executor memory and every MERGE
+        straggles on the fattest one. This maintenance op re-hashes the
+        FULL resolved state into ``new_num_buckets`` buckets in one
+        parallel write + one replace-all commit: readers see the old
+        layout until the CAS publishes, writers racing it conflict and
+        retry against the new layout (same rules as compact). MOR
+        deltas/eq-deletes are folded in resolved (the override keeps
+        patch-flag hygiene); per-bucket lineage is re-keyed
+        conservatively to the pre-rebucket global max_seq — positions
+        are per-OLD-bucket and the new buckets' true maxima are unknown
+        without a second scan.
+
+        Future applies read ``num_buckets``/``bucket_expr`` from the new
+        snapshot, so the cutover needs no coordination beyond the CAS.
+        """
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        for attempt in range(max_retries + 1):
+            try:
+                return self._rebucket_once(new_num_buckets)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _rebucket_once(self, new_num_buckets: int) -> Snapshot:
+        snap = self.snapshot()
+        props = snap.properties
+        old_n = props["num_buckets"]
+        all_ids = sorted(
+            int(b)
+            for b in set(snap.buckets) | set(snap.deltas) | set(snap.eq_deletes)
+        )
+        df = self._rewrite_source(snap, all_ids)
+        commit_rel = self.write_bucket_data(
+            df, new_num_buckets, props["bucket_key"]
+        )
+        max_seq = max(
+            (
+                int(st["max_seq"])
+                for st in snap.lineage.values()
+                if isinstance(st, dict) and st.get("max_seq") is not None
+            ),
+            default=None,
+        )
+        staged = self._list_staged(self.path, commit_rel)
+        lineage_updates = (
+            {b: {"max_seq": max_seq, "rebucketed": True} for b in staged}
+            if max_seq is not None
+            else None
+        )
+        return self.commit_replace_buckets(
+            snap.version,
+            commit_rel,
+            # cover every old AND new bucket id: old ids beyond the new
+            # count are emptied, stale lineage/stats dropped with them
+            replaced_buckets=list(range(max(old_n, new_num_buckets))),
+            property_updates={"num_buckets": new_num_buckets},
+            lineage_updates=lineage_updates,
+            replace_lineage=True,
+        )
 
     def vacuum(self, keep_last: int = 2, min_age_sec: float = 0.0) -> dict[str, int]:
         """Drop old snapshots and delete data files they alone reference.
