@@ -524,16 +524,7 @@ def q_cdc_mor_apply(spark, sf_dir):
     from datax_spark.lake.mor import MorTable
     from datax_spark.streaming.pipeline import apply_batch
 
-    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
-    chg = chg.select(
-        F.col("repo").cast("string").alias("repo"),
-        F.lit("p").alias("path"),
-        F.lit("c").alias("commit"),
-        F.lit("na").alias("lang"),
-        "content",
-        "op",
-        "seq",
-    )
+    chg = _events_as_repo_changelog(spark, sf_dir)
     mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
     root = _tmproot("dx_mor_q_")
     schema = StructType(
@@ -563,16 +554,7 @@ def q_cdc_eq_delete_apply(spark, sf_dir):
     from datax_spark.lake.mor import MorTable
     from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
 
-    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
-    chg = chg.select(
-        F.col("repo").cast("string").alias("repo"),
-        F.lit("p").alias("path"),
-        F.lit("c").alias("commit"),
-        F.lit("na").alias("lang"),
-        "content",
-        "op",
-        "seq",
-    )
+    chg = _events_as_repo_changelog(spark, sf_dir)
     mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
     root = _tmproot("dx_eqdel_q_")
     schema = StructType(
@@ -743,16 +725,7 @@ def q_cdc_sql_view(spark, sf_dir):
     from datax_spark.lake.table import LakeTable
     from datax_spark.streaming.pipeline import apply_batch
 
-    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
-    chg = chg.select(
-        F.col("repo").cast("string").alias("repo"),
-        F.lit("p").alias("path"),
-        F.lit("c").alias("commit"),
-        F.lit("na").alias("lang"),
-        "content",
-        "op",
-        "seq",
-    )
+    chg = _events_as_repo_changelog(spark, sf_dir)
     root = _tmproot("dx_sql_q_")
     schema = StructType(
         [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
@@ -778,16 +751,7 @@ def q_cdc_time_travel(spark, sf_dir):
     from datax_spark.lake.table import LakeTable
     from datax_spark.streaming.pipeline import apply_batch
 
-    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
-    chg = chg.select(
-        F.col("repo").cast("string").alias("repo"),
-        F.lit("p").alias("path"),
-        F.lit("c").alias("commit"),
-        F.lit("na").alias("lang"),
-        "content",
-        "op",
-        "seq",
-    )
+    chg = _events_as_repo_changelog(spark, sf_dir)
     mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
     root = _tmproot("dx_tt_q_")
     schema = StructType(
@@ -903,16 +867,7 @@ def q_cdc_change_feed(spark, sf_dir):
     from datax_spark.lake.table import LakeTable
     from datax_spark.streaming.pipeline import apply_batch
 
-    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
-    chg = chg.select(
-        F.col("repo").cast("string").alias("repo"),
-        F.lit("p").alias("path"),
-        F.lit("c").alias("commit"),
-        F.lit("na").alias("lang"),
-        "content",
-        "op",
-        "seq",
-    )
+    chg = _events_as_repo_changelog(spark, sf_dir)
     mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
     root = _tmproot("dx_cdf_q_")
     schema = StructType(
@@ -942,16 +897,7 @@ def q_cdc_lake_apply(spark, sf_dir):
     from datax_spark.lake.table import LakeTable
     from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
 
-    chg = _events_as_changelog(spark, sf_dir).withColumnRenamed("user_id", "repo")
-    chg = chg.select(
-        F.col("repo").cast("string").alias("repo"),
-        F.lit("p").alias("path"),
-        F.lit("c").alias("commit"),
-        F.lit("na").alias("lang"),
-        "content",
-        "op",
-        "seq",
-    )
+    chg = _events_as_repo_changelog(spark, sf_dir)
     mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
     root = _tmproot("dx_lake_q_")
     schema = StructType(

@@ -194,6 +194,7 @@ class LakeTable:
         extra_properties: dict[str, Any] | None = None,
         manifest_mode: str = "sharded",
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> "LakeTable":
         """Create the table.
 
@@ -202,6 +203,15 @@ class LakeTable:
         ``scan(filters=...)`` can skip files driver-side. Opt-in: the
         footer harvest is metadata-only but still nonzero work, and
         hash-bucketed columns gain nothing from it.
+
+        ``bloom_cols``: columns that get a parquet BLOOM FILTER in every
+        data file written from now on. Complements min/max skipping: a
+        point lookup on a high-cardinality, non-clustered column (e.g.
+        ``path`` inside a repo bucket) gets ROW-GROUP skipping from the
+        reader's pushed equality predicate even where range bounds are
+        useless (hash-spread values span every file's [min, max]). Pure
+        write-side opt-in; Spark's vectorized reader consumes the bloom
+        automatically on pushed ``=`` filters. Costs ~1 MB/file/column.
 
         ``manifest_mode='sharded'`` (default) stores each bucket's file
         list in a content-addressed side file under ``_manifests/refs/``;
@@ -230,6 +240,7 @@ class LakeTable:
                 "streams": {},
                 "manifest_mode": manifest_mode,
                 "stats_cols": list(stats_cols or []),
+                "bloom_cols": list(bloom_cols or []),
                 **(extra_properties or {}),
             },
         )
@@ -860,6 +871,14 @@ class LakeTable:
         writer = staged.write.partitionBy(BUCKET_COL)
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        try:
+            bloom_cols = self.snapshot().properties.get("bloom_cols") or []
+        except FileNotFoundError:
+            bloom_cols = []
+        for c in bloom_cols:
+            # parquet-mr per-column bloom toggle, consumed transparently
+            # by the reader's pushed '=' predicates (row-group skipping)
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer.parquet(out)
         return commit_rel
 
