@@ -226,11 +226,21 @@ def apply_batch(
         mor = table if isinstance(table, MorTable) else MorTable(
             table.spark, table.path, branch=table.branch
         )
-        result: MergeResult = mor.apply_deduped(
-            deduped, batch_id, cfg.stream_id, bucket_stats=stats,
-            patch=cfg.write_mode == "update",
-            delete_encoding=cfg.delete_encoding,
-        )
+        # eq encoding stages TWO writes (upsert delta + narrow delete
+        # keys) off the same deduped subtree — persist so the dedup
+        # shuffle runs once, exactly like the COW multi-consumer case
+        two_writes = cfg.delete_encoding == "eq"
+        if two_writes:
+            deduped = deduped.persist()
+        try:
+            result: MergeResult = mor.apply_deduped(
+                deduped, batch_id, cfg.stream_id, bucket_stats=stats,
+                patch=cfg.write_mode == "update",
+                delete_encoding=cfg.delete_encoding,
+            )
+        finally:
+            if two_writes:
+                deduped.unpersist()
     else:
         if cfg.delete_encoding != "inline":
             raise ValueError(

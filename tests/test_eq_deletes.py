@@ -203,6 +203,42 @@ def test_eq_delete_read_plan_never_shuffles_base(spark, tmp_path):
     assert got == want
 
 
+def test_eq_delete_streaming_tail(spark, tmp_path):
+    """Structured Streaming tail with delete_encoding='eq': same final
+    state as the replay oracle; auto-compaction folds the delete files
+    along the way (streamed MOR stays bounded)."""
+    from pyspark.sql.types import IntegerType, LongType, TimestampType
+
+    from datax_spark.streaming.pipeline import tail_and_apply
+
+    log_df, logdir = _make_log(spark, tmp_path, n=4000)
+    ev_schema = StructType(
+        [StructField(c, StringType()) for c in
+         ["repo", "path", "commit", "lang", "content", "op"]]
+        + [StructField("seq", LongType()),
+           StructField("ts", TimestampType()),
+           StructField("batch_file", IntegerType())]
+    )
+    t = MorTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, "repo", 8)
+    cfg = PipelineConfig(
+        delete_encoding="eq", auto_compact=True,
+        compact_options={"max_files_per_bucket": 4},
+    )
+    tail_and_apply(
+        spark, t.path, logdir, str(tmp_path / "ckpt"), ev_schema,
+        config=cfg, max_files_per_trigger=4,
+    )
+    got = state_fingerprint(t.read().orderBy(KEYS).toPandas())
+    want = state_fingerprint(replay_oracle_pandas(log_df.toPandas()))
+    assert got == want
+    snap = t.snapshot()
+    assert all(
+        len(snap.buckets.get(b, [])) + len(snap.deltas.get(b, []))
+        + len(snap.eq_deletes.get(b, [])) <= 4
+        for b in set(snap.buckets) | set(snap.deltas) | set(snap.eq_deletes)
+    ), "auto-compaction bounded fragmentation incl. delete files"
+
+
 def test_eq_delete_rejected_on_cow(spark, tmp_path):
     from datax_spark.lake.table import LakeTable
     from datax_spark.streaming.pipeline import apply_batch
