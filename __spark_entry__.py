@@ -715,6 +715,42 @@ def q_cdc_rebucket_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_rollup_incremental(spark, sf_dir):
+    """Change-feed-driven incremental rollup (materialized-view
+    maintenance): apply two CDC batches into a source table (path varies
+    per event so repos hold multiple keys), refreshing a per-repo
+    aggregate table from LakeTable.read_changes after EACH batch via a
+    fenced merge (operators/rollup.py — the engine consuming its own
+    change feed). The returned rollup must equal a from-scratch GROUP BY
+    of the replayed final state: inserts, updates (byte deltas), and
+    deletes (groups dropping out) all compose incrementally.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.operators.rollup import create_rollup_table, refresh_rollup
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir).withColumn(
+        "path", F.concat(F.lit("p"), (F.col("seq") % 3).cast("string"))
+    )
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_rollup_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    src = LakeTable.create(
+        spark, os.path.join(root, "src"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    agg = create_rollup_table(spark, os.path.join(root, "agg"), num_buckets=4)
+    apply_batch(src, chg.filter(F.col("seq") <= mid), 0)
+    refresh_rollup(src, agg)
+    apply_batch(src, chg.filter(F.col("seq") > mid), 1)
+    refresh_rollup(src, agg)
+    return agg.read().select("repo", "n_paths", "total_bytes")
+
+
 def q_cdc_sql_view(spark, sf_dir):
     """spark.sql over a lake-table view: the engine's SQL surface.
 
@@ -1105,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_apply": q_cdc_debezium_apply,
         "cdc_canal_apply": q_cdc_canal_apply,
         "cdc_rebucket_apply": q_cdc_rebucket_apply,
+        "cdc_rollup_incremental": q_cdc_rollup_incremental,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_mor_patch_apply": q_cdc_mor_patch_apply,
         "cdc_change_feed": q_cdc_change_feed,
@@ -1441,6 +1478,30 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_debezium_apply"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final
+    # rollup: replay with the varying path key, then aggregate per repo —
+    # the incrementally-maintained table must equal the from-scratch agg
+    sql["cdc_rollup_incremental"] = f"""
+        WITH chg AS (
+          SELECT user_id,
+                 CASE WHEN event_type = 'error' THEN 'delete'
+                      WHEN event_type IN ('view', 'click') THEN 'update'
+                      WHEN event_type = 'purchase' THEN 'insert'
+                      ELSE 'frobnicate' END AS op,
+                 event_id AS seq,
+                 props AS content,
+                 'p' || CAST(event_id % 3 AS VARCHAR) AS path
+          FROM events
+        ),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, path ORDER BY seq DESC) AS rn
+                FROM clean),
+        final AS (SELECT * FROM ded WHERE rn = 1 AND op != 'delete')
+        SELECT user_id::VARCHAR AS repo,
+               COUNT(*) AS n_paths,
+               SUM(strlen(content))::BIGINT AS total_bytes
+        FROM final GROUP BY user_id
+    """
     # writeMode=update replay: batch-latest images patch the prior state
     # column-wise (coalesce new, old) at each batch boundary.
     sql["cdc_patch_apply"] = f"""
