@@ -1443,6 +1443,34 @@ class LakeTable:
         (the replace commit clears their lists)."""
         return self._read_files(self._abs_files(snap, buckets), snap.schema)
 
+    def rewrite_zordered(
+        self,
+        cols: list[str],
+        target_file_rows: int = 1_000_000,
+        buckets: list[int] | None = None,
+        max_retries: int = 3,
+        bits: int | None = None,
+    ) -> Snapshot:
+        """Multi-dimensional clustering rewrite (Delta OPTIMIZE ZORDER
+        analog): sort each bucket by the Morton interleave of ``cols``'
+        rank bits, so manifest file skipping prunes range scans on ANY
+        of the columns — where ``rewrite_clustered`` (lexicographic)
+        only tightens the leading one. Costs one extra narrow agg job
+        for the global column bounds; the z-value itself is pure Column
+        arithmetic inside the rewrite projection (lake/zorder.py).
+        """
+        from datax_spark.lake.zorder import (
+            DEFAULT_BITS,
+            column_bounds,
+            zorder_expr,
+        )
+
+        bounds = column_bounds(self.read(buckets=buckets), cols)
+        z = zorder_expr(cols, bounds, bits or DEFAULT_BITS)
+        return self.rewrite_clustered(
+            [z], target_file_rows, buckets, max_retries
+        )
+
     def rebucket(self, new_num_buckets: int, max_retries: int = 3) -> Snapshot:
         """Change the table's bucket count online (Iceberg partition-
         evolution analog for our hash layout).
