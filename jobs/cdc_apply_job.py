@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch (maybe_compact(max_delta_ratio=R) on MOR; "
                         "bin-packing on COW) — keeps resolved-read cost "
                         "flat over a long stream")
+    p.add_argument("--rollup", metavar="PATH",
+                   help="maintain a per-repo rollup table at PATH from the "
+                        "change feed after the apply (created if absent; "
+                        "fenced on the source version, so re-runs never "
+                        "double-count)")
     p.add_argument("--demo", action="store_true",
                    help="self-contained local demo on a generated log")
     return p
@@ -151,6 +156,22 @@ def main(argv: list[str] | None = None) -> int:
         for m in metrics:
             print(m.to_json())
 
+    if args.rollup:
+        from datax_spark.operators.rollup import (
+            create_rollup_table,
+            refresh_rollup,
+        )
+
+        agg = (
+            LakeTable(spark, args.rollup)
+            if LakeTable.exists(args.rollup)
+            else create_rollup_table(spark, args.rollup)
+        )
+        res = refresh_rollup(table, agg)
+        print(json.dumps({
+            "rollup_refreshed": bool(res and res.applied),
+            "rollup_rows": agg.count(),
+        }))
 
     print(json.dumps({"final_rows": table.count(),
                       "version": table.current_version()}))
