@@ -1178,6 +1178,44 @@ class LakeTable:
     def count(self) -> int:
         return self.read().count()
 
+    def describe(self, version: int | None = None) -> dict[str, Any]:
+        """Driver-side table summary — pure manifest metadata + file
+        sizes, no Spark job (the DataX job-report analog,
+        core/.../communication/CommunicationTool.java report strings).
+        """
+        snap = self.snapshot(version)
+
+        def side(table: dict[str, list[str]]) -> dict[str, int]:
+            files = [rel for fs in table.values() for rel in fs]
+            return {
+                "files": len(files),
+                "bytes": sum(
+                    os.path.getsize(p)
+                    for rel in files
+                    if os.path.exists(p := os.path.join(self.path, rel))
+                ),
+                "buckets": sum(1 for fs in table.values() if fs),
+            }
+
+        return {
+            "path": self.path,
+            "branch": self.branch,
+            "version": snap.version,
+            "table_mode": snap.properties.get("table_mode", "cow"),
+            "num_buckets": snap.properties.get("num_buckets"),
+            "key_cols": snap.properties.get("key_cols"),
+            "bucket_key": snap.properties.get("bucket_key"),
+            "base": side(snap.buckets),
+            "delta": side(snap.deltas),
+            "eq_deletes": side(snap.eq_deletes),
+            "streams": snap.properties.get("streams", {}),
+            "schema_fields": [f.name for f in snap.schema.fields],
+            "tags": self.tags(),
+            "branches": self.branches() if self.branch is None else {},
+            "stats_cols": snap.properties.get("stats_cols", []),
+            "bloom_cols": snap.properties.get("bloom_cols", []),
+        }
+
     def create_view(self, name: str, version: int | None = None) -> None:
         """Register (a snapshot of) the table as a temp view for spark.sql.
 

@@ -168,3 +168,35 @@ def test_tags_on_mor_across_compaction(spark, tmp_path):
     got = sorted((r["repo"], r["content"])
                  for r in mor.read(tag="with-deltas").collect())
     assert got == want == [("r1", "a2"), ("r2", "b")]
+
+
+def test_describe_summary(spark, tmp_path):
+    """describe() is a driver-side manifest summary: sides, mode,
+    streams — no Spark job."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    t = MorTable.create(
+        spark, str(tmp_path / "tdesc"), schema,
+        ["repo", "path", "commit"], "repo", 4,
+    )
+    ev = spark.createDataFrame(
+        [("k1", "p", "c", "na", "x", "insert", 1),
+         ("k2", "p", "c", "na", "y", "delete", 2)],
+        "repo string, path string, commit string, lang string, "
+        "content string, op string, seq long",
+    )
+    apply_batch(t, ev, 0, PipelineConfig(delete_encoding="eq"))
+    d = t.describe()
+    assert d["table_mode"] == "mor" and d["num_buckets"] == 4
+    assert d["delta"]["files"] >= 1 and d["delta"]["bytes"] > 0
+    assert d["eq_deletes"]["files"] >= 1
+    assert d["streams"]["default"]["last_batch_id"] == 0
+    assert d["base"] == {"files": 0, "bytes": 0, "buckets": 0}
+    assert "content" in d["schema_fields"]
