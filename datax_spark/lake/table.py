@@ -266,6 +266,64 @@ class LakeTable:
             raise FileNotFoundError(f"no snapshots in {self.path}")
         return max(int(n[1:-5]) for n in names)
 
+    def history(self) -> list[dict[str, Any]]:
+        """Commit history from the retained manifests: version, publish
+        time (manifest mtime), and what changed vs the predecessor —
+        driver-side metadata only (Iceberg ``.history`` analog)."""
+        versions = sorted(
+            int(n[1:-5]) for n in os.listdir(self._mdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        out: list[dict[str, Any]] = []
+        prev: Snapshot | None = None
+        for v in versions:
+            snap = self.snapshot(v)
+            entry: dict[str, Any] = {
+                "version": v,
+                "committed_at": os.path.getmtime(self._manifest_path(v))
+                if os.path.exists(self._manifest_path(v))
+                else None,
+            }
+            if prev is not None:
+                entry["changed_buckets"] = sorted(
+                    int(b)
+                    for b in set(snap.buckets) | set(prev.buckets)
+                    | set(snap.deltas) | set(prev.deltas)
+                    | set(snap.eq_deletes) | set(prev.eq_deletes)
+                    if snap.buckets.get(b, []) != prev.buckets.get(b, [])
+                    or snap.deltas.get(b, []) != prev.deltas.get(b, [])
+                    or snap.eq_deletes.get(b, []) != prev.eq_deletes.get(b, [])
+                )
+                entry["streams"] = {
+                    sid: upd
+                    for sid, upd in snap.properties.get("streams", {}).items()
+                    if prev.properties.get("streams", {}).get(sid) != upd
+                }
+            out.append(entry)
+            prev = snap
+        return out
+
+    def version_as_of(self, ts: float) -> int:
+        """Newest version published at or before unix time ``ts``
+        (Iceberg ``TIMESTAMP AS OF`` analog over manifest mtimes).
+        Raises if every retained snapshot is newer (history vacuumed
+        past the asked-for time)."""
+        best = None
+        for n in os.listdir(self._mdir):
+            if not (n.startswith("v") and n.endswith(".json")):
+                continue
+            v = int(n[1:-5])
+            if os.path.getmtime(os.path.join(self._mdir, n)) <= ts and (
+                best is None or v > best
+            ):
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot at or before ts={ts} in {self.path} "
+                "(vacuumed or table newer than ts)"
+            )
+        return best
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = version if version is not None else self.current_version()
         mpath = self._manifest_path(v)

@@ -200,3 +200,51 @@ def test_describe_summary(spark, tmp_path):
     assert d["streams"]["default"]["last_batch_id"] == 0
     assert d["base"] == {"files": 0, "bytes": 0, "buckets": 0}
     assert "content" in d["schema_fields"]
+
+
+def test_history_and_timestamp_travel(spark, tmp_path):
+    """history() lists per-commit changed buckets + stream advances;
+    version_as_of(ts) resolves timestamp time travel over manifest
+    mtimes."""
+    import time as _time
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "th"), schema,
+        ["repo", "path", "commit"], "repo", 4,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(r[0], "p", "c", "na", r[1], r[2], r[3]) for r in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, op string, seq long",
+        )
+
+    apply_batch(t, ev([("k1", "a", "insert", 1)]), 0)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    apply_batch(t, ev([("k1", "a2", "update", 2)]), 1)
+
+    h = t.history()
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert h[1]["changed_buckets"] and h[2]["changed_buckets"]
+    assert h[1]["streams"]["default"]["last_batch_id"] == 0
+    assert h[2]["streams"]["default"]["last_batch_id"] == 1
+
+    v = t.version_as_of(t_mid)
+    assert v == 2
+    rows = t.read(version=v).select("content").collect()
+    assert [r["content"] for r in rows] == ["a"]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of(0.0)
