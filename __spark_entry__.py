@@ -997,6 +997,82 @@ def q_cdc_scan_prune(spark, sf_dir):
     return table.scan([("event_id", ">", cut)])
 
 
+def q_cdc_scd2_apply(spark, sf_dir):
+    """SCD type-2 history apply (operators/scd2.py): every change event
+    becomes a validity interval; deletes close intervals. Applied
+    INCREMENTALLY in two batches; the oracle is the single from-scratch
+    lead() window over the whole clean log — equality proves incremental
+    maintenance composes."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.operators.scd2 import (
+        VALID_FROM,
+        VALID_TO,
+        create_scd2_table,
+        scd2_apply,
+    )
+    from datax_spark.quality.quarantine import split_dirty
+
+    chg = _events_as_changelog(spark, sf_dir)
+    clean, _ = split_dirty(chg, key_cols=("user_id",), op_col="op", content_col="content")
+    mid = clean.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_scd2_q_")
+    table = create_scd2_table(
+        spark,
+        os.path.join(root, "t"),
+        StructType(
+            [StructField("user_id", LongType()), StructField("content", StringType())]
+        ),
+        natural_key=["user_id"],
+        bucket_key="user_id",
+        num_buckets=8,
+    )
+    scd2_apply(table, clean.filter(F.col("seq") <= mid), 0)
+    scd2_apply(table, clean.filter(F.col("seq") > mid), 1)
+    return table.read().select(
+        "user_id",
+        "content",
+        F.col(VALID_FROM).alias("valid_from"),
+        F.col(VALID_TO).alias("valid_to"),
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental LSH dedup maintenance: batch 2's candidate pairs come
+    from joining ONLY its bands against the persisted signature store of
+    batch 1 (written to and read back from parquet — batch 1 is never
+    re-shingled). Union with batch 1's own pairs must equal the
+    full-corpus LSH oracle: pairs(corpus) = pairs(A) ∪ incremental(A, B).
+    """
+    from datax_spark.functions.dedup import (
+        band_table,
+        incremental_lsh_pairs,
+        pairs_from_bands,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    mid = docs.agg(F.floor(F.max("doc_id") / 2)).first()[0]
+    root = _tmproot("dx_inc_dedup_q_")
+    store_path = os.path.join(root, "bands")
+    band_table(docs.filter(F.col("doc_id") <= mid)).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    old_pairs = pairs_from_bands(store)
+    new_pairs, _ = incremental_lsh_pairs(store, docs.filter(F.col("doc_id") > mid))
+    return old_pairs.unionByName(new_pairs).distinct()
+
+
+SEARCH_TERMS = ["vector", "customer", "merge", "stream"]
+
+
+def q_text_search(spark, sf_dir):
+    """Inverted-index text search: posting rows (token, doc_id) -> top-k
+    docs by matched-term count, (score DESC, doc_id ASC) deterministic."""
+    from datax_spark.functions.text import build_postings, search_postings
+
+    docs = _read(spark, sf_dir, "documents")
+    return search_postings(build_postings(docs), SEARCH_TERMS, k=20)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders (DuckDB dialect, same math as the Spark expressions)
 # ---------------------------------------------------------------------------
@@ -1149,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_sql_view": q_cdc_sql_view,
         "cdc_scan_prune": q_cdc_scan_prune,
+        "cdc_scd2_apply": q_cdc_scd2_apply,
         "dx_transforms": q_dx_transforms,
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
@@ -1163,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "dedup_corpus_quality": q_dedup_corpus_quality,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_corpus": q_dedup_embedding_corpus,
         "text_filter_pipeline": q_text_filter_pipeline,
@@ -1176,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_rare_tokens": q_text_rare_tokens,
+        "text_search": q_text_search,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_framesample": q_multimodal_framesample,
@@ -1598,6 +1677,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
                content, _change_type
         FROM feed
+    """
+    # SCD2: incremental interval maintenance == one lead() window over
+    # the whole clean log (valid_to NULL = current image).
+    sql["cdc_scd2_apply"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        o AS (SELECT *, lead(seq) OVER (
+                PARTITION BY user_id ORDER BY seq) AS valid_to FROM clean)
+        SELECT user_id, content, seq AS valid_from, valid_to
+        FROM o WHERE op != 'delete'
+    """
+    # incremental LSH == full-corpus LSH (banding is symmetric per-pair)
+    sql["dedup_incremental"] = _lsh_pairs_sql()
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    sql["text_search"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct({_TOKS})) AS token
+          FROM documents)
+        SELECT doc_id, count(*)::BIGINT AS score FROM tok
+        WHERE token IN ({terms})
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
     """
     sql["cdc_time_travel"] = f"""
         WITH chg AS ({_CHG_SQL}),

@@ -92,7 +92,7 @@ def minhash_signatures_agg(
     )
 
 
-def lsh_candidate_pairs(
+def band_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -100,11 +100,11 @@ def lsh_candidate_pairs(
     rows_per_band: int = LSH_ROWS_PER_BAND,
     n: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing any MinHash band.
+    """(doc_id, band_id, band_hash) — the LSH signature STORE layout.
 
-    banding: band_hash = md5(mh_i || ',' || mh_j ...); shuffle keys are
-    (band_id, band_hash) so bucket sizes stay tiny and the self-join is
-    per-bucket. Output: (doc_a, doc_b) distinct with doc_a < doc_b.
+    band_hash = md5(mh_i || ',' || mh_j ...). This is the unit that
+    persists between batches for incremental dedup: docs never need
+    re-shingling once their bands are stored.
     """
     sigs = minhash_signatures_agg(df, text_col, id_col, k, n)
     n_bands = k // rows_per_band
@@ -120,20 +120,89 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws(",", *parts)).alias("band_hash"),
             )
         )
-    exploded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
-    # Equi-join via shared column names: an aliased self-join here keeps
-    # one lineage and Spark degenerates it to a nested-loop with the whole
-    # MinHash expression inlined into the predicate (O(n^2) re-hashing).
-    a = exploded.withColumnRenamed("doc_id", "doc_a")
-    b = exploded.withColumnRenamed("doc_id", "doc_b")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any MinHash band.
+
+    banding: shuffle keys are (band_id, band_hash) so bucket sizes stay
+    tiny and the self-join is per-bucket. Output: (doc_a, doc_b) distinct
+    with doc_a < doc_b.
+    """
+    return pairs_from_bands(band_table(df, text_col, id_col, k, rows_per_band, n))
+
+
+def pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Candidate pairs from a (doc_id, band_id, band_hash) table.
+
+    Equi-join via shared column names: an aliased self-join here keeps
+    one lineage and Spark degenerates it to a nested-loop with the whole
+    MinHash expression inlined into the predicate (O(n^2) re-hashing).
+    """
+    a = bands.withColumnRenamed("doc_id", "doc_a")
+    b = bands.withColumnRenamed("doc_id", "doc_b")
     return (
         a.join(b, on=["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def incremental_lsh_pairs(
+    store_bands: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs introduced by a NEW batch against a persisted store.
+
+    ``store_bands``: the accumulated (doc_id, band_id, band_hash) table of
+    every previously-ingested doc (``band_table`` output, persisted as
+    parquet between batches). Returns ``(new_pairs, new_bands)`` where
+    ``new_pairs`` are exactly the candidate pairs with at least one member
+    in the batch — banding is symmetric and per-pair, so
+
+        pairs(corpus) = pairs(store) ∪ incremental(store, batch)
+
+    holds by construction (the driver query dedup_incremental value-checks
+    it against the full-corpus SQL oracle). Callers append ``new_bands``
+    to the store afterward.
+
+    100-TB shape: per batch the work is O(batch shingles) hashing + one
+    equi-join on (band_id, band_hash). Keep the store BUCKETED on the band
+    key (e.g. a LakeTable with bucket_key=band_hash) so only the batch
+    side shuffles — the corpus-sized store never re-shingles and never
+    re-shuffles. Contrast a naive re-run: O(corpus) hashing + O(corpus)
+    shuffle on every batch.
+    """
+    new_bands = band_table(new_docs, text_col, id_col, k, rows_per_band, n)
+    all_bands = store_bands.unionByName(new_bands)
+    a = new_bands.withColumnRenamed("doc_id", "id_a")
+    b = all_bands.withColumnRenamed("doc_id", "id_b")
+    pairs = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs, new_bands
 
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

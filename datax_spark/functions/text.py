@@ -207,3 +207,41 @@ def rare_token_stats(
             round6(F.col("n_rare") / F.col("n_tokens")).alias("rare_ratio"),
         )
     )
+
+
+def build_postings(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Inverted-index posting rows: one (token, doc_id) per DISTINCT token
+    per document.
+
+    Row-per-posting, not array-per-token: at corpus scale a hot token's
+    doc list is millions of entries — as rows it spreads across
+    partitions and aggregates with map-side partials; as one array it is
+    a driver-killing skew cell. Persist bucketed/partitioned by ``token``
+    so term lookups prune at plan time.
+    """
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+
+
+def search_postings(postings, terms: list[str], k: int = 20):
+    """Top-k docs by number of matched query terms (boolean OR ranking).
+
+    The term filter hits the posting store's partition/bucket pruning (a
+    |terms|-sized IN list), so the scan is O(matched postings), never
+    O(corpus); the groupBy aggregates counts with map-side partials.
+    Deterministic order: (score DESC, doc_id ASC) is total, so LIMIT k is
+    stable across engines — the DuckDB oracle reproduces it exactly.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        postings.filter(F.col("token").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -51,7 +51,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 MANIFEST_DIR = "_manifests"
 REFS_DIR = os.path.join(MANIFEST_DIR, "refs")
@@ -146,10 +146,37 @@ def _conform_payload(df: DataFrame, payload: list[str], schema: StructType) -> D
     return df.select(*cols)
 
 
+# Safe numeric promotions (Iceberg type-evolution rules): widening only,
+# so old files read up-cast and nothing rewrites. Shared by the commit
+# paths here and the apply-side check in operators/merge._evolve_schema.
+WIDENS_TO = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+
+
 def _union_schema(a: StructType, b: StructType) -> StructType:
-    """Additive union: ``a``'s fields, then ``b``'s new ones in order."""
+    """Additive union: ``a``'s fields (taking ``b``'s type where it is a
+    numeric WIDENING of ``a``'s — wider-of-the-two is order-independent,
+    so concurrent rebases converge), then ``b``'s new fields in order.
+    Non-widening collisions keep ``a``'s type; the apply path raised on
+    those before any commit reached here."""
+    b_by_name = {f.name: f for f in b.fields}
     names = {f.name for f in a.fields}
-    return StructType(list(a.fields) + [f for f in b.fields if f.name not in names])
+    fields = []
+    for f in a.fields:
+        other = b_by_name.get(f.name)
+        if (
+            other is not None
+            and other.dataType != f.dataType
+            and other.dataType.typeName() in WIDENS_TO.get(f.dataType.typeName(), ())
+        ):
+            fields.append(StructField(f.name, other.dataType, True))
+        else:
+            fields.append(f)
+    return StructType(fields + [f for f in b.fields if f.name not in names])
 
 
 def bucket_expr(bucket_key: str, num_buckets: int):

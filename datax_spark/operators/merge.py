@@ -36,7 +36,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datax_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
+from datax_spark.lake.table import (
+    BUCKET_COL,
+    WIDENS_TO as _WIDENS_TO,
+    LakeTable,
+    bucket_expr,
+)
 
 OP_COL = "op"
 DELETE_OP = "delete"
@@ -240,12 +245,40 @@ def merge_apply(
             changes.unpersist()
 
 
-def _evolve_schema(table_schema, batch_schema):
-    """Union of table schema + new batch columns (additive evolution only)."""
-    from pyspark.sql.types import StructType
+class SchemaEvolutionError(ValueError):
+    """Batch column type is incompatible with the table's (non-widening)."""
 
+
+def _evolve_schema(table_schema, batch_schema):
+    """Table schema + new batch columns (additive) + numeric widening.
+
+    A batch column whose type is WIDER than the table's (int->long,
+    float->double) evolves the table column to the wide type — old files
+    read up-cast, nothing rewrites. A NARROWER batch column keeps the
+    table type (the batch casts up on write). Any other type change
+    raises: silently casting e.g. string->long would corrupt data, the
+    caller must transform first (dx_* / pandas cast with quarantine).
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    batch_by_name = {f.name: f for f in batch_schema.fields}
     existing = {f.name for f in table_schema.fields}
-    fields = list(table_schema.fields)
+    fields = []
+    for f in table_schema.fields:
+        b = batch_by_name.get(f.name)
+        if b is None or b.dataType == f.dataType:
+            fields.append(f)
+            continue
+        t_name, b_name = f.dataType.typeName(), b.dataType.typeName()
+        if b_name in _WIDENS_TO.get(t_name, ()):
+            fields.append(StructField(f.name, b.dataType, True))
+        elif t_name in _WIDENS_TO.get(b_name, ()):
+            fields.append(f)  # batch is narrower: casts up at write
+        else:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table {t_name} vs batch {b_name} — "
+                "not a widening; transform the batch first"
+            )
     for f in batch_schema.fields:
         if f.name not in existing and f.name not in CDC_META_COLS:
             fields.append(f)

@@ -1,0 +1,217 @@
+"""SCD type-2 history apply: change events -> interval-versioned table.
+
+DataX moves each change event once; downstream warehouses commonly land
+those events as a slowly-changing-dimension type-2 history (the writeMode
+"update" family's audit-table cousin — every image is kept, versioned by
+an inclusive-start / exclusive-end validity interval instead of being
+overwritten). This operator maintains that history INCREMENTALLY on a
+LakeTable:
+
+    row = (natural key, payload, _valid_from, _valid_to)
+    _valid_to IS NULL  <=>  the key's current image
+    delete events close the open interval and open nothing
+
+Physical plan, sized for 100 TB:
+
+1. within-batch intervals come from one lead() window partitioned by the
+   natural key — a batch-bounded shuffle, never table-bounded;
+2. the only table-side mutation is closing open intervals for keys seen
+   in the batch: per-key first-event seq is a small aggregate joined onto
+   the affected buckets via broadcast, so the history table never
+   shuffles;
+3. affected buckets rewrite copy-on-write exactly like operators/merge.py
+   (bucket granularity, manifest CAS, batch-id fence).
+
+Correctness contract (same as the COW merge): batches arrive in seq
+order — every seq in batch N exceeds every seq in batch N-1 (the segment
+replay-order contract, NOTES.md). Under it, incremental application of
+any batch split equals the single from-scratch window over the whole log,
+which is exactly what the driver oracle checks.
+
+Reference analog: the event stream DataX tails (otsstreamreader keeps
+every version between from/to time,
+otsstreamreader/doc/otsstreamreader.md:1-40) persisted losslessly instead
+of latest-wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from datax_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
+from datax_spark.operators.merge import (
+    DELETE_OP,
+    OP_COL,
+    MergeResult,
+    _conform,
+    _evolve_schema,
+    bucket_stats_agg,
+)
+
+VALID_FROM = "_valid_from"
+VALID_TO = "_valid_to"
+
+
+def create_scd2_table(
+    spark: SparkSession,
+    path: str,
+    row_schema: StructType,
+    natural_key: list[str],
+    bucket_key: str,
+    num_buckets: int = 16,
+    **kwargs,
+) -> LakeTable:
+    """Create a lake table laid out for SCD2 history.
+
+    ``row_schema``: the natural key + payload columns (no meta — the
+    validity interval columns are appended here). Row identity is
+    (natural key, _valid_from) — a key holds one row per image it ever
+    had. Bucketing stays on the natural key so every version of a key
+    co-locates in one bucket (closing intervals touches only the batch's
+    buckets).
+    """
+    missing = [k for k in natural_key if k not in {f.name for f in row_schema.fields}]
+    if missing:
+        raise ValueError(f"row_schema must include natural key cols {missing}")
+    fields = list(row_schema.fields) + [
+        StructField(VALID_FROM, LongType(), False),
+        StructField(VALID_TO, LongType(), True),
+    ]
+    return LakeTable.create(
+        spark,
+        path,
+        StructType(fields),
+        key_cols=[*natural_key, VALID_FROM],
+        bucket_key=bucket_key,
+        num_buckets=num_buckets,
+        extra_properties={"scd2": True, "natural_key": list(natural_key)},
+        **kwargs,
+    )
+
+
+def scd2_apply(
+    table: LakeTable,
+    clean_changes: DataFrame,
+    batch_id: int,
+    stream_id: str = "default",
+    broadcast_keys: bool | None = None,
+) -> MergeResult:
+    """Apply one clean change batch to an SCD2 history table exactly once.
+
+    ``clean_changes``: quarantine-filtered events with the natural key
+    columns, payload columns, ``op`` and ``seq``. Unlike the latest-wins
+    merge, the batch is NOT deduplicated first — every event becomes (or
+    closes) a history interval, so intermediate images inside one batch
+    are preserved.
+    """
+    base_version = table.current_version()
+    snap = table.snapshot(base_version)
+    props = snap.properties
+    if not props.get("scd2"):
+        raise ValueError("scd2_apply requires a table from create_scd2_table")
+    natural_key: list[str] = props["natural_key"]
+    bucket_key: str = props["bucket_key"]
+    num_buckets: int = props["num_buckets"]
+
+    last = (props.get("streams", {}).get(stream_id) or {}).get("last_batch_id")
+    if last is not None and batch_id <= last:
+        return MergeResult(version=None, applied=False, affected_buckets=[])
+
+    changes = clean_changes.persist()
+    try:
+        stats_rows = bucket_stats_agg(changes, bucket_key, num_buckets)
+        if not stats_rows:
+            new_snap = table.commit_replace_buckets(
+                base_version,
+                commit_rel="",
+                replaced_buckets=[],
+                stream_updates={stream_id: {"last_batch_id": batch_id}},
+            )
+            return MergeResult(
+                version=new_snap.version, applied=True, affected_buckets=[]
+            )
+
+        affected = sorted(int(r[BUCKET_COL]) for r in stats_rows)
+        deletes = sum(r["deletes"] for r in stats_rows)
+        events = sum(r["events"] for r in stats_rows)
+
+        # Within-batch intervals: each event's validity ends where the
+        # key's next event (of ANY op) begins. Batch-bounded shuffle.
+        w = Window.partitionBy(*natural_key).orderBy("seq")
+        new_rows = (
+            changes.withColumn(VALID_TO, F.lead("seq").over(w))
+            .filter(F.col(OP_COL) != DELETE_OP)
+            .withColumnRenamed("seq", VALID_FROM)
+            .drop(OP_COL)
+        )
+
+        # Close the table's open interval for every key the batch touches
+        # at the key's FIRST event seq in the batch.
+        first_seq = changes.groupBy(*natural_key).agg(
+            F.min("seq").alias("_first_seq")
+        )
+        if broadcast_keys is None:
+            broadcast_keys = events <= 100_000
+        if broadcast_keys:
+            first_seq = F.broadcast(first_seq)
+
+        existing = table.read(buckets=affected, version=base_version)
+        closed = existing.join(first_seq, on=natural_key, how="left").withColumn(
+            VALID_TO,
+            F.when(
+                F.col(VALID_TO).isNull() & F.col("_first_seq").isNotNull(),
+                F.col("_first_seq"),
+            ).otherwise(F.col(VALID_TO)),
+        ).drop("_first_seq")
+
+        merged_schema = _evolve_schema(snap.schema, new_rows.schema)
+        merged = _conform(closed, merged_schema).unionByName(
+            _conform(new_rows, merged_schema)
+        )
+
+        commit_rel = table.write_bucket_data(merged, num_buckets, bucket_key)
+        lineage = {
+            str(int(r[BUCKET_COL])): {
+                "max_seq": int(r["max_seq"]),
+                "batch_id": batch_id,
+            }
+            for r in stats_rows
+        }
+        new_snap = table.commit_replace_buckets(
+            base_version,
+            commit_rel,
+            replaced_buckets=affected,
+            schema=merged_schema,
+            stream_updates={stream_id: {"last_batch_id": batch_id}},
+            lineage_updates=lineage,
+        )
+        return MergeResult(
+            version=new_snap.version,
+            applied=True,
+            affected_buckets=affected,
+            upserts=events - deletes,
+            deletes=deletes,
+        )
+    finally:
+        changes.unpersist()
+
+
+def scd2_current(table: LakeTable, version: int | None = None) -> DataFrame:
+    """The current image per key (open intervals only) — equals the
+    latest-wins merge state of the same log."""
+    return table.read(version=version).filter(F.col(VALID_TO).isNull()).drop(
+        VALID_FROM, VALID_TO
+    )
+
+
+def scd2_as_of(table: LakeTable, seq: int, version: int | None = None) -> DataFrame:
+    """The image each key had just after ``seq`` (interval containment:
+    _valid_from <= seq < _valid_to). Time travel by EVENT order, not by
+    commit — finer-grained than snapshot versions."""
+    df = table.read(version=version)
+    return df.filter(
+        (F.col(VALID_FROM) <= F.lit(seq))
+        & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(seq)))
+    ).drop(VALID_FROM, VALID_TO)

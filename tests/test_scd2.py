@@ -1,0 +1,157 @@
+"""SCD type-2 history apply (operators/scd2.py).
+
+The load-bearing property: INCREMENTAL application of any batch split
+equals the single from-scratch lead() window over the whole log — which
+is also what the driver oracle (cdc_scd2_apply) checks against DuckDB.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from datax_spark.operators.scd2 import (
+    VALID_FROM,
+    VALID_TO,
+    create_scd2_table,
+    scd2_apply,
+    scd2_as_of,
+    scd2_current,
+)
+
+# (key, op, seq, content) — keys with multiple images, deletes, re-inserts,
+# a delete-then-reinsert across a batch boundary, and a key seen once.
+LOG = [
+    ("a", "insert", 1, "a1"),
+    ("b", "insert", 2, "b1"),
+    ("a", "update", 3, "a2"),
+    ("c", "insert", 4, "c1"),
+    ("b", "delete", 5, None),
+    # --- batch boundary at seq 5 ---
+    ("b", "insert", 6, "b2"),
+    ("a", "update", 7, "a3"),
+    ("d", "insert", 8, "d1"),
+    ("c", "delete", 9, None),
+    # --- batch boundary at seq 9 ---
+    ("c", "insert", 10, "c2"),
+    ("a", "delete", 11, None),
+    ("d", "update", 12, "d2"),
+]
+
+
+def _log_df(spark, rows):
+    return spark.createDataFrame(rows, "key string, op string, seq long, content string")
+
+
+def _expected_history(spark, rows):
+    """From-scratch oracle: one lead() window over the whole log."""
+    df = _log_df(spark, rows)
+    w = Window.partitionBy("key").orderBy("seq")
+    return (
+        df.withColumn(VALID_TO, F.lead("seq").over(w))
+        .filter(F.col("op") != "delete")
+        .select(
+            "key", "content", F.col("seq").alias(VALID_FROM), F.col(VALID_TO)
+        )
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return create_scd2_table(
+        spark,
+        os.path.join(str(tmp_path), "scd2"),
+        StructType([StructField("key", StringType()), StructField("content", StringType())]),
+        natural_key=["key"],
+        bucket_key="key",
+        num_buckets=4,
+    )
+
+
+def _apply_batches(spark, table, bounds):
+    lo = 0
+    for i, hi in enumerate(bounds):
+        batch = [r for r in LOG if lo < r[2] <= hi]
+        scd2_apply(table, _log_df(spark, batch), batch_id=i)
+        lo = hi
+
+
+def test_incremental_equals_from_scratch(spark, table):
+    _apply_batches(spark, table, [5, 9, 99])
+    got = table.read().select("key", "content", VALID_FROM, VALID_TO)
+    assert _rows(got) == _rows(_expected_history(spark, LOG))
+
+
+def test_single_batch_equals_from_scratch(spark, tmp_path):
+    t = create_scd2_table(
+        spark,
+        os.path.join(str(tmp_path), "one"),
+        StructType([StructField("key", StringType()), StructField("content", StringType())]),
+        natural_key=["key"],
+        bucket_key="key",
+        num_buckets=4,
+    )
+    scd2_apply(t, _log_df(spark, LOG), batch_id=0)
+    got = t.read().select("key", "content", VALID_FROM, VALID_TO)
+    assert _rows(got) == _rows(_expected_history(spark, LOG))
+
+
+def test_current_equals_latest_wins(spark, table):
+    _apply_batches(spark, table, [5, 9, 99])
+    cur = _rows(scd2_current(table).select("key", "content"))
+    # latest-wins replay of the same log: a deleted, b=b2, c=c2, d=d2
+    assert cur == [("b", "b2"), ("c", "c2"), ("d", "d2")]
+
+
+def test_as_of_equals_prefix_replay(spark, table):
+    _apply_batches(spark, table, [5, 9, 99])
+    for seq in (1, 4, 5, 6, 9, 10, 11, 12):
+        asof = _rows(scd2_as_of(table, seq).select("key", "content"))
+        # replay oracle: latest non-delete image per key among seq' <= seq
+        prefix = [r for r in LOG if r[2] <= seq]
+        state = {}
+        for k, op, s, c in sorted(prefix, key=lambda r: r[2]):
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = c
+        assert asof == sorted(state.items()), f"as_of({seq})"
+
+
+def test_fence_replay_is_noop(spark, table):
+    _apply_batches(spark, table, [5])
+    v = table.current_version()
+    res = scd2_apply(table, _log_df(spark, [r for r in LOG if r[2] <= 5]), batch_id=0)
+    assert not res.applied and res.version is None
+    assert table.current_version() == v
+
+
+def test_untouched_buckets_carry_forward(spark, table):
+    """A batch touching one key must not rewrite other keys' buckets."""
+    scd2_apply(table, _log_df(spark, [r for r in LOG if r[2] <= 5]), batch_id=0)
+    before = table.snapshot().buckets
+    res = scd2_apply(table, _log_df(spark, [("a", "update", 6, "a9")]), batch_id=1)
+    after = table.snapshot().buckets
+    assert len(res.affected_buckets) == 1
+    for b, files in before.items():
+        if int(b) not in res.affected_buckets:
+            assert after[b] == files, f"bucket {b} was rewritten needlessly"
+
+
+def test_schema_evolution_additive(spark, table):
+    scd2_apply(table, _log_df(spark, [r for r in LOG if r[2] <= 5]), batch_id=0)
+    evolved = spark.createDataFrame(
+        [("e", "insert", 6, "e1", "py")],
+        "key string, op string, seq long, content string, lang string",
+    )
+    scd2_apply(table, evolved, batch_id=1)
+    out = table.read()
+    assert "lang" in out.columns
+    got = {r["key"]: r["lang"] for r in out.filter(F.col(VALID_TO).isNull()).collect()}
+    assert got["e"] == "py" and got["a"] is None
