@@ -381,6 +381,8 @@ def tail_and_apply(
     max_files_per_trigger: int = 1,
     timeout_sec: float = 120.0,
     max_bytes_per_trigger: int | None = None,
+    dedup_within: str | None = None,
+    dedup_id_cols: list[str] | None = None,
 ):
     """Structured Streaming tail of the change log -> fenced MERGE apply.
 
@@ -390,6 +392,18 @@ def tail_and_apply(
     (core/.../transport/channel/Channel.java:176-239); the checkpoint dir
     persists batch offsets for resume. Spark treats maxBytesPerTrigger as
     a soft cap (at least one file per batch).
+
+    ``dedup_within`` (e.g. ``"10 minutes"``): suppress AT-LEAST-ONCE
+    source redeliveries with ``dropDuplicatesWithinWatermark`` over
+    ``dedup_id_cols`` (default: key cols + seq — the event's identity)
+    before the apply. This matters because the merge is unconditional
+    under the seq replay-order contract: a redelivered STALE image in a
+    later micro-batch would overwrite newer state (the hazard is pinned
+    both ways in tests/test_source_dedup.py). State is bounded by the
+    watermark horizon on ``ts`` and lives in the checkpoint, so resume
+    keeps the dedup exact across restarts; an event older than the
+    watermark is dropped as late — also the safe outcome, its key has
+    already advanced past it.
     """
     cfg = config or PipelineConfig()
 
@@ -403,6 +417,9 @@ def tail_and_apply(
     else:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.option("latestFirst", "false").parquet(log_dir + "/seg=*")
+    if dedup_within is not None:
+        ids = list(dedup_id_cols or (*KEY_COLS, "seq"))
+        stream = stream.withWatermark("ts", dedup_within).dropDuplicatesWithinWatermark(ids)
     query = (
         stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
