@@ -997,6 +997,42 @@ def q_cdc_scan_prune(spark, sf_dir):
     return table.scan([("event_id", ">", cut)])
 
 
+def q_cdc_overwrite_where(spark, sf_dir):
+    """Predicate overwrite (LakeTable.overwrite_where, Delta replaceWhere
+    analog): load events, then atomically backfill the top event_id
+    quartile with re-derived rows (props -> 'backfilled'). The oracle is
+    the plain CASE projection over the source — equality proves the
+    overwrite slice boundary and the survivor set are exact."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    cut = mx * 3 // 4
+    root = _tmproot("dx_ovw_q_")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("props", StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema, ["event_id"], "event_id",
+        num_buckets=8,
+    )
+    table.bulk_load(ev)
+    repl = ev.filter(F.col("event_id") > cut).withColumn(
+        "props", F.lit("backfilled")
+    )
+    table.overwrite_where([("event_id", ">", cut)], repl)
+    return table.read().select("event_id", "user_id", "event_type", "props")
+
+
 def q_cdc_scd2_apply(spark, sf_dir):
     """SCD type-2 history apply (operators/scd2.py): every change event
     becomes a validity interval; deletes close intervals. Applied
@@ -1226,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sql_view": q_cdc_sql_view,
         "cdc_scan_prune": q_cdc_scan_prune,
         "cdc_scd2_apply": q_cdc_scd2_apply,
+        "cdc_overwrite_where": q_cdc_overwrite_where,
         "dx_transforms": q_dx_transforms,
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
@@ -1687,6 +1724,12 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY seq) AS valid_to FROM clean)
         SELECT user_id, content, seq AS valid_from, valid_to
         FROM o WHERE op != 'delete'
+    """
+    sql["cdc_overwrite_where"] = """
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id > (SELECT max(event_id) * 3 // 4 FROM events)
+                    THEN 'backfilled' ELSE props END AS props
+        FROM events
     """
     # incremental LSH == full-corpus LSH (banding is symmetric per-pair)
     sql["dedup_incremental"] = _lsh_pairs_sql()

@@ -1566,6 +1566,79 @@ class LakeTable:
         (the replace commit clears their lists)."""
         return self._read_files(self._abs_files(snap, buckets), snap.schema)
 
+    def overwrite_where(
+        self,
+        filters: list,
+        df: DataFrame,
+        validate: bool = True,
+        max_retries: int = 3,
+    ) -> Snapshot:
+        """Atomic predicate overwrite (Delta ``replaceWhere`` / dynamic
+        partition overwrite analog): delete every stored row matching
+        ``filters`` and insert ``df``, as ONE commit — the backfill
+        primitive (re-deriving a corrupted time slice, replaying a
+        partition from upstream).
+
+        ``filters`` uses the ``scan`` tuple grammar. With an ``=`` filter
+        on the bucket key the rewrite touches only that key's hash bucket
+        (plus buckets ``df`` hashes into); any other predicate rewrites
+        every bucket that may hold matching rows — correct, just a bigger
+        copy-on-write. On MOR tables the rewrite folds live deltas in
+        resolved (the replace commit clears the buckets' delta and
+        eq-delete lists), so overwritten history can't resurrect.
+
+        ``validate``: require every ``df`` row to satisfy the predicate
+        (the Delta contract) — otherwise a later identical overwrite
+        would silently delete the out-of-slice rows. One narrow count
+        job; opt out for trusted callers.
+
+        Losing the commit CAS to a concurrent writer re-runs against the
+        winner's snapshot (same policy as ``compact``).
+        """
+        from datax_spark.lake.stats import filters_to_expr, validate_filters
+
+        validate_filters(filters)
+        pred = filters_to_expr(filters)
+        if validate:
+            bad = df.filter(~pred).limit(1).count()
+            if bad:
+                raise ValueError(
+                    "overwrite_where: df has rows NOT matching the "
+                    "predicate; they would fall outside the overwritten "
+                    "slice (pass validate=False to force)"
+                )
+        for attempt in range(max_retries + 1):
+            try:
+                return self._overwrite_once(filters, pred, df)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _overwrite_once(self, filters: list, pred, df: DataFrame) -> Snapshot:
+        snap = self.snapshot()
+        props = snap.properties
+        key, nb = props["bucket_key"], props["num_buckets"]
+        plan = self.plan_scan(filters, version=snap.version, prune_files=False)
+        new_buckets = {
+            int(r["b"])
+            for r in df.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+        }
+        affected = sorted(set(plan["buckets"]) | new_buckets)
+        # NULL-predicate rows do NOT match the overwrite slice and must
+        # survive: keep every row where pred is not literally TRUE.
+        survivors = self._rewrite_source(snap, affected).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        incoming = _conform_payload(
+            df, [f.name for f in snap.schema.fields], snap.schema
+        )
+        merged = survivors.unionByName(incoming)
+        commit_rel = self.write_bucket_data(merged, nb, key)
+        return self.commit_replace_buckets(
+            snap.version, commit_rel, replaced_buckets=affected
+        )
+
     def rewrite_zordered(
         self,
         cols: list[str],
