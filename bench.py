@@ -37,7 +37,10 @@ BENCH_QUERIES = [
     "cdc_mor_patch_apply",
     "cdc_change_feed",
     "cdc_scan_prune",
+    "cdc_scd2_apply",
+    "cdc_overwrite_where",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_corpus_quality",
     "dedup_lsh_pairs",
     "dedup_jaccard",
