@@ -997,6 +997,25 @@ def q_cdc_scan_prune(spark, sf_dir):
     return table.scan([("event_id", ">", cut)])
 
 
+def q_cdc_constraints(spark, sf_dir):
+    """Table CHECK constraints (Delta analog): dirty classification with a
+    named constraint rule riding the same one-pass tagging as the
+    built-in quarantine taxonomy (quality/quarantine.dirty_reason)."""
+    chg = _events_as_changelog(spark, sf_dir)
+    tagged = chg.withColumn(
+        "reason",
+        dirty_reason(
+            ["user_id"], "op", "content",
+            constraints={"content_len": "length(content) <= 8"},
+        ),
+    )
+    return (
+        tagged.filter(F.col("reason").isNotNull())
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_cdc_overwrite_where(spark, sf_dir):
     """Predicate overwrite (LakeTable.overwrite_where, Delta replaceWhere
     analog): load events, then atomically backfill the top event_id
@@ -1263,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scan_prune": q_cdc_scan_prune,
         "cdc_scd2_apply": q_cdc_scd2_apply,
         "cdc_overwrite_where": q_cdc_overwrite_where,
+        "cdc_constraints": q_cdc_constraints,
         "dx_transforms": q_dx_transforms,
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
@@ -1724,6 +1744,18 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY seq) AS valid_to FROM clean)
         SELECT user_id, content, seq AS valid_from, valid_to
         FROM o WHERE op != 'delete'
+    """
+    sql["cdc_constraints"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        tagged AS (SELECT CASE
+            WHEN op NOT IN ('insert', 'update', 'delete') THEN 'invalid_op'
+            WHEN user_id IS NULL THEN 'null_key'
+            WHEN op != 'delete' AND (content IS NULL OR content = '\\N')
+              THEN 'null_content'
+            WHEN op != 'delete' AND (length(content) <= 8) = FALSE
+              THEN 'constraint:content_len' END AS reason FROM chg)
+        SELECT reason, count(*) AS n FROM tagged
+        WHERE reason IS NOT NULL GROUP BY reason
     """
     sql["cdc_overwrite_where"] = """
         SELECT event_id, user_id, event_type,

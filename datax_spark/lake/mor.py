@@ -118,6 +118,7 @@ class MorTable(LakeTable):
         bucket_key: str,
         num_buckets: int = 16,
         stats_cols: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "MorTable":
         stored = StructType(
             list(schema.fields)
@@ -131,6 +132,7 @@ class MorTable(LakeTable):
             spark, path, stored, key_cols, bucket_key, num_buckets,
             extra_properties={"table_mode": "mor"},
             stats_cols=stats_cols,
+            constraints=constraints,
         )
         return cls(spark, path)
 

@@ -222,6 +222,7 @@ class LakeTable:
         manifest_mode: str = "sharded",
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         """Create the table.
 
@@ -268,6 +269,12 @@ class LakeTable:
                 "manifest_mode": manifest_mode,
                 "stats_cols": list(stats_cols or []),
                 "bloom_cols": list(bloom_cols or []),
+                # Named CHECK constraints (Delta table-constraint analog):
+                # the apply path quarantines non-delete rows whose
+                # expression is literally FALSE as `constraint:<name>`
+                # (quality/quarantine.dirty_reason), counted in the same
+                # one-pass stats job as the built-in dirty rules.
+                "constraints": dict(constraints or {}),
                 **(extra_properties or {}),
             },
         )

@@ -32,13 +32,22 @@ def dirty_reason(
     op_col: str = "op",
     content_col: str = "content",
     null_format: str = NULL_FORMAT,
+    constraints: dict[str, str] | None = None,
 ):
-    """Column: null for clean rows, else a reason string (first rule wins)."""
+    """Column: null for clean rows, else a reason string (first rule wins).
+
+    ``constraints``: named CHECK expressions (Delta table-constraint
+    analog) stored as table properties — a non-delete row violating one
+    quarantines with reason ``constraint:<name>``. Delta's three-valued
+    semantics: only an expression that is literally FALSE violates (NULL
+    passes — the null_* rules own null handling). Pure Column logic,
+    evaluated in the same codegen stage as the built-in rules.
+    """
     null_key = None
     for k in key_cols:
         cond = F.col(k).isNull()
         null_key = cond if null_key is None else (null_key | cond)
-    return (
+    out = (
         F.when(~F.col(op_col).isin(*VALID_OPS), F.lit("invalid_op"))
         .when(null_key, F.lit("null_key"))
         .when(
@@ -46,8 +55,13 @@ def dirty_reason(
             & (F.col(content_col).isNull() | (F.col(content_col) == null_format)),
             F.lit("null_content"),
         )
-        .otherwise(F.lit(None).cast("string"))
     )
+    for name, expr_sql in (constraints or {}).items():
+        out = out.when(
+            (F.col(op_col) != "delete") & F.expr(expr_sql).eqNullSafe(F.lit(False)),
+            F.lit(f"constraint:{name}"),
+        )
+    return out.otherwise(F.lit(None).cast("string"))
 
 
 def split_dirty(
@@ -56,10 +70,12 @@ def split_dirty(
     op_col: str = "op",
     content_col: str = "content",
     null_format: str = NULL_FORMAT,
+    constraints: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (clean, dirty-with-reason). One predicate, no Python UDF."""
     tagged = events.withColumn(
-        REASON_COL, dirty_reason(list(key_cols), op_col, content_col, null_format)
+        REASON_COL,
+        dirty_reason(list(key_cols), op_col, content_col, null_format, constraints),
     )
     clean = tagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
     dirty = tagged.filter(F.col(REASON_COL).isNotNull())

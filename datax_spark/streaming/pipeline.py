@@ -42,8 +42,8 @@ from datax_spark.quality.quarantine import (
 )
 
 
-def dirty_reason_col():
-    return dirty_reason(KEY_COLS)
+def dirty_reason_col(constraints: dict[str, str] | None = None):
+    return dirty_reason(KEY_COLS, constraints=constraints)
 
 KEY_COLS = ["repo", "path", "commit"]
 
@@ -124,6 +124,7 @@ def batch_stats_agg(
     num_buckets: int,
     key_cols: list[str],
     want_bytes: bool = False,
+    reasons: tuple = _REASONS,
 ) -> list:
     """ONE per-bucket stats pass over the tagged (reason-annotated) batch.
 
@@ -153,7 +154,7 @@ def batch_stats_agg(
         F.count_distinct(*[F.col(k) for k in key_cols]).alias("distinct_keys"),
         *[
             F.sum((F.col(REASON_COL) == r).cast("long")).alias(r)
-            for r in _REASONS
+            for r in reasons
         ],
     ]
     if want_bytes:
@@ -190,7 +191,12 @@ def apply_batch(
         m.applied = False
         return m
 
-    tagged = events.withColumn(REASON_COL, dirty_reason_col())
+    # Table-level CHECK constraints (Delta analog) ride the same tagged
+    # pass: one extra WHEN branch per constraint, zero extra jobs.
+    props = table.snapshot().properties
+    constraints = props.get("constraints") or {}
+    reasons = _REASONS + tuple(f"constraint:{n}" for n in constraints)
+    tagged = events.withColumn(REASON_COL, dirty_reason_col(constraints))
     is_dirty = F.col(REASON_COL).isNotNull()
     # Byte accounting (bps throttle / metrics) forces the otherwise
     # column-pruned stats scan to read `content` — only pay that when a
@@ -204,10 +210,9 @@ def apply_batch(
     # stats in one pass — see batch_stats_agg), then one wide write job
     # that references the dedup subtree for both the anti-join key side
     # and the upsert images.
-    props = table.snapshot().properties
     all_stats = batch_stats_agg(
         tagged, props["bucket_key"], props["num_buckets"], KEY_COLS,
-        want_bytes=want_bytes,
+        want_bytes=want_bytes, reasons=reasons,
     )
     stats = [
         r for r in all_stats
@@ -273,7 +278,7 @@ def apply_batch(
     m.clean_records = m.total_records - m.dirty_records
     m.dirty_reasons = {
         k: v
-        for k in _REASONS
+        for k in reasons
         if (v := sum(int(r[k] or 0) for r in all_stats))
     }
     if cfg.quarantine_dir and m.dirty_records:
