@@ -198,6 +198,46 @@ def scd2_apply(
         changes.unpersist()
 
 
+def apply_segments_scd2(
+    spark: SparkSession,
+    table: LakeTable,
+    log_dir: str,
+    quarantine_dir: str | None = None,
+    start_after_batch: int | None = None,
+) -> list[MergeResult]:
+    """Segment-loop driver for SCD2 tables — the history-mode twin of
+    streaming.pipeline.apply_segments: per segment, quarantine-split the
+    raw events (same dirty taxonomy incl. the table's CHECK constraints),
+    then ``scd2_apply`` the clean slice. Resume rides the same per-stream
+    fence."""
+    import os
+
+    from datax_spark.quality.quarantine import append_quarantine, split_dirty
+
+    natural_key = table.snapshot().properties["natural_key"]
+    constraints = table.snapshot().properties.get("constraints") or {}
+    segs = sorted(
+        (int(d.split("=", 1)[1]), os.path.join(log_dir, d))
+        for d in os.listdir(log_dir)
+        if d.startswith("seg=")
+    )
+    resume_from = (
+        table.last_batch_id("default")
+        if start_after_batch is None
+        else start_after_batch
+    )
+    out = []
+    for seg_id, seg_path in segs:
+        if resume_from is not None and seg_id <= resume_from:
+            continue
+        events = spark.read.parquet(seg_path)
+        clean, dirty = split_dirty(events, key_cols=natural_key, constraints=constraints)
+        if quarantine_dir:
+            append_quarantine(dirty, quarantine_dir, seg_id)
+        out.append(scd2_apply(table, clean.drop("ts", "batch_file"), seg_id))
+    return out
+
+
 def scd2_current(table: LakeTable, version: int | None = None) -> DataFrame:
     """The current image per key (open intervals only) — equals the
     latest-wins merge state of the same log."""

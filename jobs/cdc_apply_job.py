@@ -60,6 +60,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch (maybe_compact(max_delta_ratio=R) on MOR; "
                         "bin-packing on COW) — keeps resolved-read cost "
                         "flat over a long stream")
+    p.add_argument("--scd2", action="store_true",
+                   help="maintain an SCD type-2 HISTORY table instead of "
+                        "latest-wins state: every event becomes a "
+                        "validity interval (_valid_from/_valid_to), "
+                        "deletes close intervals")
+    p.add_argument("--constraint", action="append", default=[],
+                   metavar="NAME=EXPR",
+                   help="table CHECK constraint (repeatable): non-delete "
+                        "rows where EXPR is FALSE quarantine as "
+                        "constraint:NAME (applies at --create)")
+    p.add_argument("--dedup-within", metavar="DURATION",
+                   help="streaming only: suppress at-least-once source "
+                        "redeliveries by event identity (key+seq) within "
+                        "this watermark horizon, e.g. '10 minutes'")
     p.add_argument("--rollup", metavar="PATH",
                    help="maintain a per-repo rollup table at PATH from the "
                         "change feed after the apply (created if absent; "
@@ -110,15 +124,33 @@ def main(argv: list[str] | None = None) -> int:
 
     from datax_spark.lake.mor import MorTable
 
-    cls = MorTable if args.mor else LakeTable
-    if args.create and not LakeTable.exists(args.table):
-        table = cls.create(
-            spark, args.table, schema,
-            key_cols=["repo", "path", "commit"],
-            bucket_key="repo", num_buckets=args.buckets,
-        )
+    constraints = dict(c.split("=", 1) for c in args.constraint)
+    if args.scd2 and args.mor:
+        print("--scd2 is a COW history layout; drop --mor", file=sys.stderr)
+        return 2
+    if args.scd2:
+        from datax_spark.operators.scd2 import create_scd2_table
+
+        if args.create and not LakeTable.exists(args.table):
+            table = create_scd2_table(
+                spark, args.table, schema,
+                natural_key=["repo", "path", "commit"],
+                bucket_key="repo", num_buckets=args.buckets,
+                constraints=constraints,
+            )
+        else:
+            table = LakeTable(spark, args.table)
     else:
-        table = cls(spark, args.table)
+        cls = MorTable if args.mor else LakeTable
+        if args.create and not LakeTable.exists(args.table):
+            table = cls.create(
+                spark, args.table, schema,
+                key_cols=["repo", "path", "commit"],
+                bucket_key="repo", num_buckets=args.buckets,
+                constraints=constraints,
+            )
+        else:
+            table = cls(spark, args.table)
 
     cfg = PipelineConfig(
         quarantine_dir=args.quarantine,
@@ -136,7 +168,20 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
 
-    if args.streaming:
+    if args.scd2:
+        from datax_spark.operators.scd2 import apply_segments_scd2
+
+        if args.streaming:
+            print("--scd2 currently runs the segment loop (no --streaming)",
+                  file=sys.stderr)
+            return 2
+        results = apply_segments_scd2(
+            spark, table, args.log_dir, quarantine_dir=args.quarantine
+        )
+        for r in results:
+            print(json.dumps({"version": r.version, "applied": r.applied,
+                              "affected_buckets": len(r.affected_buckets)}))
+    elif args.streaming:
         from pyspark.sql.types import IntegerType, LongType, TimestampType
 
         ev_schema = StructType(
@@ -150,7 +195,7 @@ def main(argv: list[str] | None = None) -> int:
             print("--checkpoint required with --streaming", file=sys.stderr)
             return 2
         tail_and_apply(spark, args.table, args.log_dir, args.checkpoint,
-                       ev_schema, config=cfg)
+                       ev_schema, config=cfg, dedup_within=args.dedup_within)
     else:
         metrics = apply_segments(spark, table, args.log_dir, config=cfg)
         for m in metrics:
