@@ -997,6 +997,36 @@ def q_cdc_scan_prune(spark, sf_dir):
     return table.scan([("event_id", ">", cut)])
 
 
+def q_cdc_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join: each probe event sees the CDC state of
+    its key at its own seq — the union+window formulation (one exchange,
+    no join node, no per-key row explosion; operators/asof.py). Delete
+    tombstones null the match; the oracle replays the same rule with a
+    LATERAL latest-version-at-or-before subquery."""
+    from datax_spark.operators.asof import asof_join
+    from datax_spark.quality.quarantine import split_dirty
+
+    chg = _events_as_changelog(spark, sf_dir)
+    clean, _ = split_dirty(chg, key_cols=("user_id",), op_col="op", content_col="content")
+    probes = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("user_id", F.col("event_id").alias("probe_seq"))
+    )
+    out = asof_join(
+        probes, clean, ["user_id"], "probe_seq", "seq",
+        payload_cols=["op", "content"],
+    )
+    return out.select(
+        "user_id",
+        "probe_seq",
+        F.col("asof_t").cast("long").alias("asof_seq"),
+        F.when(F.col("asof_op") != "delete", F.col("asof_content")).alias(
+            "asof_content"
+        ),
+    )
+
+
 def q_cdc_constraints(spark, sf_dir):
     """Table CHECK constraints (Delta analog): dirty classification with a
     named constraint rule riding the same one-pass tagging as the
@@ -1283,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_apply": q_cdc_scd2_apply,
         "cdc_overwrite_where": q_cdc_overwrite_where,
         "cdc_constraints": q_cdc_constraints,
+        "cdc_asof_join": q_cdc_asof_join,
         "dx_transforms": q_dx_transforms,
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
@@ -1744,6 +1775,19 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY seq) AS valid_to FROM clean)
         SELECT user_id, content, seq AS valid_from, valid_to
         FROM o WHERE op != 'delete'
+    """
+    sql["cdc_asof_join"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        probes AS (SELECT user_id, event_id AS probe_seq FROM events
+                   WHERE event_id % 7 = 0)
+        SELECT p.user_id, p.probe_seq,
+               s.seq AS asof_seq,
+               CASE WHEN s.op != 'delete' THEN s.content END AS asof_content
+        FROM probes p LEFT JOIN LATERAL (
+          SELECT e.seq, e.op, e.content FROM clean e
+          WHERE e.user_id = p.user_id AND e.seq <= p.probe_seq
+          ORDER BY e.seq DESC LIMIT 1) s ON true
     """
     sql["cdc_constraints"] = f"""
         WITH chg AS ({_CHG_SQL}),

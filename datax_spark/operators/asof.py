@@ -1,0 +1,109 @@
+"""As-of (point-in-time) join: each probe row matches the latest version
+row at-or-before its timestamp.
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas do); the naive
+formulations both collapse at scale — a range-predicate join degenerates
+to per-key row explosion (every probe joins every earlier version before
+the max filter), and a correlated subquery isn't expressible. The
+scalable shape is the UNION + WINDOW formulation:
+
+    tag probes and versions, union them, ONE window over
+    (key ORDER BY t, is_probe) carrying last(version_struct ignorenulls)
+    forward, keep probe rows.
+
+Cost: one hash exchange of probes+versions keyed by the join key and one
+within-partition sort — no join node at all, no row explosion, map-side
+column pruning intact. Hot keys cost what any per-key window costs;
+versions-per-key is typically bounded (CDC history), probes spread.
+
+The matched version arrives as a STRUCT (time + payload), so delete
+tombstones and staleness bounds stay expressible: a CDC consumer keeps
+``op`` in the payload and nulls matches where the latest version is a
+delete (exactly what the driver query ``cdc_asof_join`` value-checks
+against a from-scratch SQL replay); ``tolerance`` nulls matches older
+than ``probe_t - tolerance`` (the training-data "feature freshness"
+rule).
+
+Reference tie-in: DataX moves snapshots; the as-of join is what makes an
+event table + the change history (operators/scd2.py) reproduce any
+feature AS OF any event time without storing per-event snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_T = "_asof_t"
+_IS_PROBE = "_asof_is_probe"
+_VER = "_asof_ver"
+
+
+def asof_join(
+    probes: DataFrame,
+    versions: DataFrame,
+    key_cols: list[str],
+    probe_time: str,
+    version_time: str,
+    payload_cols: list[str] | None = None,
+    tolerance: int | float | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join.
+
+    Returns every ``probes`` row plus ``<prefix><col>`` for each payload
+    column of the latest ``versions`` row with
+    ``version_time <= probe_time`` (ties: the version wins, i.e. a
+    version stamped exactly at the probe time is visible to it), and
+    ``<prefix>t`` = that version's time. No match (or a match older than
+    ``tolerance``) leaves them NULL.
+    """
+    payload_cols = list(
+        payload_cols
+        if payload_cols is not None
+        else [c for c in versions.columns if c not in (*key_cols, version_time)]
+    )
+    probe_carry = [c for c in probes.columns if c not in key_cols]
+
+    ver_struct = F.struct(
+        F.col(version_time).alias("t"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    v = versions.select(
+        *key_cols,
+        F.col(version_time).cast("double").alias(_T),
+        F.lit(0).alias(_IS_PROBE),
+        ver_struct.alias(_VER),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in probe_carry],
+    )
+    p = probes.select(
+        *key_cols,
+        F.col(probe_time).cast("double").alias(_T),
+        F.lit(1).alias(_IS_PROBE),
+        F.lit(None).cast(v.schema[_VER].dataType).alias(_VER),
+        *probe_carry,
+    )
+    # ORDER BY (t, is_probe): version rows sort before probe rows at the
+    # same timestamp, so an equal-time version is visible to the probe.
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(_T, _IS_PROBE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(_VER, ignorenulls=True).over(w)
+    out = v.unionByName(p).withColumn(_VER, matched).filter(F.col(_IS_PROBE) == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            _VER,
+            F.when(
+                F.col(_T) - F.col(_VER)["t"] <= F.lit(float(tolerance)),
+                F.col(_VER),
+            ),
+        )
+    sel = (
+        [F.col(k) for k in key_cols]
+        + [F.col(c) for c in probe_carry]
+        + [F.col(_VER)["t"].alias(f"{prefix}t")]
+        + [F.col(_VER)[c].alias(f"{prefix}{c}") for c in payload_cols]
+    )
+    return out.select(*sel)
