@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "cdc_scan_prune",
     "cdc_scd2_apply",
     "cdc_overwrite_where",
+    "cdc_asof_join",
+    "text_search",
     "dedup_exact",
     "dedup_incremental",
     "dedup_corpus_quality",

@@ -1622,6 +1622,20 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
+    def delete_where(
+        self, filters: list, max_retries: int = 3
+    ) -> Snapshot:
+        """Row-level DELETE by predicate (Delta ``DELETE FROM`` analog):
+        ``overwrite_where`` with an empty replacement. The GDPR/erasure
+        path: combine with ``vacuum(keep_last=1)`` (and dropping any tags
+        or branches pinning old versions) to physically remove the rows'
+        files — retained snapshots still see them until expired, by
+        design (immutable history)."""
+        empty = self.spark.createDataFrame([], self.snapshot().schema)
+        return self.overwrite_where(
+            filters, empty, validate=False, max_retries=max_retries
+        )
+
     def _overwrite_once(self, filters: list, pred, df: DataFrame) -> Snapshot:
         snap = self.snapshot()
         props = snap.properties

@@ -238,6 +238,52 @@ def apply_segments_scd2(
     return out
 
 
+def tail_and_apply_scd2(
+    spark: SparkSession,
+    table_path: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    schema,
+    quarantine_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_sec: float = 120.0,
+    dedup_within: str | None = None,
+):
+    """Structured Streaming tail -> SCD2 history apply (the streaming
+    twin of apply_segments_scd2): same file-source micro-batching,
+    checkpoint resume, and optional redelivery dedup as
+    streaming.pipeline.tail_and_apply — the per-batch sink
+    quarantine-splits (incl. table constraints) and interval-applies.
+    Exactly-once rides the same batch-id fence, so checkpoint replays of
+    a committed batch are no-ops."""
+    from datax_spark.quality.quarantine import append_quarantine, split_dirty
+    from datax_spark.streaming.pipeline import tail_and_apply
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        table = LakeTable(batch_df.sparkSession, table_path)
+        props = table.snapshot().properties
+        clean, dirty = split_dirty(
+            batch_df,
+            key_cols=props["natural_key"],
+            constraints=props.get("constraints") or {},
+        )
+        if quarantine_dir:
+            append_quarantine(dirty, quarantine_dir, batch_id)
+        scd2_apply(table, clean.drop("ts", "batch_file"), batch_id)
+
+    return tail_and_apply(
+        spark,
+        table_path,
+        log_dir,
+        checkpoint_dir,
+        schema,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+        dedup_within=dedup_within,
+        sink=_sink,
+    )
+
+
 def scd2_current(table: LakeTable, version: int | None = None) -> DataFrame:
     """The current image per key (open intervals only) — equals the
     latest-wins merge state of the same log."""

@@ -388,6 +388,7 @@ def tail_and_apply(
     max_bytes_per_trigger: int | None = None,
     dedup_within: str | None = None,
     dedup_id_cols: list[str] | None = None,
+    sink=None,
 ):
     """Structured Streaming tail of the change log -> fenced MERGE apply.
 
@@ -416,6 +417,9 @@ def tail_and_apply(
         table = LakeTable(batch_df.sparkSession, table_path)
         apply_batch(table, batch_df, batch_id, cfg)
 
+    if sink is None:
+        sink = _sink
+
     reader = spark.readStream.schema(schema)
     if max_bytes_per_trigger is not None:
         reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
@@ -426,7 +430,7 @@ def tail_and_apply(
         ids = list(dedup_id_cols or (*KEY_COLS, "seq"))
         stream = stream.withWatermark("ts", dedup_within).dropDuplicatesWithinWatermark(ids)
     query = (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

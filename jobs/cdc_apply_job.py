@@ -168,13 +168,28 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
 
-    if args.scd2:
+    from pyspark.sql.types import IntegerType, LongType, TimestampType
+
+    ev_schema = StructType(
+        [StructField(c, StringType())
+         for c in ["repo", "path", "commit", "lang", "content", "op"]]
+        + [StructField("seq", LongType()),
+           StructField("ts", TimestampType()),
+           StructField("batch_file", IntegerType())]
+    )
+    if args.streaming and not args.checkpoint:
+        print("--checkpoint required with --streaming", file=sys.stderr)
+        return 2
+
+    if args.scd2 and args.streaming:
+        from datax_spark.operators.scd2 import tail_and_apply_scd2
+
+        tail_and_apply_scd2(spark, args.table, args.log_dir, args.checkpoint,
+                            ev_schema, quarantine_dir=args.quarantine,
+                            dedup_within=args.dedup_within)
+    elif args.scd2:
         from datax_spark.operators.scd2 import apply_segments_scd2
 
-        if args.streaming:
-            print("--scd2 currently runs the segment loop (no --streaming)",
-                  file=sys.stderr)
-            return 2
         results = apply_segments_scd2(
             spark, table, args.log_dir, quarantine_dir=args.quarantine
         )
@@ -182,18 +197,6 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"version": r.version, "applied": r.applied,
                               "affected_buckets": len(r.affected_buckets)}))
     elif args.streaming:
-        from pyspark.sql.types import IntegerType, LongType, TimestampType
-
-        ev_schema = StructType(
-            [StructField(c, StringType())
-             for c in ["repo", "path", "commit", "lang", "content", "op"]]
-            + [StructField("seq", LongType()),
-               StructField("ts", TimestampType()),
-               StructField("batch_file", IntegerType())]
-        )
-        if not args.checkpoint:
-            print("--checkpoint required with --streaming", file=sys.stderr)
-            return 2
         tail_and_apply(spark, args.table, args.log_dir, args.checkpoint,
                        ev_schema, config=cfg, dedup_within=args.dedup_within)
     else:

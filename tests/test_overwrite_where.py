@@ -97,3 +97,13 @@ def test_overwrite_mor_folds_deltas(spark, tmp_path):
     # a non-key predicate replaces every bucket: all delta lists cleared
     snap = t.snapshot()
     assert not any(snap.deltas.values())
+
+
+def test_delete_where(spark, tmp_path):
+    t = _cow(spark, tmp_path, name="del")
+    t.delete_where([("lang", "=", "py")])
+    # py rows gone; go and NULL-lang rows intact
+    assert _state(t) == [("r3", "go", "c"), ("r4", None, "d")]
+    # deleting an empty slice is a no-op commit, not an error
+    t.delete_where([("lang", "=", "java")])
+    assert _state(t) == [("r3", "go", "c"), ("r4", None, "d")]

@@ -155,3 +155,46 @@ def test_schema_evolution_additive(spark, table):
     assert "lang" in out.columns
     got = {r["key"]: r["lang"] for r in out.filter(F.col(VALID_TO).isNull()).collect()}
     assert got["e"] == "py" and got["a"] is None
+
+
+def test_streaming_tail_scd2(spark, tmp_path):
+    """Streaming SCD2 tail == from-scratch window over the whole log."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql.types import LongType, TimestampType
+
+    from datax_spark.operators.scd2 import tail_and_apply_scd2
+
+    log_dir = os.path.join(str(tmp_path), "log")
+    for seg_id, (lo, hi) in enumerate([(0, 5), (5, 9), (9, 99)]):
+        rows = [r for r in LOG if lo < r[2] <= hi]
+        (
+            _log_df(spark, rows)
+            .withColumn("ts", SF.timestamp_seconds(SF.col("seq")))
+            .coalesce(1)
+            .write.parquet(os.path.join(log_dir, f"seg={seg_id}"))
+        )
+    tpath = os.path.join(str(tmp_path), "t")
+    create_scd2_table(
+        spark,
+        tpath,
+        StructType([StructField("key", StringType()), StructField("content", StringType())]),
+        natural_key=["key"],
+        bucket_key="key",
+        num_buckets=4,
+    )
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("op", StringType()),
+            StructField("seq", LongType()),
+            StructField("content", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    tail_and_apply_scd2(
+        spark, tpath, log_dir, os.path.join(str(tmp_path), "ckpt"), schema
+    )
+    from datax_spark.lake.table import LakeTable
+
+    got = LakeTable(spark, tpath).read().select("key", "content", VALID_FROM, VALID_TO)
+    assert _rows(got) == _rows(_expected_history(spark, LOG))
