@@ -1,0 +1,104 @@
+"""Seeded-random equivalence tests for the session's new operators.
+
+Pure-Python oracles computed driver-side, so the check is independent of
+Spark's own expression engine (the driver's DuckDB gate covers the SQL
+side; this covers shapes SQL under-samples: random batch splits, random
+probe/version interleavings, delete-heavy logs).
+"""
+
+import os
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from datax_spark.operators.asof import asof_join
+from datax_spark.operators.scd2 import create_scd2_table, scd2_apply
+
+
+def _py_scd2(rows):
+    """From-scratch SCD2 oracle in plain Python: lead(seq) per key."""
+    by_key = {}
+    for k, op, s, c in sorted(rows, key=lambda r: r[2]):
+        by_key.setdefault(k, []).append((op, s, c))
+    out = []
+    for k, evs in by_key.items():
+        for i, (op, s, c) in enumerate(evs):
+            if op == "delete":
+                continue
+            nxt = evs[i + 1][1] if i + 1 < len(evs) else None
+            out.append((k, c, s, nxt))
+    return sorted(out)
+
+
+def test_scd2_random_logs_random_splits(spark, tmp_path):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 300
+        rows = []
+        for s in range(1, n + 1):
+            k = f"k{rng.randrange(40)}"
+            op = rng.choice(["insert", "update", "update", "delete"])
+            rows.append((k, op, s, None if op == "delete" else f"v{s}"))
+        # random ordered batch boundaries
+        cuts = sorted(rng.sample(range(1, n), rng.randrange(1, 5))) + [n]
+        t = create_scd2_table(
+            spark,
+            os.path.join(str(tmp_path), f"t{trial}"),
+            StructType(
+                [StructField("key", StringType()), StructField("content", StringType())]
+            ),
+            natural_key=["key"],
+            bucket_key="key",
+            num_buckets=4,
+        )
+        lo = 0
+        for i, hi in enumerate(cuts):
+            batch = [r for r in rows if lo < r[2] <= hi]
+            scd2_apply(
+                t,
+                spark.createDataFrame(
+                    batch, "key string, op string, seq long, content string"
+                ),
+                batch_id=i,
+            )
+            lo = hi
+        got = sorted(
+            tuple(r)
+            for r in t.read()
+            .select("key", "content", "_valid_from", "_valid_to")
+            .collect()
+        )
+        assert got == _py_scd2(rows), f"trial {trial} cuts {cuts}"
+
+
+def test_asof_random_vs_bruteforce(spark):
+    rng = random.Random(7)
+    versions = [
+        (f"k{rng.randrange(20)}", rng.randrange(1000), f"v{i}")
+        for i in range(400)
+    ]
+    # dedupe (key, t) collisions: keep the last occurrence, like a CDC
+    # log where seq is unique per key
+    seen = {}
+    for k, t, v in versions:
+        seen[(k, t)] = v
+    versions = [(k, t, v) for (k, t), v in seen.items()]
+    probes = [
+        (f"k{rng.randrange(25)}", rng.randrange(1100), i) for i in range(600)
+    ]
+    p = spark.createDataFrame(probes, "key string, pt long, probe_id long")
+    v = spark.createDataFrame(versions, "key string, vt long, val string")
+    out = {
+        r["probe_id"]: (r["asof_t"], r["asof_val"])
+        for r in asof_join(p, v, ["key"], "pt", "vt").collect()
+    }
+    by_key = {}
+    for k, t, val in versions:
+        by_key.setdefault(k, []).append((t, val))
+    for k in by_key:
+        by_key[k].sort()
+    for k, pt, pid in probes:
+        cand = [(t, val) for t, val in by_key.get(k, []) if t <= pt]
+        want = (float(cand[-1][0]), cand[-1][1]) if cand else (None, None)
+        assert out[pid] == want, (k, pt, pid)
