@@ -45,6 +45,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -1845,4 +1846,92 @@ class LakeTable:
             "removed_snapshots": removed_snapshots,
             "removed_refs": removed_refs,
             "kept_versions": len(keep_versions),
+        }
+
+    def fsck(self) -> dict[str, Any]:
+        """Manifest/storage consistency check — driver-side metadata only,
+        zero Spark jobs (the HDFS `fsck` / Iceberg orphan-scan ops tool).
+
+        Verifies, across every RETAINED snapshot on main and all live
+        branches:
+
+        - every referenced base/delta/eq-delete file exists on disk and
+          is non-empty (``missing``: a truncated copy or external
+          deletion — data loss, readers of that version WILL fail);
+        - every referenced file's path bucket (``_bucket=N``) matches
+          the manifest key that lists it (``misplaced``: a corrupted
+          manifest edit — reads would return rows under the wrong
+          bucket, breaking bucket pruning);
+        - sharded-manifest side refs resolve (a missing ref file throws
+          on ``snapshot()`` load; caught and reported as
+          ``unreadable_versions``);
+        - files on disk no retained snapshot references (``orphans``:
+          crashed commits or not-yet-vacuumed history — harmless, but
+          they cost storage; ``vacuum`` reclaims them).
+
+        Returns counts plus bounded sample lists. ``ok`` is True iff
+        nothing is missing/misplaced/unreadable (orphans don't fail).
+        """
+        versions = sorted(
+            int(n[1:-5])
+            for n in os.listdir(os.path.join(self.path, MANIFEST_DIR))
+            if n.startswith("v") and n.endswith(".json")
+        )
+        snaps: list[Snapshot] = []
+        unreadable: list[str] = []
+        for v in versions:
+            try:
+                snaps.append(self.snapshot(v))
+            except Exception as e:  # missing ref / corrupt JSON
+                unreadable.append(f"v{v}: {e}")
+        for bname in self.branches():
+            bt = LakeTable(self.spark, self.path, branch=bname)
+            for x in os.listdir(bt._mdir):
+                if x.startswith("v") and x.endswith(".json"):
+                    try:
+                        snaps.append(bt.snapshot(int(x[1:-5])))
+                    except Exception as e:
+                        unreadable.append(f"{bname}/{x}: {e}")
+
+        referenced: set[str] = set()
+        missing: list[str] = []
+        misplaced: list[str] = []
+        for snap in snaps:
+            for side in (snap.buckets, snap.deltas, snap.eq_deletes):
+                for bucket, files in side.items():
+                    for rel in files:
+                        referenced.add(rel)
+                        m = re.search(rf"{BUCKET_COL}=(\d+)/", rel)
+                        if m and m.group(1) != str(bucket):
+                            misplaced.append(f"{rel} listed under bucket {bucket}")
+                        ap = os.path.join(self.path, rel)
+                        if not os.path.isfile(ap) or os.path.getsize(ap) == 0:
+                            missing.append(rel)
+
+        orphans: list[str] = []
+        data_root = os.path.join(self.path, DATA_DIR)
+        if os.path.isdir(data_root):
+            for root, _dirs, files in os.walk(data_root):
+                for f in files:
+                    rel = os.path.relpath(os.path.join(root, f), self.path)
+                    if rel not in referenced:
+                        orphans.append(rel)
+
+        def _cap(xs):  # bounded samples so the report stays printable
+            return sorted(set(xs))[:20]
+
+        return {
+            "ok": not (missing or misplaced or unreadable),
+            "versions_checked": len(snaps),
+            "files_referenced": len(referenced),
+            "missing": len(set(missing)),
+            "misplaced": len(set(misplaced)),
+            "orphans": len(orphans),
+            "unreadable_versions": len(unreadable),
+            "samples": {
+                "missing": _cap(missing),
+                "misplaced": _cap(misplaced),
+                "orphans": _cap(orphans),
+                "unreadable": unreadable[:20],
+            },
         }
