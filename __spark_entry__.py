@@ -685,6 +685,52 @@ def q_cdc_canal_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_maxwell_apply(spark, sf_dir):
+    """Binlog tail via the Maxwell daemon's JSON (the third dominant
+    open-source capture format next to Debezium/Canal): full new image
+    in `data` for every op incl. deletes, binlog position parsed into
+    the total order (sources/envelope.from_maxwell — one from_json
+    projection, no Python). Same lossless-envelope oracle as the other
+    two parsers."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.sources.envelope import from_maxwell
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    pcols = ["repo", "path", "commit", "lang", "content"]
+    img = F.struct(*[F.col(c) for c in pcols])
+    mx_type = (
+        F.when(F.col("op") == "insert", F.lit("insert"))
+        .when(F.col("op") == "update", F.lit("update"))
+        .when(F.col("op") == "delete", F.lit("delete"))
+        .otherwise(F.col("op"))
+    )
+    env = F.to_json(
+        F.struct(
+            F.lit("db").alias("database"),
+            F.lit("repos").alias("table"),
+            mx_type.alias("type"),
+            F.lit(1).cast("long").alias("ts"),
+            F.col("seq").alias("xid"),
+            F.concat(F.lit("bin.000001:"), F.col("seq")).alias("position"),
+            img.alias("data"),
+        )
+    )
+    schema = StructType([StructField(c, StringType()) for c in pcols])
+    parsed = from_maxwell(chg.select(env.alias("value")), schema)
+    mid = int(chg.agg(F.floor(F.max("seq") / 2)).first()[0]) + (1 << 40)
+    root = _tmproot("dx_mxw_q_")
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, parsed.filter(F.col("seq") <= mid), 0)
+    apply_batch(table, parsed.filter(F.col("seq") > mid), 1)
+    return table.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_rebucket_apply(spark, sf_dir):
     """Online bucket-count change mid-stream (Iceberg partition-evolution
     analog): batch 1 applies into a 4-bucket layout, ``rebucket(16)``
@@ -1301,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_eq_delete_apply": q_cdc_eq_delete_apply,
         "cdc_debezium_apply": q_cdc_debezium_apply,
         "cdc_canal_apply": q_cdc_canal_apply,
+        "cdc_maxwell_apply": q_cdc_maxwell_apply,
         "cdc_rebucket_apply": q_cdc_rebucket_apply,
         "cdc_rollup_incremental": q_cdc_rollup_incremental,
         "cdc_patch_apply": q_cdc_patch_apply,
@@ -1644,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_eq_delete_apply"] = _lake_final
     sql["cdc_debezium_apply"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
+    sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final
     # rollup: replay with the varying path key, then aggregate per repo —
     # the incrementally-maintained table must equal the from-scratch agg

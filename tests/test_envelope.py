@@ -188,3 +188,71 @@ def test_envelope_parse_is_codegen_only(spark):
     plan = from_debezium(raw, PAYLOAD)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _mxw(data, typ, position=None, xid=None):
+    d = {"database": "db", "table": "t", "type": typ, "ts": 1,
+         "data": data}
+    if position is not None:
+        d["position"] = position
+    if xid is not None:
+        d["xid"] = xid
+    return json.dumps(d)
+
+
+def test_maxwell_op_mapping_and_seq(spark):
+    from datax_spark.sources.envelope import from_maxwell
+
+    raw = spark.createDataFrame(
+        [
+            (_mxw(_row("r1", "a"), "insert", "bin.000001:100"),),
+            (_mxw(_row("r2", "b"), "bootstrap-insert", "bin.000001:200"),),
+            (_mxw(_row("r1", "a2"), "update", "bin.000002:50"),),
+            (_mxw(_row("r2", "b"), "delete", "bin.000002:60"),),  # data = image
+            (_mxw(_row("r3", "x"), "table-create", "bin.000002:70"),),  # ddl
+            (_mxw(_row("r4", "y"), "insert", None, 77),),  # no position -> xid
+        ],
+        "value string",
+    )
+    out = from_maxwell(raw, PAYLOAD)
+    rows = {(r["repo"], r["op"]): r for r in out.collect()}
+    assert rows[("r1", "insert")]["seq"] == (1 << 40) + 100
+    assert rows[("r2", "insert")]["seq"] == (1 << 40) + 200
+    assert rows[("r1", "update")]["seq"] == 2 * (1 << 40) + 50
+    # delete carries the full image in data
+    assert rows[("r2", "delete")]["content"] == "b"
+    # DDL passes through raw for quarantine
+    assert ("r3", "table-create") in rows
+    # position fallback
+    assert rows[("r4", "insert")]["seq"] == 77
+
+
+def test_maxwell_end_to_end_matches_oracle(spark, tmp_path):
+    from datax_spark.sources.envelope import from_maxwell
+
+    log = generate_changelog(spark, n_events=4000, n_keys=500,
+                             events_per_segment=4000)
+    img = F.struct(*[F.col(c) for c in PCOLS])
+    env = F.to_json(F.struct(
+        F.lit("db").alias("database"), F.lit("t").alias("table"),
+        F.col("op").alias("type"), F.lit(1).cast("long").alias("ts"),
+        F.col("seq").alias("xid"),
+        F.concat(F.lit("bin.000001:"), F.col("seq")).alias("position"),
+        img.alias("data"),
+    ))
+    parsed = from_maxwell(log.select(env.alias("value")), PAYLOAD)
+    t = LakeTable.create(spark, str(tmp_path / "mxw"), PAYLOAD, KEYS, "repo", 8)
+    apply_batch(t, parsed, 0)
+    got = state_fingerprint(t.read().orderBy(KEYS).toPandas())
+    want = state_fingerprint(replay_oracle_pandas(log.toPandas()))
+    assert got == want
+
+
+def test_maxwell_parse_is_codegen_only(spark):
+    from datax_spark.sources.envelope import from_maxwell
+
+    raw = spark.createDataFrame([(_mxw(_row("r", "x"), "insert", "bin.000001:1"),)],
+                                "value string")
+    plan = from_maxwell(raw, PAYLOAD)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
