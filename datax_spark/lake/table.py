@@ -1608,7 +1608,11 @@ class LakeTable:
         validate_filters(filters)
         pred = filters_to_expr(filters)
         if validate:
-            bad = df.filter(~pred).limit(1).count()
+            # NOT(pred IS TRUE): a NULL-predicate row is outside the
+            # slice too (the survivor filter keeps such rows), so it must
+            # fail validation — plain ~pred would let it slip through as
+            # NULL and re-running the same overwrite would duplicate it.
+            bad = df.filter(~F.coalesce(pred, F.lit(False))).limit(1).count()
             if bad:
                 raise ValueError(
                     "overwrite_where: df has rows NOT matching the "
@@ -1794,18 +1798,8 @@ class LakeTable:
             kept_snaps.append(self.snapshot(v))
         # live branches pin everything their manifests reference (a
         # branch head may point at data no main snapshot still lists)
-        for bname in self.branches():
-            bt = LakeTable(self.spark, self.path, branch=bname)
-            for x in os.listdir(bt._mdir):
-                if x.startswith("v") and x.endswith(".json"):
-                    kept_snaps.append(bt.snapshot(int(x[1:-5])))
-        for snap in kept_snaps:
-            for files in snap.buckets.values():
-                referenced.update(files)
-            for files in snap.deltas.values():
-                referenced.update(files)
-            for files in snap.eq_deletes.values():
-                referenced.update(files)
+        kept_snaps.extend(self._branch_snapshots())
+        referenced.update(self._referenced_rels(kept_snaps))
         removed_files = 0
         now = _time.time()
         data_root = os.path.join(self.path, DATA_DIR)
@@ -1848,6 +1842,39 @@ class LakeTable:
             "kept_versions": len(keep_versions),
         }
 
+    def _branch_snapshots(
+        self, collect_errors: list[str] | None = None
+    ) -> list[Snapshot]:
+        """Every snapshot of every live branch. With ``collect_errors``
+        given, unreadable manifests are recorded there instead of
+        raising (fsck wants the inventory; vacuum must not delete on a
+        partial view, so it propagates)."""
+        out: list[Snapshot] = []
+        for bname in self.branches():
+            bt = LakeTable(self.spark, self.path, branch=bname)
+            for x in os.listdir(bt._mdir):
+                if x.startswith("v") and x.endswith(".json"):
+                    try:
+                        out.append(bt.snapshot(int(x[1:-5])))
+                    except Exception as e:
+                        if collect_errors is None:
+                            raise
+                        collect_errors.append(f"{bname}/{x}: {e}")
+        return out
+
+    @staticmethod
+    def _referenced_rels(snaps: list[Snapshot]) -> set[str]:
+        """Union of every data-file relpath the snapshots reference —
+        ALL file-bearing manifest sections (base buckets, MOR deltas,
+        equality-deletes). The single source of truth shared by vacuum
+        (what not to delete) and fsck (what must exist)."""
+        refs: set[str] = set()
+        for snap in snaps:
+            for side in (snap.buckets, snap.deltas, snap.eq_deletes):
+                for files in side.values():
+                    refs.update(files)
+        return refs
+
     def fsck(self) -> dict[str, Any]:
         """Manifest/storage consistency check — driver-side metadata only,
         zero Spark jobs (the HDFS `fsck` / Iceberg orphan-scan ops tool).
@@ -1884,35 +1911,33 @@ class LakeTable:
                 snaps.append(self.snapshot(v))
             except Exception as e:  # missing ref / corrupt JSON
                 unreadable.append(f"v{v}: {e}")
-        for bname in self.branches():
-            bt = LakeTable(self.spark, self.path, branch=bname)
-            for x in os.listdir(bt._mdir):
-                if x.startswith("v") and x.endswith(".json"):
-                    try:
-                        snaps.append(bt.snapshot(int(x[1:-5])))
-                    except Exception as e:
-                        unreadable.append(f"{bname}/{x}: {e}")
+        snaps.extend(self._branch_snapshots(collect_errors=unreadable))
 
-        referenced: set[str] = set()
+        referenced = self._referenced_rels(snaps)
         missing: list[str] = []
         misplaced: list[str] = []
         for snap in snaps:
             for side in (snap.buckets, snap.deltas, snap.eq_deletes):
                 for bucket, files in side.items():
                     for rel in files:
-                        referenced.add(rel)
                         m = re.search(rf"{BUCKET_COL}=(\d+)/", rel)
                         if m and m.group(1) != str(bucket):
                             misplaced.append(f"{rel} listed under bucket {bucket}")
-                        ap = os.path.join(self.path, rel)
-                        if not os.path.isfile(ap) or os.path.getsize(ap) == 0:
-                            missing.append(rel)
+        for rel in referenced:
+            ap = os.path.join(self.path, rel)
+            if not os.path.isfile(ap) or os.path.getsize(ap) == 0:
+                missing.append(rel)
 
         orphans: list[str] = []
         data_root = os.path.join(self.path, DATA_DIR)
         if os.path.isdir(data_root):
             for root, _dirs, files in os.walk(data_root):
                 for f in files:
+                    # Spark commit markers (_SUCCESS) and local-fs .crc
+                    # sidecars are never manifest-listed; reporting them
+                    # would flag every healthy commit dir as orphaned.
+                    if f.startswith(("_", ".")):
+                        continue
                     rel = os.path.relpath(os.path.join(root, f), self.path)
                     if rel not in referenced:
                         orphans.append(rel)

@@ -65,20 +65,28 @@ def asof_join(
     )
     probe_carry = [c for c in probes.columns if c not in key_cols]
 
+    # Keep the NATIVE time type when both sides agree: a double cast
+    # collapses longs above 2^53 (nanosecond epochs, composite binlog
+    # seqs) onto equal values and the window order goes wrong. Only a
+    # mixed-type pair pays the double coercion, explicitly.
+    pt_type = probes.schema[probe_time].dataType
+    vt_type = versions.schema[version_time].dataType
+    t_type = pt_type if pt_type == vt_type else "double"
+
     ver_struct = F.struct(
-        F.col(version_time).alias("t"),
+        F.col(version_time).cast(t_type).alias("t"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
     v = versions.select(
         *key_cols,
-        F.col(version_time).cast("double").alias(_T),
+        F.col(version_time).cast(t_type).alias(_T),
         F.lit(0).alias(_IS_PROBE),
         ver_struct.alias(_VER),
         *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in probe_carry],
     )
     p = probes.select(
         *key_cols,
-        F.col(probe_time).cast("double").alias(_T),
+        F.col(probe_time).cast(t_type).alias(_T),
         F.lit(1).alias(_IS_PROBE),
         F.lit(None).cast(v.schema[_VER].dataType).alias(_VER),
         *probe_carry,
@@ -93,12 +101,18 @@ def asof_join(
     matched = F.last(_VER, ignorenulls=True).over(w)
     out = v.unionByName(p).withColumn(_VER, matched).filter(F.col(_IS_PROBE) == 1)
     if tolerance is not None:
+        from pyspark.sql.types import DateType, TimestampType
+
+        if isinstance(t_type, (TimestampType, DateType)):
+            # seconds semantics for time types (epoch-cast before the
+            # subtraction; tolerance magnitudes are small so the double
+            # diff is exact here)
+            gap = F.col(_T).cast("double") - F.col(_VER)["t"].cast("double")
+        else:
+            gap = F.col(_T) - F.col(_VER)["t"]
         out = out.withColumn(
             _VER,
-            F.when(
-                F.col(_T) - F.col(_VER)["t"] <= F.lit(float(tolerance)),
-                F.col(_VER),
-            ),
+            F.when(gap <= F.lit(tolerance), F.col(_VER)),
         )
     sel = (
         [F.col(k) for k in key_cols]

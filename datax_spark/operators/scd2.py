@@ -75,6 +75,16 @@ def create_scd2_table(
     missing = [k for k in natural_key if k not in {f.name for f in row_schema.fields}]
     if missing:
         raise ValueError(f"row_schema must include natural key cols {missing}")
+    if bucket_key not in natural_key:
+        # Correctness, not layout preference: scd2_apply derives affected
+        # buckets from the BATCH's bucket_key values; if the key's open
+        # interval could live in a different bucket (payload-derived
+        # bucketing), it would never be closed.
+        raise ValueError(
+            f"bucket_key {bucket_key!r} must be one of the natural key "
+            f"columns {natural_key} — every version of a key must hash "
+            "to one bucket"
+        )
     fields = list(row_schema.fields) + [
         StructField(VALID_FROM, LongType(), False),
         StructField(VALID_TO, LongType(), True),
@@ -212,30 +222,45 @@ def apply_segments_scd2(
     fence."""
     import os
 
+    from datax_spark.streaming.pipeline import iter_pending_segments
+
+    out = []
+    for seg_id, seg_path in iter_pending_segments(
+        table, log_dir, "default", start_after_batch
+    ):
+        events = spark.read.parquet(seg_path)
+        out.append(
+            _scd2_apply_quarantined(table, events, seg_id, quarantine_dir)
+        )
+    return out
+
+
+def _scd2_apply_quarantined(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: int,
+    quarantine_dir: str | None,
+) -> MergeResult:
+    """Fence FIRST, then quarantine-split + interval apply.
+
+    The fence check precedes the quarantine side-output so a replayed
+    batch (checkpoint recovery, forced re-run from 0) is a COMPLETE
+    no-op — exactly-once includes the side channels, the same contract
+    as streaming.pipeline.apply_batch."""
     from datax_spark.quality.quarantine import append_quarantine, split_dirty
 
-    natural_key = table.snapshot().properties["natural_key"]
-    constraints = table.snapshot().properties.get("constraints") or {}
-    segs = sorted(
-        (int(d.split("=", 1)[1]), os.path.join(log_dir, d))
-        for d in os.listdir(log_dir)
-        if d.startswith("seg=")
+    last = table.last_batch_id("default")
+    if last is not None and batch_id <= last:
+        return MergeResult(version=None, applied=False, affected_buckets=[])
+    props = table.snapshot().properties
+    clean, dirty = split_dirty(
+        events,
+        key_cols=props["natural_key"],
+        constraints=props.get("constraints") or {},
     )
-    resume_from = (
-        table.last_batch_id("default")
-        if start_after_batch is None
-        else start_after_batch
-    )
-    out = []
-    for seg_id, seg_path in segs:
-        if resume_from is not None and seg_id <= resume_from:
-            continue
-        events = spark.read.parquet(seg_path)
-        clean, dirty = split_dirty(events, key_cols=natural_key, constraints=constraints)
-        if quarantine_dir:
-            append_quarantine(dirty, quarantine_dir, seg_id)
-        out.append(scd2_apply(table, clean.drop("ts", "batch_file"), seg_id))
-    return out
+    if quarantine_dir:
+        append_quarantine(dirty, quarantine_dir, batch_id)
+    return scd2_apply(table, clean.drop("ts", "batch_file"), batch_id)
 
 
 def tail_and_apply_scd2(
@@ -256,20 +281,11 @@ def tail_and_apply_scd2(
     quarantine-splits (incl. table constraints) and interval-applies.
     Exactly-once rides the same batch-id fence, so checkpoint replays of
     a committed batch are no-ops."""
-    from datax_spark.quality.quarantine import append_quarantine, split_dirty
     from datax_spark.streaming.pipeline import tail_and_apply
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         table = LakeTable(batch_df.sparkSession, table_path)
-        props = table.snapshot().properties
-        clean, dirty = split_dirty(
-            batch_df,
-            key_cols=props["natural_key"],
-            constraints=props.get("constraints") or {},
-        )
-        if quarantine_dir:
-            append_quarantine(dirty, quarantine_dir, batch_id)
-        scd2_apply(table, clean.drop("ts", "batch_file"), batch_id)
+        _scd2_apply_quarantined(table, batch_df, batch_id, quarantine_dir)
 
     return tail_and_apply(
         spark,

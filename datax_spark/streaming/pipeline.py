@@ -331,6 +331,31 @@ def apply_batch(
     return m
 
 
+def iter_pending_segments(
+    table: LakeTable,
+    log_dir: str,
+    stream_id: str = "default",
+    start_after_batch: int | None = None,
+):
+    """Yield ``(seg_id, seg_path)`` for log segments past the stream
+    fence, in seq order — the shared resume logic of the batch drivers
+    (apply_segments here, apply_segments_scd2 in operators/scd2.py)."""
+    segs = sorted(
+        (int(d.split("=", 1)[1]), os.path.join(log_dir, d))
+        for d in os.listdir(log_dir)
+        if d.startswith("seg=")
+    )
+    resume_from = (
+        table.last_batch_id(stream_id)
+        if start_after_batch is None
+        else start_after_batch
+    )
+    for seg_id, seg_path in segs:
+        if resume_from is not None and seg_id <= resume_from:
+            continue
+        yield seg_id, seg_path
+
+
 def apply_segments(
     spark: SparkSession,
     table: LakeTable,
@@ -345,11 +370,6 @@ def apply_segments(
     mid-log; combined with the merge fence, re-running from 0 is also
     safe, just slower.
     """
-    segs = sorted(
-        (int(d.split("=", 1)[1]), os.path.join(log_dir, d))
-        for d in os.listdir(log_dir)
-        if d.startswith("seg=")
-    )
     cfg = config or PipelineConfig()
     limiter = (
         RateLimiter(cfg.max_events_per_sec) if cfg.max_events_per_sec else None
@@ -358,14 +378,9 @@ def apply_segments(
         RateLimiter(cfg.max_bytes_per_sec) if cfg.max_bytes_per_sec else None
     )
     out = []
-    resume_from = (
-        table.last_batch_id(cfg.stream_id)
-        if start_after_batch is None
-        else start_after_batch
-    )
-    for seg_id, seg_path in segs:
-        if resume_from is not None and seg_id <= resume_from:
-            continue
+    for seg_id, seg_path in iter_pending_segments(
+        table, log_dir, cfg.stream_id, start_after_batch
+    ):
         events = spark.read.parquet(seg_path)
         m = apply_batch(table, events, batch_id=seg_id, config=cfg)
         out.append(m)

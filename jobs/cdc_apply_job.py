@@ -124,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
 
     from datax_spark.lake.mor import MorTable
 
+    bad = [c for c in args.constraint if "=" not in c]
+    if bad:
+        print(f"--constraint must be NAME=EXPR, got: {bad}", file=sys.stderr)
+        return 2
     constraints = dict(c.split("=", 1) for c in args.constraint)
     if args.scd2 and args.mor:
         print("--scd2 is a COW history layout; drop --mor", file=sys.stderr)

@@ -30,9 +30,9 @@ def test_backward_match_and_ties(spark):
     out = asof_join(p, v, ["key"], "pt", "vt")
     got = {r["probe_id"]: (r["asof_t"], r["asof_val"]) for r in out.collect()}
     assert got[1] == (None, None)          # before any version
-    assert got[2] == (10.0, "a1")          # equal-time version is visible
-    assert got[3] == (20.0, "a2")
-    assert got[4] == (40.0, "a3")
+    assert got[2] == (10, "a1")            # equal-time version is visible
+    assert got[3] == (20, "a2")
+    assert got[4] == (40, "a3")
     assert got[5] == (None, None)          # b's first version is later
     assert got[6] == (None, None)          # unknown key
 
@@ -67,3 +67,16 @@ def test_plan_has_no_join_node(spark):
     plan = asof_join(p, v, ["key"], "pt", "vt")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_long_times_above_double_precision(spark):
+    """Longs above 2^53 must order exactly (no double collapse): two
+    adjacent versions stay distinct and the probe sees the right one."""
+    base = 1 << 53
+    v = spark.createDataFrame(
+        [("a", base + 2, "old"), ("a", base + 3, "new")],
+        "key string, vt long, val string",
+    )
+    p = spark.createDataFrame([("a", base + 2, 1)], "key string, pt long, probe_id long")
+    out = asof_join(p, v, ["key"], "pt", "vt").collect()[0]
+    assert out["asof_val"] == "old" and out["asof_t"] == base + 2

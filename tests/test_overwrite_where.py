@@ -107,3 +107,13 @@ def test_delete_where(spark, tmp_path):
     # deleting an empty slice is a no-op commit, not an error
     t.delete_where([("lang", "=", "java")])
     assert _state(t) == [("r3", "go", "c"), ("r4", None, "d")]
+
+
+def test_validate_rejects_null_predicate_rows(spark, tmp_path):
+    """A replacement row where the predicate evaluates NULL is outside
+    the slice (survivors keep NULL-pred rows) and must fail validation —
+    otherwise re-running the same overwrite would duplicate it."""
+    t = _cow(spark, tmp_path, name="nullv")
+    bad = spark.createDataFrame([("r9", None, "x")], SCHEMA)
+    with pytest.raises(ValueError, match="NOT matching"):
+        t.overwrite_where([("lang", "=", "py")], bad)

@@ -100,5 +100,5 @@ def test_asof_random_vs_bruteforce(spark):
         by_key[k].sort()
     for k, pt, pid in probes:
         cand = [(t, val) for t, val in by_key.get(k, []) if t <= pt]
-        want = (float(cand[-1][0]), cand[-1][1]) if cand else (None, None)
+        want = (cand[-1][0], cand[-1][1]) if cand else (None, None)
         assert out[pid] == want, (k, pt, pid)

@@ -198,3 +198,42 @@ def test_streaming_tail_scd2(spark, tmp_path):
 
     got = LakeTable(spark, tpath).read().select("key", "content", VALID_FROM, VALID_TO)
     assert _rows(got) == _rows(_expected_history(spark, LOG))
+
+
+def test_bucket_key_must_be_natural_key_col(spark, tmp_path):
+    with pytest.raises(ValueError, match="natural key"):
+        create_scd2_table(
+            spark,
+            os.path.join(str(tmp_path), "bk"),
+            StructType([StructField("key", StringType()), StructField("content", StringType())]),
+            natural_key=["key"],
+            bucket_key="content",
+            num_buckets=4,
+        )
+
+
+def test_replayed_segment_does_not_duplicate_quarantine(spark, tmp_path):
+    """Exactly-once includes the quarantine side channel: a forced
+    re-run from batch -1 must not re-append committed batches' dirty
+    rows (fence precedes the quarantine write)."""
+    from datax_spark.operators.scd2 import apply_segments_scd2
+
+    log_dir = os.path.join(str(tmp_path), "qlog")
+    rows = [("a", "insert", 1, "x"), (None, "insert", 2, "y")]  # 1 dirty
+    _log_df(spark, rows).coalesce(1).write.parquet(os.path.join(log_dir, "seg=0"))
+    t = create_scd2_table(
+        spark,
+        os.path.join(str(tmp_path), "qt"),
+        StructType([StructField("key", StringType()), StructField("content", StringType())]),
+        natural_key=["key"],
+        bucket_key="key",
+        num_buckets=4,
+    )
+    qdir = os.path.join(str(tmp_path), "q")
+    apply_segments_scd2(spark, t, log_dir, quarantine_dir=qdir)
+    assert spark.read.parquet(qdir).count() == 1
+    # forced replay past the fence: table AND quarantine unchanged
+    res = apply_segments_scd2(spark, t, log_dir, quarantine_dir=qdir,
+                              start_after_batch=-1)
+    assert res and not res[0].applied
+    assert spark.read.parquet(qdir).count() == 1
