@@ -331,6 +331,21 @@ def apply_batch(
     return m
 
 
+def parse_envelope(raw: DataFrame, envelope: str, payload_schema) -> DataFrame:
+    """Dispatch a raw ``value``-column frame through one of the CDC
+    envelope parsers (sources/envelope.py) -> canonical changelog."""
+    from datax_spark.sources import envelope as env_mod
+
+    parsers = {
+        "debezium": env_mod.from_debezium,
+        "canal": env_mod.from_canal,
+        "maxwell": env_mod.from_maxwell,
+    }
+    if envelope not in parsers:
+        raise ValueError(f"unknown envelope {envelope!r}; one of {sorted(parsers)}")
+    return parsers[envelope](raw, payload_schema)
+
+
 def iter_pending_segments(
     table: LakeTable,
     log_dir: str,
@@ -362,6 +377,8 @@ def apply_segments(
     log_dir: str,
     config: PipelineConfig | None = None,
     start_after_batch: int | None = None,
+    envelope: str | None = None,
+    payload_schema=None,
 ) -> list[BatchMetrics]:
     """Deterministic batch driver: one micro-batch per log segment dir.
 
@@ -369,6 +386,12 @@ def apply_segments(
     tail, RecordProcessor.java:206-229). ``start_after_batch`` resumes
     mid-log; combined with the merge fence, re-running from 0 is also
     safe, just slower.
+
+    ``envelope``: treat segments as JSON-LINES binlog tails instead of
+    parquet — 'debezium' | 'canal' | 'maxwell', parsed per segment via
+    sources/envelope.py against ``payload_schema`` (defaults to the
+    table's payload columns). The production front door for "binlog
+    dump dir -> lake" with no pre-conversion step.
     """
     cfg = config or PipelineConfig()
     limiter = (
@@ -377,11 +400,23 @@ def apply_segments(
     byte_limiter = (
         RateLimiter(cfg.max_bytes_per_sec) if cfg.max_bytes_per_sec else None
     )
+    if envelope is not None and payload_schema is None:
+        from pyspark.sql.types import StructType
+
+        snap_schema = table.snapshot().schema
+        payload_schema = StructType(
+            [f for f in snap_schema.fields if not f.name.startswith("_")]
+        )
     out = []
     for seg_id, seg_path in iter_pending_segments(
         table, log_dir, cfg.stream_id, start_after_batch
     ):
-        events = spark.read.parquet(seg_path)
+        if envelope is not None:
+            events = parse_envelope(
+                spark.read.text(seg_path), envelope, payload_schema
+            )
+        else:
+            events = spark.read.parquet(seg_path)
         m = apply_batch(table, events, batch_id=seg_id, config=cfg)
         out.append(m)
         if limiter is not None:
@@ -404,6 +439,7 @@ def tail_and_apply(
     dedup_within: str | None = None,
     dedup_id_cols: list[str] | None = None,
     sink=None,
+    envelope: str | None = None,
 ):
     """Structured Streaming tail of the change log -> fenced MERGE apply.
 
@@ -413,6 +449,13 @@ def tail_and_apply(
     (core/.../transport/channel/Channel.java:176-239); the checkpoint dir
     persists batch offsets for resume. Spark treats maxBytesPerTrigger as
     a soft cap (at least one file per batch).
+
+    ``envelope``: tail JSON-LINES binlog dumps ('debezium' | 'canal' |
+    'maxwell') instead of parquet — the stream reads raw text and the
+    envelope parser runs inside each micro-batch's scan stage;
+    ``schema`` is then the PAYLOAD schema, not the file schema. The
+    parsed changelog carries no event-time column, so ``dedup_within``
+    (which watermarks on ``ts``) is rejected in envelope mode.
 
     ``dedup_within`` (e.g. ``"10 minutes"``): suppress AT-LEAST-ONCE
     source redeliveries with ``dropDuplicatesWithinWatermark`` over
@@ -435,12 +478,21 @@ def tail_and_apply(
     if sink is None:
         sink = _sink
 
-    reader = spark.readStream.schema(schema)
+    if envelope is not None and dedup_within is not None:
+        raise ValueError(
+            "dedup_within watermarks on the log's ts column, which the "
+            "parsed envelope changelog does not carry"
+        )
+    reader = spark.readStream if envelope is not None else spark.readStream.schema(schema)
     if max_bytes_per_trigger is not None:
         reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
     else:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.option("latestFirst", "false").parquet(log_dir + "/seg=*")
+    reader = reader.option("latestFirst", "false")
+    if envelope is not None:
+        stream = parse_envelope(reader.text(log_dir + "/seg=*"), envelope, schema)
+    else:
+        stream = reader.parquet(log_dir + "/seg=*")
     if dedup_within is not None:
         ids = list(dedup_id_cols or (*KEY_COLS, "seq"))
         stream = stream.withWatermark("ts", dedup_within).dropDuplicatesWithinWatermark(ids)

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming only: suppress at-least-once source "
                         "redeliveries by event identity (key+seq) within "
                         "this watermark horizon, e.g. '10 minutes'")
+    p.add_argument("--envelope", choices=["debezium", "canal", "maxwell"],
+                   help="segments are JSON-LINES binlog dumps in this "
+                        "envelope format (parsed in the scan stage) "
+                        "instead of parquet changelog files")
     p.add_argument("--rollup", metavar="PATH",
                    help="maintain a per-repo rollup table at PATH from the "
                         "change feed after the apply (created if absent; "
@@ -202,9 +206,11 @@ def main(argv: list[str] | None = None) -> int:
                               "affected_buckets": len(r.affected_buckets)}))
     elif args.streaming:
         tail_and_apply(spark, args.table, args.log_dir, args.checkpoint,
-                       ev_schema, config=cfg, dedup_within=args.dedup_within)
+                       schema if args.envelope else ev_schema, config=cfg,
+                       dedup_within=args.dedup_within, envelope=args.envelope)
     else:
-        metrics = apply_segments(spark, table, args.log_dir, config=cfg)
+        metrics = apply_segments(spark, table, args.log_dir, config=cfg,
+                                 envelope=args.envelope)
         for m in metrics:
             print(m.to_json())
 

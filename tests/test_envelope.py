@@ -256,3 +256,57 @@ def test_maxwell_parse_is_codegen_only(spark):
     plan = from_maxwell(raw, PAYLOAD)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def _maxwell_log_segments(spark, log, log_dir):
+    img = F.struct(*[F.col(c) for c in PCOLS])
+    env = F.to_json(F.struct(
+        F.lit("db").alias("database"), F.lit("t").alias("table"),
+        F.col("op").alias("type"), F.lit(1).cast("long").alias("ts"),
+        F.col("seq").alias("xid"),
+        F.concat(F.lit("bin.000001:"), F.col("seq")).alias("position"),
+        img.alias("data"),
+    ))
+    mid = log.agg(F.max("seq") / 2).first()[0]
+    for i, cond in enumerate([F.col("seq") <= mid, F.col("seq") > mid]):
+        (log.filter(cond).orderBy("seq").select(env.alias("value"))
+            .coalesce(1).write.text(f"{log_dir}/seg={i}"))
+
+
+def test_apply_segments_envelope_mode(spark, tmp_path):
+    """JSON-lines Maxwell dump dirs applied directly (no parquet
+    pre-conversion): final state equals the direct replay oracle."""
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_segments
+
+    log = generate_changelog(spark, n_events=4000, n_keys=500,
+                             events_per_segment=4000).persist()
+    log_dir = str(tmp_path / "mlog")
+    _maxwell_log_segments(spark, log, log_dir)
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, KEYS, "repo", 8)
+    metrics = apply_segments(spark, t, log_dir, config=PipelineConfig(),
+                             envelope="maxwell")
+    assert len(metrics) == 2 and all(m.applied for m in metrics)
+    got = state_fingerprint(t.read().orderBy(KEYS).toPandas())
+    want = state_fingerprint(replay_oracle_pandas(log.toPandas()))
+    log.unpersist()
+    assert got == want
+
+
+def test_tail_envelope_mode(spark, tmp_path):
+    """Streaming tail of the same JSON-lines dump (envelope parse inside
+    the micro-batch scan)."""
+    from datax_spark.streaming.pipeline import PipelineConfig, tail_and_apply
+
+    log = generate_changelog(spark, n_events=2000, n_keys=300,
+                             events_per_segment=2000).persist()
+    log_dir = str(tmp_path / "slog")
+    _maxwell_log_segments(spark, log, log_dir)
+    tpath = str(tmp_path / "st")
+    LakeTable.create(spark, tpath, PAYLOAD, KEYS, "repo", 8)
+    tail_and_apply(spark, tpath, log_dir, str(tmp_path / "ckpt"), PAYLOAD,
+                   config=PipelineConfig(), envelope="maxwell")
+    t = LakeTable(spark, tpath)
+    got = state_fingerprint(t.read().orderBy(KEYS).toPandas())
+    want = state_fingerprint(replay_oracle_pandas(log.toPandas()))
+    log.unpersist()
+    assert got == want
