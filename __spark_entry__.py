@@ -937,6 +937,31 @@ def q_cdc_window_counts(spark, sf_dir):
     )
 
 
+def q_cdc_session_windows(spark, sf_dir):
+    """Session-window aggregate (F.session_window — the gap-based
+    sibling of the tumbling window in cdc_window_counts): per user,
+    events closer than 30 minutes merge into one session; emits session
+    start, event count and exact micro-unit value sum. The DuckDB oracle
+    is the classic gaps-and-islands rewrite (lag + cumulative gap
+    counter), proving Spark's native session merge computes the same
+    partition."""
+    ev = _read(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(micro) / F.lit(1_000_000.0)).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_cdc_change_feed(spark, sf_dir):
     """Row-level change feed between snapshots (Delta CDF analog): apply
     the 2-batch events changelog, then emit what batch 2 CHANGED —
@@ -1204,6 +1229,15 @@ def q_text_search(spark, sf_dir):
     return search_postings(build_postings(docs), SEARCH_TERMS, k=20)
 
 
+def q_text_search_tf(spark, sf_dir):
+    """Term-frequency-ranked search (integer-exact: total occurrences of
+    the query terms, so any engine ranks identically)."""
+    from datax_spark.functions.text import search_postings_tf
+
+    docs = _read(spark, sf_dir, "documents")
+    return search_postings_tf(docs, SEARCH_TERMS, k=20)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders (DuckDB dialect, same math as the Spark expressions)
 # ---------------------------------------------------------------------------
@@ -1354,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_patch_apply": q_cdc_mor_patch_apply,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_window_counts": q_cdc_window_counts,
+        "cdc_session_windows": q_cdc_session_windows,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_sql_view": q_cdc_sql_view,
         "cdc_scan_prune": q_cdc_scan_prune,
@@ -1390,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_rare_tokens": q_text_rare_tokens,
         "text_search": q_text_search,
+        "text_search_tf": q_text_search_tf,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_framesample": q_multimodal_framesample,
@@ -1783,6 +1819,23 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY 1, 2
     """
+    # session windows: gaps-and-islands — a new session starts where the
+    # gap from the previous event (per user) exceeds the timeout; the
+    # island id is the running count of session starts.
+    sql["cdc_session_windows"] = """
+        WITH o AS (
+          SELECT user_id, ts, floor("value" * 1000000.0)::BIGINT AS micro,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+          FROM events),
+        g AS (SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sess_id FROM o)
+        SELECT user_id, min(ts) AS session_start,
+               count(*)::BIGINT AS n_events,
+               sum(micro)::BIGINT / 1000000.0 AS sum_value
+        FROM g GROUP BY user_id, sess_id
+    """
     # change feed = diff of the two replayed states; a key changed by
     # batch 2 with a different full row emits pre+post images, same-row
     # keys emit nothing (exceptAll semantics).
@@ -1863,6 +1916,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  unnest(list_distinct({_TOKS})) AS token
           FROM documents)
+        SELECT doc_id, count(*)::BIGINT AS score FROM tok
+        WHERE token IN ({terms})
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+    """
+    sql["text_search_tf"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
         SELECT doc_id, count(*)::BIGINT AS score FROM tok
         WHERE token IN ({terms})
         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20

@@ -245,3 +245,24 @@ def search_postings(postings, terms: list[str], k: int = 20):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def search_postings_tf(docs, terms: list[str], k: int = 20,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k docs by total query-term OCCURRENCES (term-frequency
+    ranking — the integer-exact cousin of ``search_postings``'s
+    distinct-term score; floats never enter, so any SQL engine ranks
+    identically). Same shape: term filter inside the scan's codegen
+    stage, map-side-partial count, TakeOrderedAndProject top-k."""
+    from pyspark.sql import functions as F
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    return (
+        tok.filter(F.col("token").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
