@@ -214,21 +214,38 @@ def apply_segments_scd2(
     log_dir: str,
     quarantine_dir: str | None = None,
     start_after_batch: int | None = None,
+    envelope: str | None = None,
+    payload_schema=None,
 ) -> list[MergeResult]:
     """Segment-loop driver for SCD2 tables — the history-mode twin of
-    streaming.pipeline.apply_segments: per segment, quarantine-split the
+    streaming.pipeline.apply_segments (incl. ``envelope``: JSON-lines
+    binlog dump segments parsed via sources/envelope.py, giving a full
+    audit history straight off a Debezium/Canal/Maxwell dump): per
+    segment, quarantine-split the
     raw events (same dirty taxonomy incl. the table's CHECK constraints),
     then ``scd2_apply`` the clean slice. Resume rides the same per-stream
     fence."""
     import os
 
-    from datax_spark.streaming.pipeline import iter_pending_segments
+    from datax_spark.streaming.pipeline import iter_pending_segments, parse_envelope
 
+    if envelope is not None and payload_schema is None:
+        from pyspark.sql.types import StructType
+
+        snap_schema = table.snapshot().schema
+        payload_schema = StructType(
+            [f for f in snap_schema.fields if not f.name.startswith("_")]
+        )
     out = []
     for seg_id, seg_path in iter_pending_segments(
         table, log_dir, "default", start_after_batch
     ):
-        events = spark.read.parquet(seg_path)
+        if envelope is not None:
+            events = parse_envelope(
+                spark.read.text(seg_path), envelope, payload_schema
+            )
+        else:
+            events = spark.read.parquet(seg_path)
         out.append(
             _scd2_apply_quarantined(table, events, seg_id, quarantine_dir)
         )
@@ -273,6 +290,7 @@ def tail_and_apply_scd2(
     max_files_per_trigger: int = 1,
     timeout_sec: float = 120.0,
     dedup_within: str | None = None,
+    envelope: str | None = None,
 ):
     """Structured Streaming tail -> SCD2 history apply (the streaming
     twin of apply_segments_scd2): same file-source micro-batching,
@@ -297,6 +315,7 @@ def tail_and_apply_scd2(
         timeout_sec=timeout_sec,
         dedup_within=dedup_within,
         sink=_sink,
+        envelope=envelope,
     )
 
 

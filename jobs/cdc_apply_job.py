@@ -193,13 +193,16 @@ def main(argv: list[str] | None = None) -> int:
         from datax_spark.operators.scd2 import tail_and_apply_scd2
 
         tail_and_apply_scd2(spark, args.table, args.log_dir, args.checkpoint,
-                            ev_schema, quarantine_dir=args.quarantine,
-                            dedup_within=args.dedup_within)
+                            schema if args.envelope else ev_schema,
+                            quarantine_dir=args.quarantine,
+                            dedup_within=args.dedup_within,
+                            envelope=args.envelope)
     elif args.scd2:
         from datax_spark.operators.scd2 import apply_segments_scd2
 
         results = apply_segments_scd2(
-            spark, table, args.log_dir, quarantine_dir=args.quarantine
+            spark, table, args.log_dir, quarantine_dir=args.quarantine,
+            envelope=args.envelope,
         )
         for r in results:
             print(json.dumps({"version": r.version, "applied": r.applied,

@@ -237,3 +237,41 @@ def test_replayed_segment_does_not_duplicate_quarantine(spark, tmp_path):
                               start_after_batch=-1)
     assert res and not res[0].applied
     assert spark.read.parquet(qdir).count() == 1
+
+
+def test_scd2_over_maxwell_dump(spark, tmp_path):
+    """SCD2 history built straight off a Maxwell JSON-lines binlog dump
+    (envelope mode): intervals equal the from-scratch window, with the
+    envelope's 2^40-based seq scale."""
+    import json
+
+    from datax_spark.operators.scd2 import apply_segments_scd2
+
+    log_dir = os.path.join(str(tmp_path), "mxlog")
+    for seg_id, (lo, hi) in enumerate([(0, 5), (5, 99)]):
+        seg = os.path.join(log_dir, f"seg={seg_id}")
+        os.makedirs(seg)
+        with open(os.path.join(seg, "part-0.json"), "w") as f:
+            for k, op, s, c in LOG:
+                if lo < s <= hi:
+                    f.write(json.dumps({
+                        "database": "db", "table": "t", "type": op, "ts": 1,
+                        "position": f"bin.000001:{s}",
+                        "data": {"key": k, "content": c},
+                    }) + "\n")
+    t = create_scd2_table(
+        spark,
+        os.path.join(str(tmp_path), "mxt"),
+        StructType([StructField("key", StringType()), StructField("content", StringType())]),
+        natural_key=["key"],
+        bucket_key="key",
+        num_buckets=4,
+    )
+    res = apply_segments_scd2(spark, t, log_dir, envelope="maxwell")
+    assert len(res) == 2 and all(r.applied for r in res)
+    got = t.read().select(
+        "key", "content",
+        (F.col(VALID_FROM) - (1 << 40)).alias(VALID_FROM),
+        (F.col(VALID_TO) - (1 << 40)).alias(VALID_TO),
+    )
+    assert _rows(got) == _rows(_expected_history(spark, LOG))
