@@ -369,3 +369,63 @@ def test_stream_auto_compact_bounds_deltas(spark, stream_log, tmp_path):
     )
     assert len(pdf) == len(oracle)
     assert state_fingerprint(pdf) == state_fingerprint(oracle)
+
+
+def test_streaming_session_window_merges_and_emits(spark, tmp_path):
+    """Streaming session_window + watermark (append mode): events within
+    the gap merge into ONE session row across micro-batches; the session
+    emits once the watermark passes its end. Batch twin value-checked in
+    cdc_session_windows; this pins the streaming state semantics."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from pyspark.sql.types import TimestampType
+
+    logdir = str(tmp_path / "sesslog")
+    schema = StructType([
+        StructField("k", StringType()), StructField("ts", TimestampType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batches = [
+        # two bursts for k1 split across micro-batches but within the
+        # 5-minute gap -> must merge to one session
+        [("k1", base), ("k1", base + dt.timedelta(minutes=2))],
+        [("k1", base + dt.timedelta(minutes=4))],
+        # a separate burst past the gap -> second session
+        [("k1", base + dt.timedelta(minutes=20))],
+        # watermark advancer
+        [("adv", base + dt.timedelta(hours=2))],
+        [("adv2", base + dt.timedelta(hours=2, minutes=1))],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        seg = _os.path.join(logdir, f"seg={i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(seg)
+        for f in _os.listdir(seg):
+            _os.utime(_os.path.join(seg, f), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(logdir + "/seg=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "k")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["session_window"]["start"].strftime("%H:%M")): r["count"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # the three cross-batch k1 events merged into ONE 10:00 session
+    assert got.get(("k1", "10:00")) == 3
+    # the 10:20 burst is its own session
+    assert got.get(("k1", "10:20")) == 1
