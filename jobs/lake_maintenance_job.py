@@ -1,0 +1,86 @@
+"""spark-submit maintenance entry for lake tables.
+
+The operational side of the engine as one CLI — the DataX analog is the
+job-level preSql/postSql + the odps lifecycle commands, re-expressed as
+table maintenance:
+
+    python jobs/lake_maintenance_job.py --table <path> --op fsck
+    ... --op vacuum [--keep-last 2] [--min-age-sec 3600]
+    ... --op compact [--max-files-per-bucket 8]
+    ... --op rewrite --cols event_time [--zorder] [--target-file-rows N]
+    ... --op rebucket --buckets 256
+    ... --op describe | history
+
+Every op prints ONE JSON line (machine-consumable, cron-friendly).
+fsck/describe/history are driver-side metadata only — no Spark jobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--table", required=True)
+    p.add_argument("--op", required=True,
+                   choices=["fsck", "vacuum", "compact", "rewrite",
+                            "rebucket", "describe", "history"])
+    p.add_argument("--keep-last", type=int, default=2)
+    p.add_argument("--min-age-sec", type=float, default=0.0)
+    p.add_argument("--max-files-per-bucket", type=int, default=8)
+    p.add_argument("--cols", nargs="+", help="rewrite sort/z-order columns")
+    p.add_argument("--zorder", action="store_true",
+                   help="rewrite: Morton-interleave --cols instead of "
+                        "lexicographic sort")
+    p.add_argument("--target-file-rows", type=int, default=1_000_000)
+    p.add_argument("--buckets", type=int, help="rebucket target count")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from datax_spark.config import get_spark
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.lake.table import LakeTable
+
+    spark = get_spark("lake-maintenance")
+    base = LakeTable(spark, args.table)
+    is_mor = base.snapshot().properties.get("table_mode") == "mor"
+    table = MorTable(spark, args.table) if is_mor else base
+
+    if args.op == "fsck":
+        out = table.fsck()
+    elif args.op == "vacuum":
+        out = table.vacuum(keep_last=args.keep_last, min_age_sec=args.min_age_sec)
+    elif args.op == "compact":
+        out = table.compact(max_files_per_bucket=args.max_files_per_bucket)
+    elif args.op == "rewrite":
+        if not args.cols:
+            print("--op rewrite requires --cols", file=sys.stderr)
+            return 2
+        if args.zorder:
+            snap = table.rewrite_zordered(args.cols, args.target_file_rows)
+        else:
+            snap = table.rewrite_clustered(args.cols, args.target_file_rows)
+        out = {"version": snap.version}
+    elif args.op == "rebucket":
+        if not args.buckets:
+            print("--op rebucket requires --buckets", file=sys.stderr)
+            return 2
+        out = {"version": table.rebucket(args.buckets).version}
+    elif args.op == "describe":
+        out = table.describe()
+    else:  # history
+        out = {"history": table.history()}
+    print(json.dumps(out, default=str, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

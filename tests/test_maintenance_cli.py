@@ -1,0 +1,64 @@
+"""lake_maintenance_job CLI: every op returns one JSON line."""
+
+import json
+import os
+import sys
+
+from pyspark.sql.types import StringType, StructField, StructType
+
+from datax_spark.lake.table import LakeTable
+from datax_spark.operators.merge import merge_apply
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+import lake_maintenance_job  # noqa: E402
+
+SCHEMA = StructType([StructField("k", StringType()), StructField("v", StringType())])
+
+
+def _table(spark, tmp_path):
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, ["k"], "k", num_buckets=4
+    )
+    for i in range(3):
+        merge_apply(
+            t,
+            spark.createDataFrame(
+                [(f"k{j}", "insert", i * 10 + j, f"v{i}") for j in range(6)],
+                "k string, op string, seq long, v string",
+            ),
+            i,
+        )
+    return t
+
+
+def _run(capsys, *argv):
+    rc = lake_maintenance_job.main(list(argv))
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0, out
+    return json.loads(out)
+
+
+def test_all_ops(spark, tmp_path, capsys):
+    t = _table(spark, tmp_path)
+    fsck = _run(capsys, "--table", t.path, "--op", "fsck")
+    assert fsck["ok"] is True
+
+    desc = _run(capsys, "--table", t.path, "--op", "describe")
+    assert desc  # driver-side summary present
+
+    hist = _run(capsys, "--table", t.path, "--op", "history")
+    assert len(hist["history"]) >= 3
+
+    comp = _run(capsys, "--table", t.path, "--op", "compact",
+                "--max-files-per-bucket", "1")
+    assert "compacted_buckets" in comp
+
+    vac = _run(capsys, "--table", t.path, "--op", "vacuum", "--keep-last", "1")
+    assert vac["kept_versions"] == 1
+
+    reb = _run(capsys, "--table", t.path, "--op", "rebucket", "--buckets", "8")
+    assert reb["version"] > 0
+    assert t.snapshot().properties["num_buckets"] == 8
+
+    # state survived every maintenance op
+    assert t.read().count() == 6
