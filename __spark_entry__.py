@@ -1153,6 +1153,42 @@ def q_cdc_overwrite_where(spark, sf_dir):
     return table.read().select("event_id", "user_id", "event_type", "props")
 
 
+def q_cdc_meta_count(spark, sf_dir):
+    """count(*) answered from the manifest's per-file footer row counts
+    (LakeTable.count(metadata_only=True) — ZERO Spark jobs at query
+    time): load events as four append commits, return the metadata
+    count; the oracle's real COUNT(*) proves the manifest bookkeeping is
+    exact."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "props")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    root = _tmproot("dx_cnt_q_")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("props", StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema, ["event_id"], "event_id",
+        num_buckets=8, stats_cols=["event_id"],
+    )
+    lo = -1
+    for i in range(4):
+        hi = mx * (i + 1) // 4
+        table.append_insert_only(
+            ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi)),
+            batch_id=i,
+        )
+        lo = hi
+    n = table.count(metadata_only=True)
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
 def q_cdc_scd2_apply(spark, sf_dir):
     """SCD type-2 history apply (operators/scd2.py): every change event
     becomes a validity interval; deletes close intervals. Applied
@@ -1394,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scan_prune": q_cdc_scan_prune,
         "cdc_scd2_apply": q_cdc_scd2_apply,
         "cdc_overwrite_where": q_cdc_overwrite_where,
+        "cdc_meta_count": q_cdc_meta_count,
         "cdc_constraints": q_cdc_constraints,
         "cdc_asof_join": q_cdc_asof_join,
         "dx_transforms": q_dx_transforms,
@@ -1902,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT reason, count(*) AS n FROM tagged
         WHERE reason IS NOT NULL GROUP BY reason
     """
+    sql["cdc_meta_count"] = "SELECT count(*)::BIGINT AS n_rows FROM events"
     sql["cdc_overwrite_where"] = """
         SELECT event_id, user_id, event_type,
                CASE WHEN event_id > (SELECT max(event_id) * 3 // 4 FROM events)

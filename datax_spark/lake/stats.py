@@ -52,7 +52,11 @@ def _footer_one(abs_path: str, cols: list[str]) -> dict[str, list]:
 
     md = pq.ParquetFile(abs_path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out: dict[str, list] = {}
+    # "#rows": the file's exact row count, free from the same footer —
+    # powers LakeTable.count(metadata_only=True) (Iceberg answers
+    # count(*) from manifests the same way). '#' keeps it out of the
+    # column namespace; file_survives never consults it.
+    out: dict[str, list] = {"#rows": [md.num_rows, md.num_rows]}
     for c in cols:
         i = idx.get(c)
         if i is None:

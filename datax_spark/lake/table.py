@@ -1268,8 +1268,35 @@ class LakeTable:
         entry = streams.get(stream_id)
         return None if entry is None else entry.get("last_batch_id")
 
-    def count(self) -> int:
-        return self.read().count()
+    def count(self, metadata_only: bool = False) -> int:
+        """Row count. ``metadata_only=True`` answers from the manifest's
+        per-file footer row counts — ZERO Spark jobs, O(files) driver
+        work (the Iceberg count(*)-from-manifests behavior). Requires a
+        stats-enabled table (``stats_cols`` non-empty at create: the
+        counts ride the same footer harvest) whose every base file has
+        been written since; MOR tables must have no unresolved deltas or
+        eq-deletes (their net effect on the count needs a real resolve —
+        run ``compact()`` first)."""
+        if not metadata_only:
+            return self.read().count()
+        snap = self.snapshot()
+        if any(snap.deltas.values()) or any(snap.eq_deletes.values()):
+            raise ValueError(
+                "metadata count needs all deltas compacted (pending "
+                "deltas/eq-deletes change the resolved count)"
+            )
+        total = 0
+        for b, files in snap.buckets.items():
+            for rel in files:
+                st = (snap.file_stats.get(b) or {}).get(rel) or {}
+                if "#rows" not in st:
+                    raise ValueError(
+                        f"no row-count stats for {rel}: table created "
+                        "without stats_cols, or file written before the "
+                        "row-count harvest existed"
+                    )
+                total += int(st["#rows"][0])
+        return total
 
     def describe(self, version: int | None = None) -> dict[str, Any]:
         """Driver-side table summary — pure manifest metadata + file

@@ -276,3 +276,58 @@ def test_mor_rewrite_clears_patch_flag(spark, tmp_path):
     assert [(r["repo"], r["ts_ms"], r["content"]) for r in rows] == [
         ("r5", 1000, "c5")  # coalesce happened at rewrite time
     ]
+
+
+def test_metadata_only_count(spark, tmp_path):
+    """count(metadata_only=True): zero Spark jobs, answered from the
+    manifest's footer row counts; equals the real count across appends,
+    merge rewrites, and compaction."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.operators.merge import merge_apply
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(
+        spark, _os.path.join(str(tmp_path), "mc"), schema, ["k"], "k",
+        num_buckets=4, stats_cols=["k"],
+    )
+    t.append_insert_only(
+        spark.createDataFrame([(i, "a") for i in range(50)], schema), batch_id=0
+    )
+    assert t.count(metadata_only=True) == 50 == t.count()
+    # merge with deletes rewrites buckets; counts must track
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [(1, "delete", 100, None), (99, "insert", 101, "n")],
+            "k long, op string, seq long, v string",
+        ),
+        1,
+    )
+    assert t.count(metadata_only=True) == 50 == t.count()
+    t.compact(max_files_per_bucket=1)
+    assert t.count(metadata_only=True) == 50
+
+
+def test_metadata_count_requires_stats(spark, tmp_path):
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(
+        spark, _os.path.join(str(tmp_path), "ns"), schema, ["k"], "k", num_buckets=4
+    )
+    t.append_insert_only(spark.createDataFrame([(1, "a")], schema), batch_id=0)
+    with _pytest.raises(ValueError, match="row-count stats"):
+        t.count(metadata_only=True)
