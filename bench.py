@@ -156,6 +156,19 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     dt = min(cow_times)
     mor_dt = min(mor_times)
     eq_dt = min(eq_times)
+    # SCD2 history mode over the same log: every event becomes an
+    # interval (no dedup), so this is the write-amplified worst case —
+    # one timed pass (the interleaved reps above own the headline).
+    from datax_spark.operators.scd2 import apply_segments_scd2, create_scd2_table
+
+    scd2 = create_scd2_table(
+        spark, os.path.join(root, "scd2"), schema,
+        natural_key=["repo", "path", "commit"], bucket_key="repo",
+        num_buckets=32,
+    )
+    t0 = time.monotonic()
+    apply_segments_scd2(spark, scd2, logdir)
+    scd2_dt = time.monotonic() - t0
     # Resolved-read cost, pre- and post-compaction (the round-2 MOR read
     # path: base anti-joins broadcast delta keys, only deltas shuffle).
     t0 = time.monotonic()
@@ -183,6 +196,8 @@ def bench_cdc_apply(spark, sf: float) -> dict:
         "eq_apply_sec_reps": [round(t, 2) for t in eq_times],
         "eq_events_per_sec": round(n_events / eq_dt),
         "eq_read_sec": round(eq_read_dt, 2),
+        "scd2_apply_sec": round(scd2_dt, 2),
+        "scd2_events_per_sec": round(n_events / scd2_dt),
     }
 
 
