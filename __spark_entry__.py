@@ -1265,6 +1265,23 @@ def q_text_search(spark, sf_dir):
     return search_postings(build_postings(docs), SEARCH_TERMS, k=20)
 
 
+def q_text_search_indexed(spark, sf_dir):
+    """Search against the PERSISTED token-bucketed posting index
+    (write_posting_index/posting_index_search): partition pruning at
+    plan time, same oracle as text_search — the serving layout is
+    invisible in the answers."""
+    from datax_spark.functions.text import (
+        posting_index_search,
+        write_posting_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    root = _tmproot("dx_pidx_q_")
+    idx = os.path.join(root, "pidx")
+    write_posting_index(docs, idx, n_buckets=16)
+    return posting_index_search(spark, idx, SEARCH_TERMS, k=20, n_buckets=16)
+
+
 def q_text_search_tf(spark, sf_dir):
     """Term-frequency-ranked search (integer-exact: total occurrences of
     the query terms, so any engine ranks identically)."""
@@ -1463,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rare_tokens": q_text_rare_tokens,
         "text_search": q_text_search,
         "text_search_tf": q_text_search_tf,
+        "text_search_indexed": q_text_search_indexed,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_framesample": q_multimodal_framesample,
@@ -1958,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE token IN ({terms})
         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
     """
+    sql["text_search_indexed"] = sql["text_search"]
     sql["text_search_tf"] = f"""
         WITH tok AS (
           SELECT doc_id, unnest({_TOKS}) AS token FROM documents)

@@ -266,3 +266,56 @@ def search_postings_tf(docs, terms: list[str], k: int = 20,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+POSTING_BUCKETS = 64
+
+
+def write_posting_index(docs, path: str, n_buckets: int = POSTING_BUCKETS,
+                        text_col: str = "text", id_col: str = "doc_id") -> None:
+    """Persist the inverted index partitioned by token hash-bucket.
+
+    Serving layout for ``posting_index_search``: posting rows land under
+    ``tbucket=<pmod(xxhash64(token), n_buckets)>`` partitions, so a term
+    query reads only its terms' partitions — Spark's PartitionFilters
+    prune the rest at PLAN time (asserted in tests), the same layout
+    discipline as the IVF serving index (functions/similarity.py).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        build_postings(docs, text_col, id_col)
+        .withColumn(
+            "tbucket", F.pmod(F.xxhash64(F.col("token")), F.lit(n_buckets)).cast("int")
+        )
+        .repartition("tbucket")
+        .write.partitionBy("tbucket")
+        .parquet(path)
+    )
+
+
+def posting_index_search(spark, path: str, terms: list[str], k: int = 20,
+                         n_buckets: int = POSTING_BUCKETS):
+    """Top-k docs by matched-term count against a persisted posting
+    index. The tbucket equality-list filter prunes partitions at plan
+    time (O(|terms|) partitions read, never the corpus); the residual
+    token IN filter inside those partitions keeps exactness."""
+    from pyspark.sql import functions as F
+
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame([(t,) for t in terms], "token string")
+            .select(F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    postings = spark.read.parquet(path)
+    return (
+        postings.filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("token").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

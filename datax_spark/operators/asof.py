@@ -48,8 +48,9 @@ def asof_join(
     payload_cols: list[str] | None = None,
     tolerance: int | float | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join, backward by default.
 
     Returns every ``probes`` row plus ``<prefix><col>`` for each payload
     column of the latest ``versions`` row with
@@ -57,7 +58,14 @@ def asof_join(
     version stamped exactly at the probe time is visible to it), and
     ``<prefix>t`` = that version's time. No match (or a match older than
     ``tolerance``) leaves them NULL.
+
+    ``direction='forward'`` flips the search: the EARLIEST version
+    at-or-after the probe time (pandas merge_asof parity) — the same
+    window over the reversed sort, still one exchange, no join node.
+    ``tolerance`` then bounds how far ahead the match may be.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload_cols = list(
         payload_cols
         if payload_cols is not None
@@ -91,11 +99,13 @@ def asof_join(
         F.lit(None).cast(v.schema[_VER].dataType).alias(_VER),
         *probe_carry,
     )
-    # ORDER BY (t, is_probe): version rows sort before probe rows at the
-    # same timestamp, so an equal-time version is visible to the probe.
+    # ORDER BY (t, is_probe) — backward ascending / forward descending;
+    # version rows sort before probe rows at the same timestamp either
+    # way, so an equal-time version is visible to the probe.
+    t_order = F.col(_T).asc() if direction == "backward" else F.col(_T).desc()
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(_T, _IS_PROBE)
+        .orderBy(t_order, F.col(_IS_PROBE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(_VER, ignorenulls=True).over(w)
@@ -110,6 +120,8 @@ def asof_join(
             gap = F.col(_T).cast("double") - F.col(_VER)["t"].cast("double")
         else:
             gap = F.col(_T) - F.col(_VER)["t"]
+        if direction == "forward":
+            gap = -gap
         out = out.withColumn(
             _VER,
             F.when(gap <= F.lit(tolerance), F.col(_VER)),

@@ -336,3 +336,51 @@ def scd2_as_of(table: LakeTable, seq: int, version: int | None = None) -> DataFr
         (F.col(VALID_FROM) <= F.lit(seq))
         & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(seq)))
     ).drop(VALID_FROM, VALID_TO)
+
+
+def scd2_validate(table: LakeTable, version: int | None = None) -> dict:
+    """History-invariant audit (the fsck of SCD2 tables):
+
+    - ``multi_open_keys``: keys with MORE than one open interval;
+    - ``bad_intervals``: rows with valid_to <= valid_from;
+    - ``overlaps``: per key, an interval starting before the previous
+      one ended (ordered by valid_from).
+
+    Two narrow aggregations (intervals carry only keys + two longs);
+    ``ok`` iff all three are zero. A healthy table maintained solely
+    through scd2_apply can't violate these — the audit exists for
+    external writers, partial restores, and bug forensics.
+    """
+    from pyspark.sql import Window
+
+    nk = table.snapshot(version).properties["natural_key"]
+    df = table.read(version=version).select(
+        *nk, F.col(VALID_FROM).alias("_vf"), F.col(VALID_TO).alias("_vt")
+    )
+    w = Window.partitionBy(*nk).orderBy("_vf")
+    flagged = df.withColumn("_next_vf", F.lead("_vf").over(w)).select(
+        (F.col("_vt") <= F.col("_vf")).cast("long").alias("bad"),
+        (
+            F.col("_next_vf").isNotNull()
+            & (F.col("_vt").isNull() | (F.col("_next_vf") < F.col("_vt")))
+        ).cast("long").alias("overlap"),
+        *nk,
+        F.col("_vt"),
+    )
+    agg1 = flagged.agg(
+        F.sum("bad").alias("bad"), F.sum("overlap").alias("overlap")
+    ).first()
+    multi_open = (
+        df.filter(F.col("_vt").isNull())
+        .groupBy(*nk)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    out = {
+        "bad_intervals": int(agg1["bad"] or 0),
+        "overlaps": int(agg1["overlap"] or 0),
+        "multi_open_keys": int(multi_open),
+    }
+    out["ok"] = not any(out.values())
+    return out

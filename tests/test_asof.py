@@ -80,3 +80,21 @@ def test_long_times_above_double_precision(spark):
     p = spark.createDataFrame([("a", base + 2, 1)], "key string, pt long, probe_id long")
     out = asof_join(p, v, ["key"], "pt", "vt").collect()[0]
     assert out["asof_val"] == "old" and out["asof_t"] == base + 2
+
+
+def test_forward_direction(spark):
+    p, v = _dfs(spark, [("a", 5, 1), ("a", 10, 2), ("a", 25, 3), ("a", 99, 4)])
+    out = asof_join(p, v, ["key"], "pt", "vt", direction="forward")
+    got = {r["probe_id"]: (r["asof_t"], r["asof_val"]) for r in out.collect()}
+    assert got[1] == (10, "a1")   # earliest at-or-after 5
+    assert got[2] == (10, "a1")   # equal time matches
+    assert got[3] == (30, None)   # next is the delete row at 30
+    assert got[4] == (None, None)  # nothing after 99
+
+
+def test_forward_tolerance(spark):
+    p, v = _dfs(spark, [("a", 5, 1), ("a", 31, 2)])
+    out = asof_join(p, v, ["key"], "pt", "vt", direction="forward", tolerance=6)
+    got = {r["probe_id"]: r["asof_t"] for r in out.collect()}
+    assert got[1] == 10   # 10 - 5 = 5 <= 6
+    assert got[2] is None  # next version at 40: 40 - 31 = 9 > 6

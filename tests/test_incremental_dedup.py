@@ -73,3 +73,27 @@ def test_search_postings_manual(spark):
         for r in search_postings(build_postings(docs), ["alpha", "beta", "delta"], k=3).collect()
     ]
     assert got == [(4, 3), (1, 2), (2, 2)]
+
+
+def test_posting_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """Persisted posting index: same answers as the direct search, AND
+    the term buckets prune partitions at plan time."""
+    import os
+
+    from datax_spark.functions.text import (
+        posting_index_search,
+        write_posting_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = os.path.join(str(tmp_path), "pidx")
+    write_posting_index(docs, idx, n_buckets=16)
+    terms = ["vector", "customer", "merge"]
+    got = posting_index_search(spark, idx, terms, k=15, n_buckets=16)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in search_postings(build_postings(docs), terms, k=15).collect()
+    ]
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "tbucket" in plan, plan

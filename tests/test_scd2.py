@@ -275,3 +275,24 @@ def test_scd2_over_maxwell_dump(spark, tmp_path):
         (F.col(VALID_TO) - (1 << 40)).alias(VALID_TO),
     )
     assert _rows(got) == _rows(_expected_history(spark, LOG))
+
+
+def test_scd2_validate(spark, table, tmp_path):
+    _apply_batches(spark, table, [5, 9, 99])
+    rep = __import__("datax_spark.operators.scd2", fromlist=["scd2_validate"]).scd2_validate(table)
+    assert rep == {"bad_intervals": 0, "overlaps": 0, "multi_open_keys": 0, "ok": True}
+
+    # corrupt the history via an external writer: a second open interval
+    # for key 'b' — the validator must catch it
+    from datax_spark.lake.table import LakeTable
+
+    bad = spark.createDataFrame(
+        [("b", "dup-open", 99, None)],
+        f"key string, content string, {VALID_FROM} long, {VALID_TO} long",
+    )
+    snap = table.snapshot()
+    props = snap.properties
+    rel = table.write_bucket_data(bad, props["num_buckets"], props["bucket_key"])
+    table.commit_append_buckets(snap.version, rel)
+    rep2 = __import__("datax_spark.operators.scd2", fromlist=["scd2_validate"]).scd2_validate(table)
+    assert not rep2["ok"] and rep2["multi_open_keys"] == 1
