@@ -14,7 +14,16 @@ def spark():
         app_name="datax-spark-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.default.parallelism": "4"},
+        extra_conf={
+            "spark.default.parallelism": "4",
+            # A long-lived suite session runs hundreds of queries in one
+            # JVM; Spark's stream-execution threads have been seen dying
+            # with StackOverflowError near the end of the full suite
+            # (deep Catalyst recursion on accumulated session state),
+            # which kills a micro-batch mid-log and flakes the restart
+            # test. Wider thread stacks at JVM launch close it.
+            "spark.driver.extraJavaOptions": "-Xss16m",
+        },
     )
     yield s
     s.stop()
