@@ -281,6 +281,9 @@ def write_posting_index(docs, path: str, n_buckets: int = POSTING_BUCKETS,
     prune the rest at PLAN time (asserted in tests), the same layout
     discipline as the IVF serving index (functions/similarity.py).
     """
+    import json
+    import os
+
     from pyspark.sql import functions as F
 
     (
@@ -292,16 +295,37 @@ def write_posting_index(docs, path: str, n_buckets: int = POSTING_BUCKETS,
         .write.partitionBy("tbucket")
         .parquet(path)
     )
+    # The bucket count is part of the index's identity: searching with a
+    # different modulus silently filters to nonexistent partitions and
+    # loses postings. Persist it; the underscore name keeps Spark's
+    # parquet reader away (same convention as the IVF index meta).
+    with open(os.path.join(path, "_pidx_meta.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
 
 
 def posting_index_search(spark, path: str, terms: list[str], k: int = 20,
-                         n_buckets: int = POSTING_BUCKETS):
+                         n_buckets: int | None = None):
     """Top-k docs by matched-term count against a persisted posting
     index. The tbucket equality-list filter prunes partitions at plan
     time (O(|terms|) partitions read, never the corpus); the residual
-    token IN filter inside those partitions keeps exactness."""
+    token IN filter inside those partitions keeps exactness.
+
+    ``n_buckets`` is read from the index's own ``_pidx_meta.json`` —
+    passing a mismatching value raises rather than silently dropping
+    postings whose bucket doesn't exist under the other modulus."""
+    import json
+    import os
+
     from pyspark.sql import functions as F
 
+    with open(os.path.join(path, "_pidx_meta.json")) as f:
+        stored = int(json.load(f)["n_buckets"])
+    if n_buckets is not None and n_buckets != stored:
+        raise ValueError(
+            f"index at {path} was written with n_buckets={stored}, "
+            f"got {n_buckets}"
+        )
+    n_buckets = stored
     buckets = sorted(
         {
             int(r["b"])

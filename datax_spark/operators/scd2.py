@@ -227,15 +227,14 @@ def apply_segments_scd2(
     fence."""
     import os
 
-    from datax_spark.streaming.pipeline import iter_pending_segments, parse_envelope
+    from datax_spark.streaming.pipeline import (
+        default_payload_schema,
+        iter_pending_segments,
+        parse_envelope,
+    )
 
     if envelope is not None and payload_schema is None:
-        from pyspark.sql.types import StructType
-
-        snap_schema = table.snapshot().schema
-        payload_schema = StructType(
-            [f for f in snap_schema.fields if not f.name.startswith("_")]
-        )
+        payload_schema = default_payload_schema(table)
     out = []
     for seg_id, seg_path in iter_pending_segments(
         table, log_dir, "default", start_after_batch

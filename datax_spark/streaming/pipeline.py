@@ -346,6 +346,18 @@ def parse_envelope(raw: DataFrame, envelope: str, payload_schema) -> DataFrame:
     return parsers[envelope](raw, payload_schema)
 
 
+def default_payload_schema(table: LakeTable):
+    """The table's payload columns (snapshot schema minus '_'-prefixed
+    meta like _seq/_op/_patch/_valid_*) — what an envelope parser should
+    produce. Shared by the envelope modes of apply_segments and
+    operators/scd2.apply_segments_scd2."""
+    from pyspark.sql.types import StructType
+
+    return StructType(
+        [f for f in table.snapshot().schema.fields if not f.name.startswith("_")]
+    )
+
+
 def iter_pending_segments(
     table: LakeTable,
     log_dir: str,
@@ -401,12 +413,7 @@ def apply_segments(
         RateLimiter(cfg.max_bytes_per_sec) if cfg.max_bytes_per_sec else None
     )
     if envelope is not None and payload_schema is None:
-        from pyspark.sql.types import StructType
-
-        snap_schema = table.snapshot().schema
-        payload_schema = StructType(
-            [f for f in snap_schema.fields if not f.name.startswith("_")]
-        )
+        payload_schema = default_payload_schema(table)
     out = []
     for seg_id, seg_path in iter_pending_segments(
         table, log_dir, cfg.stream_id, start_after_batch

@@ -188,6 +188,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.streaming and not args.checkpoint:
         print("--checkpoint required with --streaming", file=sys.stderr)
         return 2
+    if args.envelope and args.dedup_within:
+        print("--dedup-within needs the log's ts column, which the parsed "
+              "envelope changelog does not carry; drop one of the two",
+              file=sys.stderr)
+        return 2
 
     if args.scd2 and args.streaming:
         from datax_spark.operators.scd2 import tail_and_apply_scd2

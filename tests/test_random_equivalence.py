@@ -102,3 +102,37 @@ def test_asof_random_vs_bruteforce(spark):
         cand = [(t, val) for t, val in by_key.get(k, []) if t <= pt]
         want = (cand[-1][0], cand[-1][1]) if cand else (None, None)
         assert out[pid] == want, (k, pt, pid)
+
+
+def test_asof_both_directions_vs_pandas_merge_asof(spark):
+    """Both as-of directions row-for-row against pandas merge_asof on
+    randomized interleavings (the committed form of the verify drive
+    the SURVEY evidence row cites)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = random.Random(3)
+    versions = sorted({(f"k{rng.randrange(30)}", rng.randrange(500)) for _ in range(300)})
+    versions = [(k, t, f"v{k}:{t}") for k, t in versions]
+    probes = [(f"k{rng.randrange(35)}", rng.randrange(550), i) for i in range(800)]
+    p = spark.createDataFrame(probes, "key string, pt long, probe_id long")
+    v = spark.createDataFrame(versions, "key string, vt long, val string")
+    for direction in ("backward", "forward"):
+        got = {
+            r["probe_id"]: (r["asof_t"], r["asof_val"])
+            for r in asof_join(p, v, ["key"], "pt", "vt", direction=direction).collect()
+        }
+        pdp = pd.DataFrame(probes, columns=["key", "pt", "probe_id"]).sort_values("pt")
+        pdv = pd.DataFrame(versions, columns=["key", "vt", "val"]).sort_values("vt")
+        m = pd.merge_asof(
+            pdp, pdv, left_on="pt", right_on="vt", by="key", direction=direction
+        )
+        want = {
+            int(r.probe_id): (
+                (None if pd.isna(r.vt) else int(r.vt)),
+                (None if pd.isna(r.vt) else r.val),
+            )
+            for r in m.itertuples()
+        }
+        assert got == want, direction

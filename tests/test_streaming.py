@@ -99,16 +99,13 @@ def test_stream_restart_resumes_and_stays_exactly_once(spark, stream_log, tmp_pa
     cfg = PipelineConfig(quarantine_dir=str(tmp_path / "quar2"))
     oracle = replay_oracle_pandas(events_pdf)
     oracle_fp = state_fingerprint(oracle)
+    # The FIRST run alone must complete the log (a retry here would mask
+    # dropped-segment regressions). Environmental early-death is handled
+    # at the root: -Xss16m in conftest (a StackOverflowError once killed
+    # a stream thread late in the full suite) + the 600s await budget.
     tail_and_apply(spark, table.path, log_dir, ckpt, EVENT_SCHEMA, cfg, 1,
                    timeout_sec=600)
     fp1, n1 = _state_fp(table)
-    if fp1 != oracle_fp:
-        # The first run's stream died early (environmental — e.g. a JVM
-        # StackOverflowError killing a micro-batch thread). Resuming from
-        # the checkpoint MUST complete the log exactly-once; that resume
-        # is itself part of the contract under test.
-        tail_and_apply(spark, table.path, log_dir, ckpt, EVENT_SCHEMA, cfg, 1)
-        fp1, n1 = _state_fp(table)
     assert fp1 == oracle_fp
     v1 = table.current_version()
     # "restart": same checkpoint dir, no new files -> applies nothing
