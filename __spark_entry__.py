@@ -1189,6 +1189,49 @@ def q_cdc_meta_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_rows long")
 
 
+def q_cdc_scd2_dedup_apply(spark, sf_dir):
+    """SCD2 with CONTENT-ADDRESSED payload storage (dedup_payload_cols):
+    history rows hold a sha256, each distinct payload stored once in the
+    side store (the git-object-store move — at 100 TB history storage
+    stops growing with versions × payload size). Same incremental
+    two-batch apply and the SAME oracle as cdc_scd2_apply: the
+    re-materialized read proves the encoding is invisible."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.operators.scd2 import (
+        VALID_FROM,
+        VALID_TO,
+        create_scd2_table,
+        scd2_apply,
+        scd2_read_resolved,
+    )
+    from datax_spark.quality.quarantine import split_dirty
+
+    chg = _events_as_changelog(spark, sf_dir)
+    clean, _ = split_dirty(chg, key_cols=("user_id",), op_col="op", content_col="content")
+    mid = clean.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_scd2dd_q_")
+    table = create_scd2_table(
+        spark,
+        os.path.join(root, "t"),
+        StructType(
+            [StructField("user_id", LongType()), StructField("content", StringType())]
+        ),
+        natural_key=["user_id"],
+        bucket_key="user_id",
+        num_buckets=8,
+        dedup_payload_cols=["content"],
+    )
+    scd2_apply(table, clean.filter(F.col("seq") <= mid), 0)
+    scd2_apply(table, clean.filter(F.col("seq") > mid), 1)
+    return scd2_read_resolved(table).select(
+        "user_id",
+        "content",
+        F.col(VALID_FROM).alias("valid_from"),
+        F.col(VALID_TO).alias("valid_to"),
+    )
+
+
 def q_cdc_scd2_apply(spark, sf_dir):
     """SCD type-2 history apply (operators/scd2.py): every change event
     becomes a validity interval; deletes close intervals. Applied
@@ -1446,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sql_view": q_cdc_sql_view,
         "cdc_scan_prune": q_cdc_scan_prune,
         "cdc_scd2_apply": q_cdc_scd2_apply,
+        "cdc_scd2_dedup_apply": q_cdc_scd2_dedup_apply,
         "cdc_overwrite_where": q_cdc_overwrite_where,
         "cdc_meta_count": q_cdc_meta_count,
         "cdc_constraints": q_cdc_constraints,
@@ -1964,6 +2008,8 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'backfilled' ELSE props END AS props
         FROM events
     """
+    # content-addressed payload storage is invisible in the history
+    sql["cdc_scd2_dedup_apply"] = sql["cdc_scd2_apply"]
     # incremental LSH == full-corpus LSH (banding is symmetric per-pair)
     sql["dedup_incremental"] = _lsh_pairs_sql()
     terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)

@@ -48,10 +48,15 @@ from datax_spark.operators.merge import (
     _conform,
     _evolve_schema,
     bucket_stats_agg,
+    merge_apply,
 )
 
 VALID_FROM = "_valid_from"
 VALID_TO = "_valid_to"
+
+
+CHASH = "_chash"
+PAYLOAD_DIR = "_payload"
 
 
 def create_scd2_table(
@@ -61,6 +66,7 @@ def create_scd2_table(
     natural_key: list[str],
     bucket_key: str,
     num_buckets: int = 16,
+    dedup_payload_cols: list[str] | None = None,
     **kwargs,
 ) -> LakeTable:
     """Create a lake table laid out for SCD2 history.
@@ -71,6 +77,26 @@ def create_scd2_table(
     had. Bucketing stays on the natural key so every version of a key
     co-locates in one bucket (closing intervals touches only the batch's
     buckets).
+
+    ``dedup_payload_cols``: store these columns CONTENT-ADDRESSED — the
+    history row keeps only a sha256 ``_chash`` and each distinct payload
+    is stored ONCE in a side lake table under ``<path>/_payload`` keyed
+    by the hash (git's object-store move; vendored/boilerplate files
+    dedupe corpus-wide, across keys and buckets).
+    ``scd2_read_resolved`` re-materializes rows;
+    ``scd2_current``/``scd2_as_of`` resolve transparently.
+
+    WHEN IT PAYS (measured, /tmp drive recorded in NOTES.md): parquet's
+    own dictionary encoding already dedupes repeated values WITHIN a
+    column chunk, and the CoW rewrite re-collects a key's whole history
+    into one bucket file — so for small payloads whose distinct volume
+    per file fits the ~1 MB dictionary page, plain storage is already
+    near-deduped and this feature is a wash (measured 0.9x on 2 KB
+    blobs). The win is the beyond-dictionary regime — real source files:
+    multi-KB..MB payloads whose per-file distinct volume dwarfs the
+    dictionary page, where parquet falls back to plain encoding and
+    stores every repeat (measured 3.4x smaller on 64 KB blobs shared
+    ~3x across keys; the gap widens with payload size × reuse).
     """
     missing = [k for k in natural_key if k not in {f.name for f in row_schema.fields}]
     if missing:
@@ -85,20 +111,64 @@ def create_scd2_table(
             f"columns {natural_key} — every version of a key must hash "
             "to one bucket"
         )
-    fields = list(row_schema.fields) + [
+    dedup_payload_cols = list(dedup_payload_cols or [])
+    by_name = {f.name: f for f in row_schema.fields}
+    bad = [c for c in dedup_payload_cols if c not in by_name or c in natural_key]
+    if bad:
+        raise ValueError(
+            f"dedup_payload_cols must be non-key payload columns, got {bad}"
+        )
+    from pyspark.sql.types import StringType
+
+    fields = [f for f in row_schema.fields if f.name not in dedup_payload_cols]
+    if dedup_payload_cols:
+        fields.append(StructField(CHASH, StringType(), True))
+    fields += [
         StructField(VALID_FROM, LongType(), False),
         StructField(VALID_TO, LongType(), True),
     ]
-    return LakeTable.create(
+    table = LakeTable.create(
         spark,
         path,
         StructType(fields),
         key_cols=[*natural_key, VALID_FROM],
         bucket_key=bucket_key,
         num_buckets=num_buckets,
-        extra_properties={"scd2": True, "natural_key": list(natural_key)},
+        extra_properties={
+            "scd2": True,
+            "natural_key": list(natural_key),
+            "scd2_payload_cols": dedup_payload_cols,
+        },
         **kwargs,
     )
+    if dedup_payload_cols:
+        import os
+
+        LakeTable.create(
+            spark,
+            os.path.join(path, PAYLOAD_DIR),
+            StructType(
+                [StructField(CHASH, StringType(), False)]
+                + [by_name[c] for c in dedup_payload_cols]
+            ),
+            key_cols=[CHASH],
+            bucket_key=CHASH,
+            num_buckets=num_buckets,
+        )
+    return table
+
+
+def _payload_store(table: LakeTable) -> LakeTable:
+    import os
+
+    return LakeTable(table.spark, os.path.join(table.path, PAYLOAD_DIR))
+
+
+def _chash_expr(payload_cols: list[str]):
+    """Deterministic content hash over the payload columns: sha256 of
+    the to_json struct encoding (null fields are dropped by to_json, so
+    NULL vs empty-string images hash differently — lossless)."""
+    return F.sha2(F.to_json(F.struct(*[F.col(c) for c in payload_cols])), 256)
 
 
 def scd2_apply(
@@ -129,7 +199,8 @@ def scd2_apply(
     if last is not None and batch_id <= last:
         return MergeResult(version=None, applied=False, affected_buckets=[])
 
-    changes = clean_changes.persist()
+    persisted = clean_changes.persist()
+    changes = persisted
     try:
         stats_rows = bucket_stats_agg(changes, bucket_key, num_buckets)
         if not stats_rows:
@@ -146,6 +217,26 @@ def scd2_apply(
         affected = sorted(int(r[BUCKET_COL]) for r in stats_rows)
         deletes = sum(r["deletes"] for r in stats_rows)
         events = sum(r["events"] for r in stats_rows)
+
+        # Content-addressed payload: upsert distinct payloads into the
+        # side store FIRST (an unreferenced payload is harmless, a
+        # dangling hash is not — and both commits are batch-id fenced, so
+        # a crash between them replays as store-no-op + history-apply).
+        payload_cols: list[str] = props.get("scd2_payload_cols") or []
+        if payload_cols:
+            changes = changes.withColumn(CHASH, _chash_expr(payload_cols))
+            store_rows = (
+                changes.filter(F.col(OP_COL) != DELETE_OP)
+                .select(CHASH, *payload_cols)
+                .distinct()
+                .withColumn(OP_COL, F.lit("insert"))
+                .withColumn("seq", F.lit(batch_id).cast("long"))
+            )
+            merge_apply(
+                _payload_store(table), store_rows, batch_id,
+                stream_id=f"scd2_payload:{stream_id}",
+            )
+            changes = changes.drop(*payload_cols)
 
         # Within-batch intervals: each event's validity ends where the
         # key's next event (of ANY op) begins. Batch-bounded shuffle.
@@ -205,7 +296,7 @@ def scd2_apply(
             deletes=deletes,
         )
     finally:
-        changes.unpersist()
+        persisted.unpersist()
 
 
 def apply_segments_scd2(
@@ -318,11 +409,31 @@ def tail_and_apply_scd2(
     )
 
 
+def scd2_read_resolved(table: LakeTable, version: int | None = None) -> DataFrame:
+    """The history with content-addressed payload columns re-materialized
+    (a LEFT join to the side store on ``_chash``; plain ``table.read()``
+    for tables without payload dedup). The store side carries one row
+    per DISTINCT payload, so the join's build side is bounded by unique
+    contents, not by history length."""
+    df = table.read(version=version)
+    payload_cols = table.snapshot(version).properties.get("scd2_payload_cols") or []
+    if not payload_cols:
+        return df
+    store = _payload_store(table).read().select(CHASH, *payload_cols)
+    hist_cols = [c for c in df.columns if c != CHASH]
+    # order: natural key + payload (restored) + meta, like the plain form
+    meta = [VALID_FROM, VALID_TO]
+    front = [c for c in hist_cols if c not in meta]
+    return df.join(store, on=CHASH, how="left").select(*front, *payload_cols, *meta)
+
+
 def scd2_current(table: LakeTable, version: int | None = None) -> DataFrame:
     """The current image per key (open intervals only) — equals the
     latest-wins merge state of the same log."""
-    return table.read(version=version).filter(F.col(VALID_TO).isNull()).drop(
-        VALID_FROM, VALID_TO
+    return (
+        scd2_read_resolved(table, version)
+        .filter(F.col(VALID_TO).isNull())
+        .drop(VALID_FROM, VALID_TO)
     )
 
 
@@ -330,7 +441,7 @@ def scd2_as_of(table: LakeTable, seq: int, version: int | None = None) -> DataFr
     """The image each key had just after ``seq`` (interval containment:
     _valid_from <= seq < _valid_to). Time travel by EVENT order, not by
     commit — finer-grained than snapshot versions."""
-    df = table.read(version=version)
+    df = scd2_read_resolved(table, version)
     return df.filter(
         (F.col(VALID_FROM) <= F.lit(seq))
         & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(seq)))

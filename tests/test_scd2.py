@@ -296,3 +296,69 @@ def test_scd2_validate(spark, table, tmp_path):
     table.commit_append_buckets(snap.version, rel)
     rep2 = __import__("datax_spark.operators.scd2", fromlist=["scd2_validate"]).scd2_validate(table)
     assert not rep2["ok"] and rep2["multi_open_keys"] == 1
+
+
+def test_payload_dedup_equals_plain_history(spark, tmp_path):
+    """Content-addressed SCD2 == plain SCD2 after re-materialization;
+    the store holds one row per DISTINCT payload; replay stays fenced
+    across BOTH commits."""
+    from datax_spark.operators.scd2 import _payload_store
+
+    # contents repeat across versions and across keys (the dedupe win)
+    log = [
+        ("a", "insert", 1, "shared"),
+        ("b", "insert", 2, "shared"),
+        ("a", "update", 3, "unique-a"),
+        ("a", "update", 4, "shared"),   # back to an existing payload
+        ("b", "delete", 5, None),
+        ("b", "insert", 6, "shared"),
+        ("c", "insert", 7, None),       # NULL payload image
+    ]
+    t = create_scd2_table(
+        spark,
+        os.path.join(str(tmp_path), "dd"),
+        StructType([StructField("key", StringType()), StructField("content", StringType())]),
+        natural_key=["key"],
+        bucket_key="key",
+        num_buckets=4,
+        dedup_payload_cols=["content"],
+    )
+    for i, (lo, hi) in enumerate([(0, 4), (4, 99)]):
+        scd2_apply(t, _log_df(spark, [r for r in log if lo < r[2] <= hi]), batch_id=i)
+
+    from datax_spark.operators.scd2 import scd2_read_resolved
+
+    got = sorted(
+        tuple(r)
+        for r in scd2_read_resolved(t)
+        .select("key", "content", VALID_FROM, VALID_TO)
+        .collect()
+    )
+    assert got == _rows(_expected_history(spark, log))
+    # history rows store hashes, not contents
+    assert "content" not in t.read().columns and "_chash" in t.read().columns
+    # store: distinct payloads only — 'shared', 'unique-a', NULL => 3
+    store = _payload_store(t)
+    assert store.count() == 3
+    # replay: both commits fenced, store unchanged
+    v, sv = t.current_version(), store.current_version()
+    res = scd2_apply(t, _log_df(spark, [r for r in log if r[2] <= 4]), batch_id=0)
+    assert not res.applied
+    assert t.current_version() == v and store.current_version() == sv
+
+
+def test_payload_dedup_current_and_asof_resolve(spark, tmp_path):
+    t = create_scd2_table(
+        spark,
+        os.path.join(str(tmp_path), "dd2"),
+        StructType([StructField("key", StringType()), StructField("content", StringType())]),
+        natural_key=["key"],
+        bucket_key="key",
+        num_buckets=4,
+        dedup_payload_cols=["content"],
+    )
+    scd2_apply(t, _log_df(spark, LOG), batch_id=0)
+    cur = sorted(tuple(r) for r in scd2_current(t).select("key", "content").collect())
+    assert cur == [("b", "b2"), ("c", "c2"), ("d", "d2")]
+    asof = sorted(tuple(r) for r in scd2_as_of(t, 4).select("key", "content").collect())
+    assert asof == [("a", "a2"), ("b", "b1"), ("c", "c1")]
