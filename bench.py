@@ -255,14 +255,24 @@ def main() -> None:
 
     cdc = bench_cdc_apply(spark, sf)
 
+    # Per-query timings use the SAME interleaved best-of-reps protocol as
+    # the headline applies (VERDICT r3 item 1: single-shot per-query
+    # numbers whipsawed ±50% with host noise across driver rounds —
+    # NOTES.md documents ±15-60% session swings). One warm pass (plan +
+    # JIT), then N full passes over the whole list so a slow host phase
+    # hits every query equally; best-of per query is the low-noise
+    # estimator for CPU-bound work, and the raw reps are recorded.
     qs = E.queries()
-    times: dict[str, float] = {}
+    qreps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     for name in BENCH_QUERIES:
-        fn = qs[name]
-        fn(spark, SF_DIR).count()  # warm (plan + JIT)
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).count()
-        times[name] = round(time.monotonic() - t0, 3)
+        qs[name](spark, SF_DIR).count()  # warm (plan + JIT)
+    rep_times: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _rep in range(qreps):
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            rep_times[name].append(round(time.monotonic() - t0, 3))
+    times = {n: min(v) for n, v in rep_times.items()}
 
     recall = bench_ann_recall(spark, SF_DIR)
 
@@ -275,6 +285,7 @@ def main() -> None:
                 "unit": "sec",
                 "total_sec": total,
                 "queries": times,
+                "queries_reps": rep_times,
                 "sf": sf,
                 "cdc": cdc,
                 "ann_recall_at_10": recall,

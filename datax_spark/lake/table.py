@@ -46,6 +46,7 @@ import hashlib
 import json
 import os
 import re
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -132,6 +133,12 @@ class Snapshot:
     _refs: dict[str, dict[str, str]] | None = field(
         default=None, compare=False, repr=False
     )
+    # Publish wall-clock, recorded INSIDE the manifest at commit time so
+    # TIMESTAMP-AS-OF time travel survives copy/restore/rsync of the
+    # table directory (file mtimes don't — ADVICE r3). None only for
+    # manifests written before round 4 (mtime fallback). Excluded from
+    # equality: two runs producing identical state must compare equal.
+    committed_at: float | None = field(default=None, compare=False, repr=False)
 
 
 def _conform_payload(df: DataFrame, payload: list[str], schema: StructType) -> DataFrame:
@@ -180,15 +187,57 @@ def _union_schema(a: StructType, b: StructType) -> StructType:
     return StructType(fields + [f for f in b.fields if f.name not in names])
 
 
-def bucket_expr(bucket_key: str, num_buckets: int):
+_INTEGRAL_TYPES = ("byte", "short", "integer", "long")
+_FRACTIONAL_TYPES = ("float", "double")
+
+
+def bucket_expr(bucket_key: str, num_buckets: int, dtype=None):
     """Deterministic bucket id for a row: pmod(xxhash64(key), B).
 
     xxhash64 runs JVM-side in whole-stage codegen — the analog of DataX's
     pk-range split (plugin-rdbms-util/.../SingleTableSplitUtil.java:33-124)
     but hash- rather than range-based, so hot key ranges can't land in one
     slice.
+
+    ``dtype`` (the key column's type, from whichever schema the caller
+    holds — table or batch, same numeric family either way): hash-v2
+    canonicalization. Integral keys hash as LONG and fractional as
+    DOUBLE, so numeric widening of the bucket key (int->long,
+    float->double — Iceberg type evolution) NEVER re-buckets existing
+    rows (Iceberg's bucket transform hashes the widest representation
+    for the same reason). xxhash64(int 42) != xxhash64(long 42), so v1
+    layouts (``dtype=None``, tables created before ``bucket_hash_version``
+    existed) must instead REFUSE bucket-key widening — enforced in
+    operators.merge._evolve_schema.
     """
-    return F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(num_buckets)).cast("int")
+    col = F.col(bucket_key)
+    if dtype is not None:
+        t = dtype.typeName()
+        if t in _INTEGRAL_TYPES:
+            col = col.cast("long")
+        elif t in _FRACTIONAL_TYPES:
+            col = col.cast("double")
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+
+def bucket_hash_dtype(schema: StructType, bucket_key: str, hash_version) -> "Any":
+    """The canonicalization dtype ``bucket_expr`` needs for this layout:
+    the bucket key's type on hash-v2 tables, None on v1 (raw-column
+    hashing, pre-round-4)."""
+    if int(hash_version or 1) < 2:
+        return None
+    for f in schema.fields:
+        if f.name == bucket_key:
+            return f.dataType
+    return None
+
+
+def snap_bucket_dtype(snap: "Snapshot"):
+    """``bucket_hash_dtype`` straight off a snapshot."""
+    p = snap.properties
+    return bucket_hash_dtype(
+        snap.schema, p["bucket_key"], p.get("bucket_hash_version", 1)
+    )
 
 
 class LakeTable:
@@ -268,6 +317,11 @@ class LakeTable:
                 "num_buckets": num_buckets,
                 "streams": {},
                 "manifest_mode": manifest_mode,
+                # v2: bucket_expr canonicalizes numeric keys (integral as
+                # long, fractional as double) so schema widening never
+                # re-buckets. Absent on pre-round-4 tables => v1 (raw
+                # hashing; bucket-key widening refused at apply time).
+                "bucket_hash_version": 2,
                 "stats_cols": list(stats_cols or []),
                 "bloom_cols": list(bloom_cols or []),
                 # Named CHECK constraints (Delta table-constraint analog):
@@ -315,9 +369,15 @@ class LakeTable:
             snap = self.snapshot(v)
             entry: dict[str, Any] = {
                 "version": v,
-                "committed_at": os.path.getmtime(self._manifest_path(v))
-                if os.path.exists(self._manifest_path(v))
-                else None,
+                # manifest-recorded publish time; mtime only for
+                # pre-round-4 manifests (rsync/restore shifts mtimes)
+                "committed_at": snap.committed_at
+                if snap.committed_at is not None
+                else (
+                    os.path.getmtime(self._manifest_path(v))
+                    if os.path.exists(self._manifest_path(v))
+                    else None
+                ),
             }
             if prev is not None:
                 entry["changed_buckets"] = sorted(
@@ -340,17 +400,27 @@ class LakeTable:
 
     def version_as_of(self, ts: float) -> int:
         """Newest version published at or before unix time ``ts``
-        (Iceberg ``TIMESTAMP AS OF`` analog over manifest mtimes).
-        Raises if every retained snapshot is newer (history vacuumed
-        past the asked-for time)."""
+        (Iceberg ``TIMESTAMP AS OF`` analog). Publish time is the
+        ``committed_at`` recorded INSIDE each manifest at commit — file
+        mtimes shift under copy/restore/rsync and would silently resolve
+        to the wrong version (ADVICE r3); mtime is only the fallback for
+        pre-round-4 manifests that lack the field. Raises if every
+        retained snapshot is newer (history vacuumed past the asked-for
+        time)."""
         best = None
         for n in os.listdir(self._mdir):
             if not (n.startswith("v") and n.endswith(".json")):
                 continue
             v = int(n[1:-5])
-            if os.path.getmtime(os.path.join(self._mdir, n)) <= ts and (
-                best is None or v > best
-            ):
+            mpath = os.path.join(self._mdir, n)
+            try:
+                with open(mpath) as f:
+                    committed = json.load(f).get("committed_at")
+            except (OSError, ValueError):
+                committed = None
+            if committed is None:
+                committed = os.path.getmtime(mpath)
+            if committed <= ts and (best is None or v > best):
                 best = v
         if best is None:
             raise FileNotFoundError(
@@ -391,6 +461,7 @@ class LakeTable:
             eq_deletes=d.get("eq_deletes", {}),
         )
         snap._refs = refs
+        snap.committed_at = d.get("committed_at")
         return snap
 
     def _shard_lists(
@@ -444,6 +515,7 @@ class LakeTable:
             "deltas": snap.deltas,
             "file_stats": snap.file_stats,
             "eq_deletes": snap.eq_deletes,
+            "committed_at": time.time(),
         }
         if snap.properties.get("manifest_mode") == "sharded":
             b_out, b_refs = self._shard_lists("buckets", snap.buckets, base)
@@ -535,7 +607,13 @@ class LakeTable:
         key = props["bucket_key"]
         dt = {f.name: f.dataType for f in snap.schema.fields}[key]
         row = self.spark.range(1).select(F.lit(value).cast(dt).alias(key))
-        return int(row.select(bucket_expr(key, props["num_buckets"]).alias("b")).first()["b"])
+        return int(
+            row.select(
+                bucket_expr(
+                    key, props["num_buckets"], snap_bucket_dtype(snap)
+                ).alias("b")
+            ).first()["b"]
+        )
 
     def plan_scan(
         self,
@@ -954,8 +1032,20 @@ class LakeTable:
         """
         commit_rel = os.path.join(DATA_DIR, f"commit-{uuid.uuid4().hex}")
         out = os.path.join(self.path, commit_rel)
+        try:
+            tprops = self.snapshot().properties
+            hash_v = tprops.get("bucket_hash_version", 1)
+        except FileNotFoundError:
+            # pre-create staging write: the table will be stamped v2
+            tprops = {}
+            hash_v = 2
         staged = df.withColumn(
-            BUCKET_COL, bucket_expr(bucket_key, num_buckets)
+            BUCKET_COL,
+            bucket_expr(
+                bucket_key,
+                num_buckets,
+                bucket_hash_dtype(df.schema, bucket_key, hash_v),
+            ),
         ).repartition(BUCKET_COL)
         if sort_cols:
             # bucket-major so each bucket's rows stay contiguous in the
@@ -964,10 +1054,7 @@ class LakeTable:
         writer = staged.write.partitionBy(BUCKET_COL)
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        try:
-            bloom_cols = self.snapshot().properties.get("bloom_cols") or []
-        except FileNotFoundError:
-            bloom_cols = []
+        bloom_cols = tprops.get("bloom_cols") or []
         for c in bloom_cols:
             # parquet-mr per-column bloom toggle, consumed transparently
             # by the reader's pushed '=' predicates (row-group skipping)
@@ -1675,7 +1762,11 @@ class LakeTable:
         plan = self.plan_scan(filters, version=snap.version, prune_files=False)
         new_buckets = {
             int(r["b"])
-            for r in df.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+            for r in df.select(
+                bucket_expr(key, nb, snap_bucket_dtype(snap)).alias("b")
+            )
+            .distinct()
+            .collect()
         }
         affected = sorted(set(plan["buckets"]) | new_buckets)
         # NULL-predicate rows do NOT match the overwrite slice and must

@@ -41,6 +41,7 @@ from datax_spark.lake.table import (
     WIDENS_TO as _WIDENS_TO,
     LakeTable,
     bucket_expr,
+    snap_bucket_dtype,
 )
 
 OP_COL = "op"
@@ -63,6 +64,7 @@ def bucket_stats_agg(
     bucket_key: str,
     num_buckets: int,
     key_cols: list[str] | None = None,
+    dtype=None,
 ) -> list:
     """Per-bucket (max_seq, deletes, events[, distinct_keys]) stats job.
 
@@ -82,7 +84,7 @@ def bucket_stats_agg(
     sel_keys = [F.col(k) for k in (key_cols or [])]
     return (
         df.select(
-            bucket_expr(bucket_key, num_buckets).alias(BUCKET_COL),
+            bucket_expr(bucket_key, num_buckets, dtype).alias(BUCKET_COL),
             F.col("seq"),
             F.col(OP_COL),
             *sel_keys,
@@ -142,8 +144,9 @@ def merge_apply(
     if last is not None and batch_id <= last:
         return MergeResult(version=None, applied=False, affected_buckets=[])
 
+    hash_dtype = snap_bucket_dtype(snap)
     changes = deduped_changes.withColumn(
-        BUCKET_COL, bucket_expr(bucket_key, num_buckets)
+        BUCKET_COL, bucket_expr(bucket_key, num_buckets, hash_dtype)
     )
     own_persist = bucket_stats is None
     if own_persist:
@@ -152,7 +155,9 @@ def merge_apply(
         stats_rows = (
             bucket_stats
             if bucket_stats is not None
-            else bucket_stats_agg(deduped_changes, bucket_key, num_buckets)
+            else bucket_stats_agg(
+                deduped_changes, bucket_key, num_buckets, dtype=hash_dtype
+            )
         )
         if not stats_rows:
             # Empty batch still advances the fence so replays stay no-ops.
@@ -183,7 +188,7 @@ def merge_apply(
         # Additive schema evolution: payload columns in the batch that the
         # table lacks widen the schema; old rows read as null on the next
         # read-with-schema. CDC bookkeeping columns never evolve in.
-        merged_schema = _evolve_schema(snap.schema, changes.schema)
+        merged_schema = _evolve_schema(snap.schema, changes.schema, props)
         upsert_images = changes.filter(F.col(OP_COL) != DELETE_OP)
         if patch:
             # UpdateRow semantics: matched rows keep old values where the
@@ -249,7 +254,7 @@ class SchemaEvolutionError(ValueError):
     """Batch column type is incompatible with the table's (non-widening)."""
 
 
-def _evolve_schema(table_schema, batch_schema):
+def _evolve_schema(table_schema, batch_schema, props=None):
     """Table schema + new batch columns (additive) + numeric widening.
 
     A batch column whose type is WIDER than the table's (int->long,
@@ -258,6 +263,14 @@ def _evolve_schema(table_schema, batch_schema):
     table type (the batch casts up on write). Any other type change
     raises: silently casting e.g. string->long would corrupt data, the
     caller must transform first (dx_* / pandas cast with quarantine).
+
+    ``props`` (the table's snapshot properties, when the caller has
+    them): on v1 bucket-hash layouts, widening the BUCKET KEY is refused
+    — xxhash64(int x) != xxhash64(long x), so the widened batch would
+    hash keys into different buckets than their existing rows live in
+    (duplicate keys survive, pruning looks in the wrong bucket —
+    ADVICE r3). v2 layouts canonicalize the hash input
+    (lake.table.bucket_expr) and widen freely.
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -271,6 +284,19 @@ def _evolve_schema(table_schema, batch_schema):
             continue
         t_name, b_name = f.dataType.typeName(), b.dataType.typeName()
         if b_name in _WIDENS_TO.get(t_name, ()):
+            if (
+                props is not None
+                and f.name == props.get("bucket_key")
+                and int(props.get("bucket_hash_version", 1)) < 2
+            ):
+                raise SchemaEvolutionError(
+                    f"column {f.name!r} is the bucket key of a v1-hash "
+                    f"layout: widening {t_name}->{b_name} would re-bucket "
+                    "existing rows (xxhash64 hashes int and long "
+                    "differently). Cast the batch to the table type, or "
+                    "recreate the table (bucket_hash_version 2 "
+                    "canonicalizes the hash input and widens safely)"
+                )
             fields.append(StructField(f.name, b.dataType, True))
         elif t_name in _WIDENS_TO.get(b_name, ()):
             fields.append(f)  # batch is narrower: casts up at write

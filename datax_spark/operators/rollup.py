@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datax_spark.lake.table import LakeTable, bucket_expr
+from datax_spark.lake.table import LakeTable, bucket_expr, snap_bucket_dtype
 from datax_spark.operators.merge import DELETE_OP, MergeResult, merge_apply
 
 _PLUS = ("insert", "update_postimage")
@@ -103,12 +103,17 @@ def refresh_rollup(
         .persist()
     )
     try:
-        props = agg.snapshot().properties
+        agg_snap = agg.snapshot()
+        props = agg_snap.properties
         # <= num_buckets rows: which agg buckets the delta can touch
         affected = sorted(
             int(r["b"])
             for r in delta.select(
-                bucket_expr(props["bucket_key"], props["num_buckets"]).alias("b")
+                bucket_expr(
+                    props["bucket_key"],
+                    props["num_buckets"],
+                    snap_bucket_dtype(agg_snap),
+                ).alias("b")
             )
             .distinct()
             .collect()

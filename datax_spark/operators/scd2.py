@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from datax_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
+from datax_spark.lake.table import BUCKET_COL, LakeTable, snap_bucket_dtype
 from datax_spark.operators.merge import (
     DELETE_OP,
     OP_COL,
@@ -202,7 +202,9 @@ def scd2_apply(
     persisted = clean_changes.persist()
     changes = persisted
     try:
-        stats_rows = bucket_stats_agg(changes, bucket_key, num_buckets)
+        stats_rows = bucket_stats_agg(
+            changes, bucket_key, num_buckets, dtype=snap_bucket_dtype(snap)
+        )
         if not stats_rows:
             new_snap = table.commit_replace_buckets(
                 base_version,
@@ -267,7 +269,7 @@ def scd2_apply(
             ).otherwise(F.col(VALID_TO)),
         ).drop("_first_seq")
 
-        merged_schema = _evolve_schema(snap.schema, new_rows.schema)
+        merged_schema = _evolve_schema(snap.schema, new_rows.schema, props)
         merged = _conform(closed, merged_schema).unionByName(
             _conform(new_rows, merged_schema)
         )
@@ -363,6 +365,11 @@ def _scd2_apply_quarantined(
     clean, dirty = split_dirty(
         events,
         key_cols=props["natural_key"],
+        # Generic payload schemas (Debezium/Canal/Maxwell envelopes over
+        # arbitrary tables) have no 'content' column — skip the
+        # null_content rule rather than fail on an unresolved column
+        # (ADVICE r3); named CHECK constraints still apply.
+        content_col="content" if "content" in events.columns else None,
         constraints=props.get("constraints") or {},
     )
     if quarantine_dir:

@@ -30,11 +30,15 @@ REASON_COL = "_dirty_reason"
 def dirty_reason(
     key_cols: list[str] = ("repo", "path", "commit"),
     op_col: str = "op",
-    content_col: str = "content",
+    content_col: str | None = "content",
     null_format: str = NULL_FORMAT,
     constraints: dict[str, str] | None = None,
 ):
     """Column: null for clean rows, else a reason string (first rule wins).
+
+    ``content_col=None`` skips the null_content rule — for payload
+    schemas that have no content column (generic envelope-driven tables,
+    ADVICE r3); named CHECK constraints still apply.
 
     ``constraints``: named CHECK expressions (Delta table-constraint
     analog) stored as table properties — a non-delete row violating one
@@ -47,15 +51,15 @@ def dirty_reason(
     for k in key_cols:
         cond = F.col(k).isNull()
         null_key = cond if null_key is None else (null_key | cond)
-    out = (
-        F.when(~F.col(op_col).isin(*VALID_OPS), F.lit("invalid_op"))
-        .when(null_key, F.lit("null_key"))
-        .when(
+    out = F.when(~F.col(op_col).isin(*VALID_OPS), F.lit("invalid_op")).when(
+        null_key, F.lit("null_key")
+    )
+    if content_col is not None:
+        out = out.when(
             (F.col(op_col) != "delete")
             & (F.col(content_col).isNull() | (F.col(content_col) == null_format)),
             F.lit("null_content"),
         )
-    )
     for name, expr_sql in (constraints or {}).items():
         out = out.when(
             (F.col(op_col) != "delete") & F.expr(expr_sql).eqNullSafe(F.lit(False)),
@@ -68,11 +72,13 @@ def split_dirty(
     events: DataFrame,
     key_cols: list[str] = ("repo", "path", "commit"),
     op_col: str = "op",
-    content_col: str = "content",
+    content_col: str | None = "content",
     null_format: str = NULL_FORMAT,
     constraints: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Return (clean, dirty-with-reason). One predicate, no Python UDF."""
+    """Return (clean, dirty-with-reason). One predicate, no Python UDF.
+
+    ``content_col=None`` skips the null_content rule (see dirty_reason)."""
     tagged = events.withColumn(
         REASON_COL,
         dirty_reason(list(key_cols), op_col, content_col, null_format, constraints),

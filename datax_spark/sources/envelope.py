@@ -67,6 +67,7 @@ def debezium_envelope_schema(payload_schema: StructType) -> StructType:
                 StructType(
                     [
                         StructField("lsn", LongType()),
+                        StructField("file", StringType()),
                         StructField("pos", LongType()),
                         StructField("row", LongType()),
                         StructField("ts_ms", LongType()),
@@ -92,17 +93,34 @@ def from_debezium(
     (the only image a delete carries).
 
     ``seq_expr``: total-order expression over the parsed envelope
-    (column root ``env``). Default: ``coalesce(source.lsn,
-    source.pos * 2^20 + source.row)`` — Postgres WAL LSN, else a MySQL
-    binlog (pos, row) composite. MUST be a total order per key for
-    latest-wins dedup to be correct (SURVEY.md §2.7).
+    (column root ``env``). Default: ``source.lsn`` (Postgres WAL — a
+    true total order), else the MySQL binlog composite
+    ``file_n * 2^42 + pos * 2^12 + row`` where ``file_n`` is the
+    numeric suffix of ``source.file`` (``mysql-bin.000042``). The file
+    number MUST ride above ``pos``: MySQL's position resets to ~0 at
+    every binlog rotation, so ``pos`` alone is NOT a total order across
+    files — a post-rotation update would lose latest-wins dedup to a
+    pre-rotation one (ADVICE r3). Bit budget: file_n < 2^21 (2M binlog
+    files), pos < 2^30 (max_binlog_size caps at 1 GiB), row < 2^12
+    (rows per binlog event — events split at binlog-row-event-max-size,
+    8 KiB default). Streams outside those bounds (giant single-
+    transaction binlogs) must pass their own ``seq_expr``. When ``file``
+    is absent entirely (older connector configs), falls back to
+    ``pos * 2^12 + row`` — single-file order only. MUST be a total
+    order per key for latest-wins dedup to be correct (SURVEY.md §2.7).
     """
     env = F.from_json(F.col(value_col), debezium_envelope_schema(payload_schema))
     parsed = raw.select(env.alias("env"))
     if seq_expr is None:
+        file_n = F.regexp_extract(
+            F.coalesce(F.col("env.source.file"), F.lit("")), r"(\d+)$", 1
+        )
         seq_expr = F.coalesce(
             F.col("env.source.lsn"),
-            F.col("env.source.pos") * F.lit(1 << 20)
+            F.when(file_n != "", file_n.cast("long") * F.lit(1 << 42)).otherwise(
+                F.lit(0)
+            )
+            + F.col("env.source.pos") * F.lit(1 << 12)
             + F.coalesce(F.col("env.source.row"), F.lit(0)),
         )
     op = (

@@ -25,7 +25,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datax_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
+from datax_spark.lake.table import (
+    BUCKET_COL,
+    LakeTable,
+    bucket_expr,
+    snap_bucket_dtype,
+)
 from datax_spark.operators.dedup import dedup_latest
 from datax_spark.operators.merge import (
     DELETE_OP,
@@ -42,8 +47,14 @@ from datax_spark.quality.quarantine import (
 )
 
 
-def dirty_reason_col(constraints: dict[str, str] | None = None):
-    return dirty_reason(KEY_COLS, constraints=constraints)
+def dirty_reason_col(
+    constraints: dict[str, str] | None = None,
+    key_cols: list[str] | None = None,
+    content_col: str | None = "content",
+):
+    return dirty_reason(
+        key_cols or KEY_COLS, content_col=content_col, constraints=constraints
+    )
 
 KEY_COLS = ["repo", "path", "commit"]
 
@@ -125,6 +136,8 @@ def batch_stats_agg(
     key_cols: list[str],
     want_bytes: bool = False,
     reasons: tuple = _REASONS,
+    dtype=None,
+    bytes_col: str = "content",
 ) -> list:
     """ONE per-bucket stats pass over the tagged (reason-annotated) batch.
 
@@ -144,7 +157,7 @@ def batch_stats_agg(
     is_dirty = F.col(REASON_COL).isNotNull()
     bucket = (
         F.when(is_dirty, F.lit(DIRTY_BUCKET))
-        .otherwise(bucket_expr(bucket_key, num_buckets))
+        .otherwise(bucket_expr(bucket_key, num_buckets, dtype))
         .alias(BUCKET_COL)
     )
     aggs = [
@@ -157,10 +170,11 @@ def batch_stats_agg(
             for r in reasons
         ],
     ]
+    want_bytes = want_bytes and bytes_col in tagged.columns
     if want_bytes:
         aggs.append(
             F.sum(
-                F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast(
+                F.octet_length(F.coalesce(F.col(bytes_col), F.lit(""))).cast(
                     "decimal(38,0)"
                 )
             ).alias("bytes")
@@ -168,7 +182,7 @@ def batch_stats_agg(
     sel = [bucket, F.col(REASON_COL), F.col("seq"), F.col(OP_COL)]
     sel += [F.col(k) for k in key_cols]
     if want_bytes:
-        sel.append(F.col("content"))
+        sel.append(F.col(bytes_col))
     return tagged.select(*sel).groupBy(BUCKET_COL).agg(*aggs).collect()
 
 
@@ -193,17 +207,26 @@ def apply_batch(
 
     # Table-level CHECK constraints (Delta analog) ride the same tagged
     # pass: one extra WHEN branch per constraint, zero extra jobs.
-    props = table.snapshot().properties
+    snap = table.snapshot()
+    props = snap.properties
+    key_cols = props.get("key_cols") or KEY_COLS
     constraints = props.get("constraints") or {}
-    reasons = _REASONS + tuple(f"constraint:{n}" for n in constraints)
-    tagged = events.withColumn(REASON_COL, dirty_reason_col(constraints))
+    # Payload schemas without a 'content' column (generic envelope
+    # tables) skip the null_content rule — ADVICE r3, same contract as
+    # quarantine.split_dirty(content_col=None).
+    content_col = "content" if "content" in events.columns else None
+    reasons = tuple(r for r in _REASONS if content_col or r != "null_content")
+    reasons = reasons + tuple(f"constraint:{n}" for n in constraints)
+    tagged = events.withColumn(
+        REASON_COL, dirty_reason_col(constraints, key_cols, content_col)
+    )
     is_dirty = F.col(REASON_COL).isNotNull()
     # Byte accounting (bps throttle / metrics) forces the otherwise
     # column-pruned stats scan to read `content` — only pay that when a
-    # consumer asked for it.
+    # consumer asked for it (and the payload has the column).
     want_bytes = (
         cfg.max_bytes_per_sec is not None or cfg.metrics_path is not None
-    )
+    ) and content_col is not None
     clean = tagged.filter(~is_dirty).drop(REASON_COL)
 
     # Stats job first (narrow scan; quality counters AND per-bucket merge
@@ -211,14 +234,15 @@ def apply_batch(
     # that references the dedup subtree for both the anti-join key side
     # and the upsert images.
     all_stats = batch_stats_agg(
-        tagged, props["bucket_key"], props["num_buckets"], KEY_COLS,
+        tagged, props["bucket_key"], props["num_buckets"], key_cols,
         want_bytes=want_bytes, reasons=reasons,
+        dtype=snap_bucket_dtype(snap),
     )
     stats = [
         r for r in all_stats
         if r[BUCKET_COL] is not None and r[BUCKET_COL] != DIRTY_BUCKET
     ]
-    deduped = dedup_latest(clean, KEY_COLS)
+    deduped = dedup_latest(clean, key_cols)
     if cfg.write_mode not in ("replace", "update"):
         raise ValueError(f"unknown write_mode {cfg.write_mode!r}")
     if props.get("table_mode") == "mor":

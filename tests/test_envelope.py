@@ -58,15 +58,45 @@ def test_debezium_op_mapping_and_images(spark):
 
 
 def test_debezium_mysql_pos_row_seq(spark):
-    """Without an lsn the default seq composes binlog (pos, row)."""
+    """Without an lsn the default seq composes binlog (file, pos, row)."""
     e = json.dumps(
         {"after": _row("r1", "a"), "op": "c", "ts_ms": 1,
-         "source": {"pos": 7, "row": 3}}
+         "source": {"file": "mysql-bin.000005", "pos": 7, "row": 3}}
     )
     got = from_debezium(
         spark.createDataFrame([(e,)], "value string"), PAYLOAD
     ).collect()[0]
-    assert got["seq"] == 7 * (1 << 20) + 3
+    assert got["seq"] == 5 * (1 << 42) + 7 * (1 << 12) + 3
+    # no file (older connector configs): single-file (pos, row) order
+    e2 = json.dumps(
+        {"after": _row("r1", "a"), "op": "c", "ts_ms": 1,
+         "source": {"pos": 7, "row": 3}}
+    )
+    got2 = from_debezium(
+        spark.createDataFrame([(e2,)], "value string"), PAYLOAD
+    ).collect()[0]
+    assert got2["seq"] == 7 * (1 << 12) + 3
+
+
+def test_debezium_mysql_seq_survives_binlog_rotation(spark):
+    """A post-rotation update (later file, SMALLER pos) must outrank the
+    pre-rotation image in latest-wins dedup — binlog position resets to
+    ~0 at every file rotation (ADVICE r3)."""
+    pre = json.dumps(
+        {"after": _row("r1", "old"), "op": "c", "ts_ms": 1,
+         "source": {"file": "mysql-bin.000001", "pos": 900_000, "row": 0}}
+    )
+    post = json.dumps(
+        {"after": _row("r1", "new"), "op": "u", "ts_ms": 2,
+         "source": {"file": "mysql-bin.000002", "pos": 4, "row": 0}}
+    )
+    parsed = from_debezium(
+        spark.createDataFrame([(pre,), (post,)], "value string"), PAYLOAD
+    )
+    from datax_spark.operators.dedup import dedup_latest
+
+    rows = dedup_latest(parsed, ["repo", "path", "commit"]).collect()
+    assert len(rows) == 1 and rows[0]["content"] == "new"
 
 
 def _canal(data, typ, mid, ddl=False):

@@ -248,3 +248,17 @@ def test_history_and_timestamp_travel(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         t.version_as_of(0.0)
+
+    # Publish time is recorded INSIDE the manifest (committed_at), so a
+    # copy/restore/rsync that refreshes every file mtime must NOT shift
+    # TIMESTAMP-AS-OF resolution (ADVICE r3: mtime-based travel silently
+    # resolved to the wrong version after a touch).
+    mdir = tmp_path / "th" / "_manifests"
+    future = _time.time() + 10_000
+    for n in os.listdir(mdir):
+        p = os.path.join(mdir, n)
+        if os.path.isfile(p):
+            os.utime(p, (future, future))
+    assert t.version_as_of(t_mid) == 2
+    assert [e["version"] for e in t.history()] == [1, 2, 3]
+    assert t.history()[1]["committed_at"] < future - 5_000

@@ -239,6 +239,40 @@ def test_replayed_segment_does_not_duplicate_quarantine(spark, tmp_path):
     assert spark.read.parquet(qdir).count() == 1
 
 
+def test_quarantined_apply_without_content_col(spark, tmp_path):
+    """ADVICE r3: an SCD2 table whose payload schema has no 'content'
+    column (the generic envelope-driven case) must quarantine-split on
+    the schema it HAS — null_content simply doesn't apply — instead of
+    failing with an unresolved-column AnalysisException."""
+    from datax_spark.operators.scd2 import _scd2_apply_quarantined, scd2_current
+
+    t = create_scd2_table(
+        spark,
+        os.path.join(str(tmp_path), "nocontent"),
+        StructType([StructField("id", StringType()), StructField("val", StringType())]),
+        natural_key=["id"],
+        bucket_key="id",
+        num_buckets=4,
+    )
+    events = spark.createDataFrame(
+        [
+            ("a", "v1", "insert", 1),
+            ("a", "v2", "update", 2),
+            (None, "x", "insert", 3),  # dirty: null key
+            ("b", None, "insert", 4),  # NULL payload is CLEAN here
+        ],
+        "id string, val string, op string, seq long",
+    )
+    qdir = os.path.join(str(tmp_path), "q")
+    res = _scd2_apply_quarantined(t, events, 0, qdir)
+    assert res.applied
+    q = spark.read.parquet(qdir)
+    assert q.count() == 1
+    assert q.collect()[0]["_dirty_reason"] == "null_key"
+    cur = {r["id"]: r["val"] for r in scd2_current(t).collect()}
+    assert cur == {"a": "v2", "b": None}
+
+
 def test_scd2_over_maxwell_dump(spark, tmp_path):
     """SCD2 history built straight off a Maxwell JSON-lines binlog dump
     (envelope mode): intervals equal the from-scratch window, with the

@@ -126,3 +126,77 @@ def test_evolve_schema_pure():
     b = StructType([StructField("n", FloatType())])
     with pytest.raises(SchemaEvolutionError):
         _evolve_schema(a, b)
+
+
+def _int_key_table(spark, tmp_path, hash_version=None, name="ik"):
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", StringType())]
+    )
+    extra = (
+        {"bucket_hash_version": hash_version} if hash_version is not None else None
+    )
+    return LakeTable.create(
+        spark, os.path.join(str(tmp_path), name), schema, ["k"], "k",
+        num_buckets=8, extra_properties=extra,
+    )
+
+
+def test_bucket_key_widening_does_not_rebucket(spark, tmp_path):
+    """ADVICE r3 (high): widening the BUCKET KEY int->long must keep each
+    key's rows in the bucket its old rows live in. v2 layouts canonicalize
+    the hash input (xxhash64 over long) so the update REPLACES the old
+    row instead of duplicating it in a different bucket."""
+    t = _int_key_table(spark, tmp_path)
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [(42, "insert", 1, "old")], "k int, op string, seq long, v string"
+        ),
+        0,
+    )
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [(42, "update", 2, "new")], "k long, op string, seq long, v string"
+        ),
+        1,
+    )
+    out = t.read()
+    assert out.schema["k"].dataType.typeName() == "long"
+    rows = out.collect()
+    assert len(rows) == 1, f"duplicate key after bucket-key widening: {rows}"
+    assert rows[0]["v"] == "new"
+    # pruning agrees with the write path: the scan finds the row
+    assert t.scan([("k", "=", 42)]).count() == 1
+
+
+def test_bucket_key_widening_refused_on_v1_layout(spark, tmp_path):
+    """Pre-round-4 layouts hash the raw column (xxhash64(int 42) !=
+    xxhash64(long 42)) — widening their bucket key must raise, never
+    silently re-bucket."""
+    t = _int_key_table(spark, tmp_path, hash_version=1)
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [(42, "insert", 1, "old")], "k int, op string, seq long, v string"
+        ),
+        0,
+    )
+    with pytest.raises(SchemaEvolutionError, match="bucket key"):
+        merge_apply(
+            t,
+            spark.createDataFrame(
+                [(42, "update", 2, "new")], "k long, op string, seq long, v string"
+            ),
+            1,
+        )
+    # non-bucket-key widening on v1 still works (only the key is pinned)
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [(43, "insert", 3, "x", 5)],
+            "k int, op string, seq long, v string, extra long",
+        ),
+        2,
+    )
+    assert t.read().filter("k = 43").count() == 1
