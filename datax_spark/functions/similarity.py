@@ -200,10 +200,14 @@ def kmeans_fit_local(
     import duckdb
     import numpy as np
 
-    rel = duckdb.connect().sql(
-        f"SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM '{parquet_path}'"
-    )
-    pairs = rel.fetchall()
+    con = duckdb.connect()
+    try:
+        pairs = con.sql(
+            f"SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v "
+            f"FROM '{parquet_path}'"
+        ).fetchall()
+    finally:
+        con.close()
     if not pairs:
         raise ValueError("kmeans_fit_local: empty input")
 

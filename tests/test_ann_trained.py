@@ -166,3 +166,18 @@ def test_ivf_index_centroid_roundtrip(spark, emb, centroids, tmp_path):
     assert from_meta == with_explicit
     # the meta side-file must not confuse the parquet reader
     assert spark.read.parquet(idx).count() == emb.count()
+
+
+def test_local_fit_matches_spark_fit(emb, sf_dir):
+    """The oracle contract of ann_ivf_trained/ann_ivf_index: the
+    engine-neutral local fit (duckdb read + python md5 sample order +
+    the shared numpy Lloyd's) must reproduce the Spark-sampled fit
+    BIT-FOR-BIT — that is what lets oracle_sql() embed the centroids as
+    literals and have DuckDB agree with Spark exactly."""
+    from datax_spark.functions.similarity import kmeans_fit_local
+
+    spark_cents = kmeans_fit(emb, k=K_CELLS, iters=3)
+    local_cents = kmeans_fit_local(
+        os.path.join(sf_dir, "embeddings.parquet"), k=K_CELLS, iters=3
+    )
+    assert spark_cents == local_cents

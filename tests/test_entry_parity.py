@@ -15,6 +15,9 @@ import __spark_entry__ as E  # noqa: E402
 from tools.check_parity import compare, duck_con  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
+# Data-dependent oracles (trained IVF refits locally) must target the
+# same dir the Spark queries read.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="module")

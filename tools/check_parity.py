@@ -65,6 +65,9 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # Data-dependent oracles (trained IVF refits its codebook over the
+    # oracle parquet) must target the dir we are comparing at.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as E
     from datax_spark.config import get_spark
