@@ -447,6 +447,7 @@ def run_job(
     spark: SparkSession,
     spec: JobSpec | dict[str, Any],
     hooks: list | None = None,
+    secret_path: str | None = None,
 ) -> Any:
     """Execute a full reader -> transforms -> writer job.
 
@@ -454,8 +455,30 @@ def run_job(
     (HookInvoker.java:24-87 analog); each receives {"spec", "result"}.
     With ``spec.dry_run`` set, validates and returns the preCheck report
     instead of moving data (hooks do NOT fire — nothing committed).
+
+    Encrypted credentials: when the dict form carries
+    ``job.setting.keyVersion``, every ``*``-prefixed config value is
+    decrypted FIRST against the keystore at ``secret_path`` (or
+    ``$DATAX_SPARK_SECRET_PATH``) — the DataX SecretUtil contract
+    (datax_spark.secrets). Decryption is driver-side and pre-compile;
+    ciphertext never reaches a Spark plan, and anything echoing a job
+    config must route through ``secrets.filter_sensitive``.
     """
     if isinstance(spec, dict):
+        key_version = (
+            (spec.get("job", {}).get("setting", {}) or {}).get("keyVersion")
+        )
+        if key_version:
+            from datax_spark.secrets import decrypt_job_config
+
+            store = secret_path or os.environ.get(
+                "DATAX_SPARK_SECRET_PATH",
+                os.path.expanduser("~/.datax_spark/.secret.properties"),
+            )
+            spec, _secret_paths = decrypt_job_config(spec, store)
+            # decrypted once at the top: sub-entry recursion and
+            # JobSpec.from_dict must not re-attempt
+            spec["job"].get("setting", {}).pop("keyVersion", None)
         entries = spec["job"]["content"]
         if len(entries) > 1:
             # DataX runs every content[] entry (multi-table jobs,
