@@ -55,6 +55,7 @@ class JobSpec:
         """Parse the DataX job.json shape (content[0] + setting)."""
         content = d["job"]["content"][0]
         setting = d["job"].get("setting", {})
+        core = d.get("core", {})
         transforms = [
             TransformSpec(
                 name=t["name"],
@@ -72,12 +73,62 @@ class JobSpec:
             reader=content["reader"],
             writer=content["writer"],
             transformers=transforms,
-            channel=setting.get("speed", {}).get("channel"),
+            channel=adjust_channel_number(setting, core),
             error_limit=ErrorLimit(
                 record=el.get("record"), percentage=el.get("percentage")
             ),
             dry_run=bool(setting.get("dryRun", False)),
         )
+
+
+def adjust_channel_number(
+    setting: dict[str, Any], core: dict[str, Any] | None = None
+) -> int | None:
+    """Speed-budget parallelism sizing — JobContainer.adjustChannelNumber
+    (core/.../job/JobContainer.java:416-486), the last delegated DataX
+    sub-mode:
+
+    - ``job.setting.speed.byte`` (global bps budget) divided by
+      ``core.transport.channel.speed.byte`` (per-channel bps budget)
+      gives a byte-derived channel count (floored, min 1); a global byte
+      budget WITHOUT a positive per-channel budget is a config error,
+      exactly like the reference;
+    - same for ``speed.record`` / ``channel.speed.record`` (tps);
+    - the smaller of the two wins; with neither budget set, the explicit
+      ``speed.channel`` applies.
+
+    The resulting count drives the plan's parallelism (compile_reader
+    repartitions to it — the Spark analog of DataX's channel threads).
+    Divergence, by design: DataX errors when NO speed setting exists;
+    here None lets Spark size parallelism from the source (splits/AQE),
+    which is the better default on a cluster.
+    """
+    speed = (setting or {}).get("speed", {}) or {}
+    chan_speed = (
+        ((core or {}).get("transport", {}) or {}).get("channel", {}) or {}
+    ).get("speed", {}) or {}
+    by_byte = by_record = None
+    if int(speed.get("byte", 0) or 0) > 0:
+        per = int(chan_speed.get("byte", 0) or 0)
+        if per <= 0:
+            raise ValueError(
+                "job.setting.speed.byte requires a positive "
+                "core.transport.channel.speed.byte (per-channel bps budget)"
+            )
+        by_byte = max(1, int(speed["byte"]) // per)
+    if int(speed.get("record", 0) or 0) > 0:
+        per = int(chan_speed.get("record", 0) or 0)
+        if per <= 0:
+            raise ValueError(
+                "job.setting.speed.record requires a positive "
+                "core.transport.channel.speed.record (per-channel tps budget)"
+            )
+        by_record = max(1, int(speed["record"]) // per)
+    derived = [c for c in (by_byte, by_record) if c is not None]
+    if derived:
+        return min(derived)
+    ch = speed.get("channel")
+    return int(ch) if ch else None
 
 
 def jdbc_read_options(param: dict[str, Any]) -> dict[str, str]:
@@ -202,6 +253,71 @@ def _write_rcfile(df: DataFrame, param: dict[str, Any]) -> None:
         spark.sql(f"DROP TABLE {tbl}")
 
 
+def _split_value_columns(df: DataFrame, param: dict[str, Any]) -> DataFrame:
+    """Delimited ``value`` lines -> named string columns (the DataX
+    unstructured-record split: literal delimiter, no quoting — shared by
+    the SEQ and zip read paths)."""
+    sep = param.get("fieldDelimiter")
+    if sep is None or not param.get("column"):
+        return df
+    import re as _re
+
+    pat = _re.escape(sep)  # literal delimiter, like DataX
+    cols = [
+        F.split(F.col("value"), pat, -1)
+        .getItem(i)
+        .alias(c if isinstance(c, str) else f"col{i}")
+        for i, c in enumerate(param["column"])
+    ]
+    return df.select(*cols)
+
+
+def _read_zip(spark: SparkSession, param: dict[str, Any]) -> DataFrame:
+    """zip'd text/CSV read: binaryFile scan -> stdlib zipfile explode to
+    text lines inside an Arrow-batched mapInPandas -> the shared
+    delimited split.
+
+    Scale shape: zip is not splittable, so parallelism = number of
+    archives — the same unit of work DataX assigns one reader task per
+    compressed file (ZipCycleInputStream walks entries serially). Whole
+    archives transit Arrow; keep individual archives executor-sized,
+    exactly like the reference's per-file tasks.
+    """
+    paths = param["path"]
+    paths = paths if isinstance(paths, list) else [paths]
+    r = spark.read.format("binaryFile")
+    if param.get("pathGlobFilter"):
+        r = r.option("pathGlobFilter", param["pathGlobFilter"])
+    bins = r.load(*paths).select("content")
+    encoding = param.get("encoding", "utf-8")
+    header = str(param.get("header", False)).lower() == "true" or (
+        param.get("header") is True
+    )
+
+    def _entries(it):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in it:
+            vals: list[str] = []
+            for blob in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for name in zf.namelist():
+                        if name.endswith("/"):
+                            continue
+                        text = zf.read(name).decode(encoding)
+                        lines = text.splitlines()
+                        if header and lines:
+                            lines = lines[1:]  # per-entry header row
+                        vals.extend(ln for ln in lines if ln != "")
+            yield pd.DataFrame({"value": vals})
+
+    df = bins.mapInPandas(_entries, "value string")
+    return _split_value_columns(df, param)
+
+
 def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | None = None) -> DataFrame:
     """reader spec -> DataFrame (declarative: pushdown/pruning apply)."""
     name = reader["name"]
@@ -229,23 +345,32 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
             df = spark.createDataFrame(
                 rdd.map(lambda kv: (str(kv[1]),)), "value: string"
             )
-            sep = param.get("fieldDelimiter")
-            if sep is not None and param.get("column"):
-                import re as _re
-
-                pat = _re.escape(sep)  # literal delimiter, like DataX
-                cols = [
-                    F.split(F.col("value"), pat, -1)
-                    .getItem(i)
-                    .alias(c if isinstance(c, str) else f"col{i}")
-                    for i, c in enumerate(param["column"])
-                ]
-                df = df.select(*cols)
+            df = _split_value_columns(df, param)
             if param.get("where"):
                 df = df.filter(param["where"])
             return df
         if fmt == "rcfile":
             return _read_rcfile(spark, param)
+        compress = str(param.get("compress", "")).lower()
+        if compress == "zip":
+            # DataX reads zip'd text/csv transparently
+            # (UnstructuredStorageReaderUtil.java:88-237, ZipCycleInputStream);
+            # Spark's text sources have no zip codec, so route through
+            # binaryFile + a stdlib-zipfile explode (see _read_zip).
+            df = _read_zip(spark, param)
+            if param.get("where"):
+                df = df.filter(param["where"])
+            return df
+        if compress in ("lzo", "lzop", "lzo_deflate"):
+            # Honest gap instead of the silent pass-through Spark would
+            # reject at scan time with an opaque codec error: DataX ships
+            # an LZO decoder jar; neither Spark nor this container does.
+            raise ValueError(
+                f"compress={compress!r} is not supported: Spark has no "
+                "LZO codec (DataX bundles one). Supported here: gzip, "
+                "bzip2, snappy (native Spark) and zip (binaryFile route). "
+                "Re-compress the source or add an LZO hadoop codec jar."
+            )
         r = spark.read.format(fmt)
         if fmt == "csv":
             r = r.option("sep", param.get("fieldDelimiter", ","))

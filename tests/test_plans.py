@@ -286,3 +286,133 @@ def test_entrypoint_python_transform(spark):
          "outputType": "double"},
     )])
     assert sorted(r["v"] for r in out.collect()) == [2.0, 5.0]
+
+
+def test_zip_compressed_reader_job(spark, tmp_path):
+    """DataX reads zip'd CSV transparently (compress=zip,
+    UnstructuredStorageReaderUtil ZipCycleInputStream); Spark has no zip
+    codec, so the binaryFile+zipfile route must round-trip a job.json —
+    multiple archives, multiple entries per archive, per-entry header."""
+    import zipfile
+
+    src = tmp_path / "zin"
+    src.mkdir()
+    with zipfile.ZipFile(src / "a.zip", "w") as zf:
+        zf.writestr("p1.csv", "id,name\n1,aa\n2,bb\n")
+        zf.writestr("sub/p2.csv", "id,name\n3,cc\n")
+    with zipfile.ZipFile(src / "b.zip", "w") as zf:
+        zf.writestr("p3.csv", "id,name\n4,dd\n")
+    dst = str(tmp_path / "zout")
+
+    job = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "txtfilereader",
+                        "parameter": {
+                            "path": str(src),
+                            "fileType": "csv",
+                            "compress": "zip",
+                            "header": True,
+                            "fieldDelimiter": ",",
+                            "column": ["id", "name"],
+                        },
+                    },
+                    "writer": {
+                        "name": "txtfilewriter",
+                        "parameter": {
+                            "path": dst,
+                            "fileType": "csv",
+                            "header": True,
+                            "writeMode": "truncate",
+                        },
+                    },
+                }
+            ]
+        }
+    }
+    run_job(spark, job)
+    out = spark.read.option("header", True).csv(dst)
+    got = {(r["id"], r["name"]) for r in out.collect()}
+    assert got == {("1", "aa"), ("2", "bb"), ("3", "cc"), ("4", "dd")}
+
+
+def test_lzo_compress_raises_loudly(spark, tmp_path):
+    """LZO stays a gap (no codec in Spark or this container) but must
+    fail with an actionable message, not Spark's opaque codec error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="LZO"):
+        compile_reader(
+            spark,
+            {
+                "name": "txtfilereader",
+                "parameter": {
+                    "path": str(tmp_path),
+                    "fileType": "csv",
+                    "compress": "lzo",
+                },
+            },
+        )
+
+
+def test_adjust_channel_number_speed_budgets(spark, tmp_path):
+    """adjustChannelNumber (JobContainer.java:416-486): global speed
+    budget / per-channel budget -> parallelism; min(byte, record) wins;
+    explicit channel is the fallback; a global budget without its
+    per-channel divisor is a config error."""
+    import pytest
+
+    from datax_spark.plans.job import JobSpec, adjust_channel_number
+
+    core = {"transport": {"channel": {"speed": {"byte": 1048576, "record": 10000}}}}
+    # byte-derived: 10 MB/s over 1 MB/s channels -> 10
+    assert adjust_channel_number({"speed": {"byte": 10 * 1048576}}, core) == 10
+    # record-derived: 25k tps over 10k tps channels -> 2 (floor)
+    assert adjust_channel_number({"speed": {"record": 25000}}, core) == 2
+    # both: the SMALLER wins (reference takes min)
+    assert (
+        adjust_channel_number(
+            {"speed": {"byte": 10 * 1048576, "record": 25000}}, core
+        )
+        == 2
+    )
+    # floors at 1
+    assert adjust_channel_number({"speed": {"byte": 1}}, core) == 1
+    # explicit channel only applies when no budget is set
+    assert adjust_channel_number({"speed": {"channel": 7}}, {}) == 7
+    assert (
+        adjust_channel_number({"speed": {"byte": 3 * 1048576, "channel": 7}}, core)
+        == 3
+    )
+    # budget without per-channel divisor: config error, like DataX
+    with pytest.raises(ValueError, match="speed.byte"):
+        adjust_channel_number({"speed": {"byte": 100}}, {})
+    # no speed settings at all: Spark sizes itself (documented divergence)
+    assert adjust_channel_number({}, {}) is None
+
+    # wired through the job shape: the compiled reader's partition count
+    # equals the derived channel count
+    src = str(tmp_path / "chan_in")
+    spark.range(100).selectExpr("id", "cast(id as string) s").write.parquet(src)
+    spec = JobSpec.from_dict(
+        {
+            "core": core,
+            "job": {
+                "setting": {"speed": {"record": 25000}},
+                "content": [
+                    {
+                        "reader": {
+                            "name": "parquetreader",
+                            "parameter": {"path": src, "fileType": "parquet"},
+                        },
+                        "writer": {"name": "streamwriter", "parameter": {}},
+                    }
+                ],
+            },
+        }
+    )
+    assert spec.channel == 2
+    df = compile_reader(spark, spec.reader, spec.channel)
+    assert df.rdd.getNumPartitions() == 2
