@@ -1393,6 +1393,16 @@ def _lsh_pairs_sql() -> str:
 
 
 def _langid_sql() -> str:
+    """The three-arm lang_predict in DuckDB SQL: script-ratio vote,
+    marker argmax (earlier language wins ties — equivalent to the Spark
+    side's array_max over (score, -index) structs), explicit unknown on
+    zero marker hits."""
+    from datax_spark.functions.text import (
+        SCRIPT_MIN_RATIO,
+        SCRIPT_RANGES,
+        script_class,
+    )
+
     langs = list(LANG_MARKERS)
     scores = ", ".join(
         "len(list_filter(t, x -> x IN ({}))) AS s_{}".format(
@@ -1405,10 +1415,20 @@ def _langid_sql() -> str:
         conds = " AND ".join(f"s_{lang} >= s_{x}" for x in langs[idx + 1 :])
         case += f"WHEN {conds} THEN '{lang}' "
     case += f"ELSE '{langs[-1]}' END"
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    marker = f"CASE WHEN {total} = 0 THEN 'unknown' ELSE {case} END"
+    script_case = "CASE " + "".join(
+        "WHEN len(regexp_extract_all(text, '{cls}'))::DOUBLE / "
+        "greatest(length(regexp_replace(text, '\\s', '', 'g')), 1) > {r} "
+        "THEN '{lang}' ".format(
+            cls=script_class(lang), r=SCRIPT_MIN_RATIO, lang=lang
+        )
+        for lang in SCRIPT_RANGES
+    ) + "ELSE NULL END"
     return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    s AS (SELECT doc_id, {scores} FROM toks)
-    SELECT doc_id, {case} AS pred_lang FROM s
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    s AS (SELECT doc_id, text, {scores} FROM toks)
+    SELECT doc_id, coalesce({script_case}, {marker}) AS pred_lang FROM s
     """
 
 

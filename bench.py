@@ -120,10 +120,13 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     # the r1->r2 headline "regression" was exactly that. Interleaving
     # COW/MOR within each rep keeps slow host phases from biasing one
     # path; best-of is the stable low-noise estimator for CPU-bound work.
+    from datax_spark.operators.scd2 import apply_segments_scd2, create_scd2_table
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     cow_times: list[float] = []
     mor_times: list[float] = []
     eq_times: list[float] = []
+    scd2_times: list[float] = []
     mor = eq = None
     for rep in range(reps):
         table = LakeTable.create(
@@ -153,22 +156,23 @@ def bench_cdc_apply(spark, sf: float) -> dict:
             spark, eq, logdir, config=PipelineConfig(delete_encoding="eq")
         )
         eq_times.append(time.monotonic() - t0)
+
+        # SCD2 history mode over the same log: every event becomes an
+        # interval (no dedup) — the write-amplified mode, interleaved in
+        # the same rep protocol since round 4 (the r3 single-shot number
+        # whipsawed with host noise like every other single-shot).
+        scd2 = create_scd2_table(
+            spark, os.path.join(root, f"scd2_{rep}"), schema,
+            natural_key=["repo", "path", "commit"], bucket_key="repo",
+            num_buckets=32,
+        )
+        t0 = time.monotonic()
+        apply_segments_scd2(spark, scd2, logdir)
+        scd2_times.append(time.monotonic() - t0)
     dt = min(cow_times)
     mor_dt = min(mor_times)
     eq_dt = min(eq_times)
-    # SCD2 history mode over the same log: every event becomes an
-    # interval (no dedup), so this is the write-amplified worst case —
-    # one timed pass (the interleaved reps above own the headline).
-    from datax_spark.operators.scd2 import apply_segments_scd2, create_scd2_table
-
-    scd2 = create_scd2_table(
-        spark, os.path.join(root, "scd2"), schema,
-        natural_key=["repo", "path", "commit"], bucket_key="repo",
-        num_buckets=32,
-    )
-    t0 = time.monotonic()
-    apply_segments_scd2(spark, scd2, logdir)
-    scd2_dt = time.monotonic() - t0
+    scd2_dt = min(scd2_times)
     # Resolved-read cost, pre- and post-compaction (the round-2 MOR read
     # path: base anti-joins broadcast delta keys, only deltas shuffle).
     t0 = time.monotonic()
@@ -197,6 +201,7 @@ def bench_cdc_apply(spark, sf: float) -> dict:
         "eq_events_per_sec": round(n_events / eq_dt),
         "eq_read_sec": round(eq_read_dt, 2),
         "scd2_apply_sec": round(scd2_dt, 2),
+        "scd2_apply_sec_reps": [round(t, 2) for t in scd2_times],
         "scd2_events_per_sec": round(n_events / scd2_dt),
     }
 

@@ -25,13 +25,47 @@ BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
 
 # Marker stopwords per language for the n-gram/stopword lang-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # Latin-script marker stopwords (ASCII only — the token regex is
+    # [a-z0-9]+, so accented markers would never match). Dict order is
+    # the tie-break priority; the first five predate round 4.
     "en": ("the", "a", "of", "and", "to"),
     "de": ("der", "die", "das", "und", "ist"),
     "fr": ("le", "la", "et", "les", "des"),
     "es": ("el", "los", "que", "y", "en"),
     "it": ("il", "di", "che", "la", "per"),
+    "pt": ("uma", "para", "com", "mais", "ele"),
+    "nl": ("het", "een", "niet", "aan", "ook"),
+    "sv": ("och", "att", "det", "som", "inte"),
+    "pl": ("nie", "jest", "sie", "czy", "jak"),
+    "id": ("yang", "dan", "untuk", "dengan", "ini"),
 }
 STOPWORDS = LANG_MARKERS["en"]
+
+# Non-Latin scripts: a language wins outright when its script's
+# characters exceed SCRIPT_MIN_RATIO of the non-whitespace characters —
+# marker stopwords can't see these languages at all (the token regex is
+# ASCII). Order matters: Japanese text mixes kana + Han, so kana must
+# test BEFORE Han or ja classifies as zh. (codepoint lo, hi) pairs keep
+# the Spark and DuckDB regex classes literally identical.
+SCRIPT_RANGES: dict[str, tuple[int, int]] = {
+    "ja": (0x3040, 0x30FF),  # hiragana + katakana
+    "ko": (0xAC00, 0xD7AF),  # hangul syllables
+    "zh": (0x4E00, 0x9FFF),  # CJK unified (after ja/ko)
+    "ru": (0x0400, 0x04FF),  # cyrillic
+    "ar": (0x0600, 0x06FF),  # arabic
+    "he": (0x0590, 0x05FF),  # hebrew
+    "el": (0x0370, 0x03FF),  # greek
+    "hi": (0x0900, 0x097F),  # devanagari
+    "th": (0x0E00, 0x0E7F),  # thai
+}
+SCRIPT_MIN_RATIO = 0.3
+
+
+def script_class(lang: str) -> str:
+    """The regex character class for a script language — literal
+    endpoint characters, valid verbatim in Java regex AND RE2/DuckDB."""
+    lo, hi = SCRIPT_RANGES[lang]
+    return f"[{chr(lo)}-{chr(hi)}]"
 
 
 def _c(col: Column | str) -> Column:
@@ -113,19 +147,43 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 
 def lang_predict(col: Column | str) -> Column:
-    """Argmax language by marker hits; ties break in LANG_MARKERS order."""
+    """Language prediction, three arms (round 4 widened it from 5 Latin
+    languages with an 'en' bias to 19 languages + an explicit unknown):
+
+    1. script vote: a non-Latin script covering > SCRIPT_MIN_RATIO of
+       the non-whitespace characters wins outright (first match in
+       SCRIPT_RANGES order — kana before Han so Japanese beats zh);
+    2. marker argmax over LANG_MARKERS, ties to the earlier language —
+       expressed as array_max over (score, -index, lang) structs so each
+       score expression appears ONCE (the old pairwise >= chain would
+       re-inline the tokens() regex quadratically — the CollapseProject
+       trap, NOTES.md);
+    3. ``unknown`` when no script dominates and ZERO markers hit
+       (previously such docs silently classified 'en').
+
+    Pure Column expressions throughout; the DuckDB oracle reproduces all
+    three arms (__spark_entry__._langid_sql).
+    """
+    c = _c(col)
     scores = lang_scores(col)
-    langs = list(LANG_MARKERS)
-    expr = F.lit(langs[-1])
-    # Build the chain back-to-front so earlier langs win ties (>=).
-    for lang in reversed(langs[:-1]):
-        later = [scores[x] for x in langs[langs.index(lang) + 1 :]]
-        cond = None
-        for s in later:
-            c = scores[lang] >= s
-            cond = c if cond is None else (cond & c)
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    entries = [
+        F.struct(
+            score.alias("s"), F.lit(-i).alias("o"), F.lit(lang).alias("l")
+        )
+        for i, (lang, score) in enumerate(scores.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    marker = F.when(best["s"] == 0, F.lit("unknown")).otherwise(best["l"])
+    nws = F.greatest(
+        F.length(F.regexp_replace(c, r"\s", "")), F.lit(1)
+    ).cast("double")
+    script = F.lit(None).cast("string")
+    for lang in reversed(list(SCRIPT_RANGES)):
+        cnt = F.size(F.regexp_extract_all(c, F.lit(script_class(lang)), 0))
+        script = F.when(
+            cnt.cast("double") / nws > F.lit(SCRIPT_MIN_RATIO), F.lit(lang)
+        ).otherwise(script)
+    return F.coalesce(script, marker)
 
 
 def quality_metrics(col: Column | str) -> dict[str, Column]:

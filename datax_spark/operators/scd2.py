@@ -177,6 +177,7 @@ def scd2_apply(
     batch_id: int,
     stream_id: str = "default",
     broadcast_keys: bool | None = None,
+    persist: bool = True,
 ) -> MergeResult:
     """Apply one clean change batch to an SCD2 history table exactly once.
 
@@ -185,6 +186,17 @@ def scd2_apply(
     merge, the batch is NOT deduplicated first — every event becomes (or
     closes) a history interval, so intermediate images inside one batch
     are preserved.
+
+    ``persist=False`` skips caching the batch between the stats pass and
+    the write: the stats job then runs COLUMN-PRUNED straight off the
+    source scan (keys/seq/op only — it never reads the payload), and the
+    write job recomputes the batch from source. Measured 1.5x on the
+    sf0.1 bench (461k vs 314k ev/s): materializing the WIDE batch to
+    cache costs more than the second narrow scan saves. Safe ONLY for
+    deterministic re-reads (parquet/file segments — what the segment and
+    streaming drivers feed); a non-deterministic source could disagree
+    between the two passes and write rows into buckets the commit does
+    not replace. Default stays the safe persist.
     """
     base_version = table.current_version()
     snap = table.snapshot(base_version)
@@ -199,8 +211,8 @@ def scd2_apply(
     if last is not None and batch_id <= last:
         return MergeResult(version=None, applied=False, affected_buckets=[])
 
-    persisted = clean_changes.persist()
-    changes = persisted
+    persisted = clean_changes.persist() if persist else None
+    changes = persisted if persist else clean_changes
     try:
         stats_rows = bucket_stats_agg(
             changes, bucket_key, num_buckets, dtype=snap_bucket_dtype(snap)
@@ -298,7 +310,8 @@ def scd2_apply(
             deletes=deletes,
         )
     finally:
-        persisted.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def apply_segments_scd2(
@@ -374,7 +387,12 @@ def _scd2_apply_quarantined(
     )
     if quarantine_dir:
         append_quarantine(dirty, quarantine_dir, batch_id)
-    return scd2_apply(table, clean.drop("ts", "batch_file"), batch_id)
+    # file-backed segments re-read deterministically: skip the wide
+    # batch cache, let the stats pass run column-pruned (1.5x, see
+    # scd2_apply persist=False)
+    return scd2_apply(
+        table, clean.drop("ts", "batch_file"), batch_id, persist=False
+    )
 
 
 def tail_and_apply_scd2(

