@@ -238,14 +238,21 @@ def q_split_ntile(spark, sf_dir):
     """
     n_tiles, n_parts = 8, 8
     orders = _read(spark, sf_dir, "orders").select("o_orderkey")
-    # localCheckpoint pins the range partitioning: the offsets job and the
-    # final job must see the SAME partition boundaries (range bounds come
-    # from sampling and can differ across re-executions).
-    d = (
-        orders.repartitionByRange(n_parts, "o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # Range bounds are sampled ONCE driver-side (approxQuantile over the
+    # narrow key column) and baked into a deterministic _pid expression,
+    # so the offsets job and the final job agree on partition boundaries
+    # WITHOUT pinning the whole projection to executor storage (round
+    # 1-3 used an eager localCheckpoint here — at 100x that materializes
+    # the full column per query; two narrow scans are cheaper). Bound
+    # quality only affects balance, never rank exactness: ranks come
+    # from per-pid row_number + exact per-pid counts.
+    bounds = orders.approxQuantile(
+        "o_orderkey", [i / n_parts for i in range(1, n_parts)], 0.001
     )
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col("o_orderkey") > F.lit(b), 1).otherwise(0)
+    d = orders.withColumn("_pid", pid.cast("int"))
     counts = sorted(
         ((r["_pid"], r["count"]) for r in d.groupBy("_pid").count().collect())
     )
@@ -431,6 +438,20 @@ def q_ann_ivf_index(spark, sf_dir):
     return ivf_index_topk(
         spark, idx, _query_vec(spark, sf_dir), k=5, n_probes=2
     )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition/format filters (duplicate-line ratio,
+    bullet/ellipsis line ratios, most-frequent-2-gram fraction) — the
+    public repetition-removal rules (Rae et al. 2021 §A1.1) every
+    large-corpus pipeline applies before training. Line metrics fuse
+    into the scan; the 2-gram mode is one explode + two-level aggregate
+    (map-side combine), the same O(total tokens) shape as the
+    rare-token filter."""
+    from datax_spark.functions.text import repetition_metrics
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
 
 
 def q_text_tokens(spark, sf_dir):
@@ -1632,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_indexed": q_text_search_indexed,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_framesample": q_multimodal_framesample,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1878,6 +1900,36 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))::BIGINT AS bpe_tokens
         FROM documents
+    """
+    _R6 = "floor(({}) * 1000000.0 + 0.5) / 1000000.0"
+    sql["text_repetition"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split(text, chr(10)),
+                               x -> length(trim(x)) > 0),
+                   x -> trim(x)) AS nbt,
+                 {_TOKS} AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(nbt)::BIGINT AS n_lines,
+                 CASE WHEN len(nbt) = 0 THEN 0.0
+                      ELSE {_R6.format("1.0 - len(list_distinct(nbt))::DOUBLE / len(nbt)::DOUBLE")}
+                 END AS dup_line_ratio,
+                 {_R6.format("len(list_filter(nbt, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / greatest(len(nbt), 1)::DOUBLE")} AS bullet_ratio,
+                 {_R6.format("len(list_filter(nbt, x -> x LIKE '%...' OR x LIKE '%…'))::DOUBLE / greatest(len(nbt), 1)::DOUBLE")} AS ellipsis_ratio,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(generate_series(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+1], ' '))
+                      ELSE [] END AS g
+          FROM base),
+        gram AS (SELECT doc_id, unnest(g) AS gram FROM m),
+        gc AS (SELECT doc_id, gram, count(*) AS c FROM gram GROUP BY 1, 2),
+        gm AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tg FROM gc GROUP BY doc_id)
+        SELECT m.doc_id, n_lines, dup_line_ratio, bullet_ratio, ellipsis_ratio,
+               {_R6.format("coalesce(gm.tg, 0.0)")} AS top_2gram_ratio
+        FROM m LEFT JOIN gm ON m.doc_id = gm.doc_id
     """
     sql["text_rare_tokens"] = """
         WITH tok AS (

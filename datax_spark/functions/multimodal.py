@@ -195,27 +195,43 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Arrow-batched media RESIZE via mapInPandas — plumbing real, the
-    pixel work STUBBED (no PIL in this container): the 'resized' output
-    is identified by a deterministic content address
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched media RESIZE via mapInPandas.
+
+    PNG payloads (8-bit gray/GA/RGB/RGBA, every scanline filter) get a
+    REAL pixel resize since round 4: stdlib-zlib decode ->
+    nearest-neighbor resample -> re-encode (functions/png.py), and
+    ``resized_sha`` is the sha256 of the ACTUAL resized PNG bytes
+    (nearest-neighbor is integer-exact, so the bytes — and the sha —
+    are platform-stable). Everything else (no JPEG/video codecs ship in
+    this container) keeps the deterministic content-address stub
     ``sha256(sha256(payload) + 'x{w}x{h}')`` so tests and the DuckDB
-    oracle can verify the exact per-row transform. Swap the body for
-    ``PIL.Image.resize`` in production; schema, batching, and
-    partitioning are what carry to 100 TB (one Arrow batch per decode
-    call, no row-at-a-time Python crossing the boundary).
+    oracle can still verify the exact per-row transform. Schema,
+    batching, and partitioning carry to 100 TB either way (one Arrow
+    batch per call, no row-at-a-time Python crossing the boundary).
     """
 
     def _batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        from datax_spark.functions.png import PngError, png_resize
+
         suffix = f"x{width}x{height}"
+
+        def one(b: bytes) -> str:
+            if bytes(b[:8]) == b"\x89PNG\r\n\x1a\n":
+                try:
+                    return hashlib.sha256(
+                        png_resize(bytes(b), width, height)
+                    ).hexdigest()
+                except PngError:
+                    pass  # palette/odd-depth PNG: stub arm below
+            return hashlib.sha256(
+                (hashlib.sha256(b).hexdigest() + suffix).encode()
+            ).hexdigest()
+
         for pdf in it:
-            shas = pdf["payload"].map(
-                lambda b: hashlib.sha256(
-                    (hashlib.sha256(b).hexdigest() + suffix).encode()
-                ).hexdigest()
-            )
+            shas = pdf["payload"].map(one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -226,6 +242,10 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+# pre-round-4 name (the pixel work used to be entirely stubbed)
+resize_stub = resize_media
 
 
 FRAME_SCHEMA = StructType(

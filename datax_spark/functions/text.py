@@ -401,3 +401,77 @@ def posting_index_search(spark, path: str, terms: list[str], k: int = 20,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def repetition_metrics(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Gopher-style repetition / format filters (Rae et al. 2021 §A1.1,
+    the public repetition-removal rules every large-corpus pipeline
+    applies): per document —
+
+    - ``n_lines``: non-blank line count;
+    - ``dup_line_ratio``: fraction of non-blank (trimmed) lines that are
+      duplicates of an earlier line — boilerplate/navigation pages score
+      high;
+    - ``bullet_ratio`` / ``ellipsis_ratio``: lines starting with a
+      bullet glyph / ending with an ellipsis — list-like and truncated
+      content;
+    - ``top_2gram_ratio``: occurrences of the most frequent word 2-gram
+      over all 2-gram occurrences — the classic repeated-phrase signal.
+
+    Physical shape: the line metrics are pure Column expressions fused
+    into the scan; the 2-gram mode is the ONLY shuffle — explode to
+    (doc, gram) rows, count, per-doc max/sum — the same
+    O(total tokens) + map-side-combine shape as the rare-token filter,
+    never an array-mode computation per row (which would re-inline the
+    gram expression quadratically — the CollapseProject trap). All
+    ratios round6 for oracle value equality.
+    """
+    c = F.col(text_col)
+    nbt = F.transform(
+        F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0),
+        lambda x: F.trim(x),
+    )
+    n_lines = F.size(nbt)
+    safe = F.greatest(n_lines, F.lit(1)).cast("double")
+    dup_line_ratio = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        round6(
+            F.lit(1.0)
+            - F.size(F.array_distinct(nbt)).cast("double") / n_lines.cast("double")
+        )
+    )
+    bullet_ratio = round6(
+        F.size(F.filter(nbt, lambda x: x.rlike("^[-*•]"))).cast("double") / safe
+    )
+    ellipsis_ratio = round6(
+        F.size(
+            F.filter(nbt, lambda x: x.endswith("...") | x.endswith("…"))
+        ).cast("double")
+        / safe
+    )
+    base = docs.select(
+        F.col(id_col).alias(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        dup_line_ratio.alias("dup_line_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        shingles(c, 2).alias("_g"),
+    )
+    gm = (
+        base.select(id_col, F.explode("_g").alias("gram"))
+        .groupBy(id_col, "gram")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            (F.max("count").cast("double") / F.sum("count")).alias("_tg")
+        )
+    )
+    return base.join(gm, on=id_col, how="left").select(
+        id_col,
+        "n_lines",
+        "dup_line_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        round6(F.coalesce(F.col("_tg"), F.lit(0.0))).alias("top_2gram_ratio"),
+    )

@@ -271,6 +271,134 @@ def test_multimodal_decode_real_images(spark):
     assert got[3]["height"] == 16 + (int(sha[:4], 16) % 64)
 
 
+def test_multimodal_resize_real_png(spark):
+    """Round-4 real pixels: PNG payloads resize for real (stdlib zlib
+    decode -> nearest-neighbor -> re-encode; resized_sha = sha of the
+    actual output bytes); non-PNG keeps the content-address stub."""
+    from datax_spark.functions.multimodal import resize_media
+    from datax_spark.functions.png import png_decode, png_resize
+
+    png = _real_png(40, 30, rgb=(1, 2, 3))
+    text = b"not an image"
+    df = spark.createDataFrame(
+        [(0, "image/png", bytearray(png)), (1, "text/plain", bytearray(text))],
+        "doc_id long, mime string, payload binary",
+    )
+    got = {r["doc_id"]: r for r in resize_media(df, 10, 8).collect()}
+    want_png = png_resize(png, 10, 8)
+    assert got[0]["resized_sha"] == hashlib.sha256(want_png).hexdigest()
+    assert png_decode(want_png).shape == (8, 10, 3)
+    stub = hashlib.sha256(
+        (hashlib.sha256(text).hexdigest() + "x10x8").encode()
+    ).hexdigest()
+    assert got[1]["resized_sha"] == stub
+
+
+def test_png_codec_roundtrip_and_filters():
+    """functions/png.py: encode/decode round-trip across color types and
+    decode correctness for every PNG scanline filter (0-4)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from datax_spark.functions.png import PngError, png_decode, png_encode
+
+    h, w = 11, 17
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)
+    assert np.array_equal(png_decode(png_encode(px)), px)
+    for ch in (1, 2, 4):
+        pxc = (np.arange(h * w * ch, dtype=np.uint8).reshape(h, w, ch) * 3) % 256
+        assert np.array_equal(png_decode(png_encode(pxc)), pxc)
+
+    def encode_with_filter(pix, ftype):
+        hh, ww, ch = pix.shape
+        stride = ww * ch
+        flat = pix.reshape(hh, stride).astype(np.int16)
+        rows, prev = [], np.zeros(stride, dtype=np.int16)
+        for y in range(hh):
+            cur = flat[y]
+            a = np.zeros(stride, dtype=np.int16)
+            a[ch:] = cur[:-ch]
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:
+                filt = (cur - a) % 256
+            elif ftype == 2:
+                filt = (cur - prev) % 256
+            elif ftype == 3:
+                filt = (cur - ((a + prev) >> 1)) % 256
+            else:
+                c = np.zeros(stride, dtype=np.int16)
+                c[ch:] = prev[:-ch]
+                p = a + prev - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+                )
+                filt = (cur - pred) % 256
+            rows.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(rows)
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", ww, hh, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        assert np.array_equal(png_decode(encode_with_filter(px, ftype)), px)
+
+    import pytest
+
+    with pytest.raises(PngError):
+        png_decode(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_repetition_metrics_gopher_rules(spark):
+    """Gopher-style repetition filters: duplicate-line ratio, bullet and
+    ellipsis line ratios, top-2-gram fraction — crafted docs exercise
+    every arm (the parquet fixtures are single-line)."""
+    from datax_spark.functions.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines, one exact duplicate after trim
+            (0, "same line\n  same line  \nother\n\n- bullet item\n"),
+            # repeated phrase: "buy now" 3x of 4 2-grams total
+            (1, "buy now buy now buy now"),
+            (2, "trailing thought...\nand more…\nplain"),
+            (3, ""),  # empty doc: all ratios 0
+            (4, "one two"),  # single 2-gram -> ratio 1.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    r0 = got[0]
+    assert r0["n_lines"] == 4
+    assert abs(r0["dup_line_ratio"] - 0.25) < 1e-9  # 4 lines, 3 distinct
+    assert abs(r0["bullet_ratio"] - 0.25) < 1e-9
+    r1 = got[1]
+    # 2-grams: [buy now, now buy, buy now, now buy, buy now] -> 3/5
+    assert abs(r1["top_2gram_ratio"] - 0.6) < 1e-9
+    r2 = got[2]
+    assert abs(r2["ellipsis_ratio"] - round(2 / 3, 6)) < 1e-5
+    r3 = got[3]
+    assert r3["n_lines"] == 0 and r3["dup_line_ratio"] == 0.0
+    assert r3["top_2gram_ratio"] == 0.0
+    assert got[4]["top_2gram_ratio"] == 1.0
+
+
 def test_neardup_clusters_connected_components(spark):
     from datax_spark.functions.dedup import neardup_clusters
 
