@@ -490,6 +490,19 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio metadata decode plumbing: REAL RIFF/WAVE header parsing
+    (sample rate / channels / frames / duration — the stdlib-parseable
+    audio twin of the PNG image decode) with a deterministic fake arm
+    for payloads with no stdlib codec. The fixture payloads are text, so
+    the oracle checks the fake arm exactly; the real arm is pinned in
+    tests/test_functions.py against stdlib `wave`-generated files."""
+    from datax_spark.functions.multimodal import audio_meta
+
+    docs = _read(spark, sf_dir, "documents")
+    return audio_meta(to_media(docs))
+
+
 def q_multimodal_decode(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return decode_stub(to_media(docs))
@@ -1654,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_framesample": q_multimodal_framesample,
         "text_repetition": q_text_repetition,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -1956,6 +1970,21 @@ def oracle_sql() -> dict[str, str]:
                (16 + octet_length(encode(text)) % 64)::BIGINT AS width,
                (16 + ('0x' || substr(sha256(text), 1, 4))::BIGINT % 64)::BIGINT AS height
         FROM documents
+    """
+    sql["multimodal_audio"] = """
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+                 sha256(text) AS sha
+          FROM documents),
+        r AS (
+          SELECT doc_id, n, sha,
+                 (8000 + (('0x' || substr(sha, 1, 4))::BIGINT % 8) * 1000)::BIGINT
+                   AS sample_rate
+          FROM b)
+        SELECT doc_id, 'text/plain' AS mime, n AS byte_len, sha AS content_sha,
+               sample_rate, 1::BIGINT AS n_channels, n AS n_frames,
+               ((n * 1000) // sample_rate)::BIGINT AS duration_ms
+        FROM r
     """
     sql["multimodal_resize"] = """
         SELECT doc_id, 32::BIGINT AS width, 24::BIGINT AS height,

@@ -185,6 +185,95 @@ def decode_media(df: DataFrame) -> DataFrame:
 decode_stub = decode_media
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("content_sha", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def sniff_wav(payload: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, n_channels, n_frames) from a RIFF/WAVE header, or
+    None. Walks the chunk list (fmt  + data) with stdlib struct — real
+    metadata from real bytes, O(header) per row; PCM and any other
+    format code alike (frame count derives from block align)."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        i = 12
+        rate = channels = block_align = None
+        data_len = None
+        while i + 8 <= len(payload):
+            tag = payload[i:i + 4]
+            (ln,) = struct.unpack("<I", payload[i + 4:i + 8])
+            if tag == b"fmt ":
+                _fmt, channels, rate = struct.unpack(
+                    "<HHI", payload[i + 8:i + 16]
+                )
+                (block_align,) = struct.unpack(
+                    "<H", payload[i + 20:i + 22]
+                )
+            elif tag == b"data":
+                data_len = ln
+            i += 8 + ln + (ln & 1)  # chunks pad to even length
+        if rate and channels and block_align and data_len is not None:
+            return rate, channels, data_len // block_align
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def audio_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio metadata decode via mapInPandas.
+
+    WAV payloads get REAL sample_rate / channels / frame count /
+    duration straight from the RIFF header (stdlib — the audio twin of
+    the PNG/BMP image sniffing); non-WAV payloads keep deterministic
+    length/sha-derived fakes (loudly: no mp3/flac codec ships here) so
+    tests and oracles stay exact.
+    """
+
+    def _one(mime: str, b: bytes):
+        n = len(b)
+        sha = hashlib.sha256(b).hexdigest()
+        w = sniff_wav(bytes(b))
+        if w is not None:
+            rate, channels, frames = w
+            return ("audio/x-wav", n, sha, rate, channels, frames,
+                    (frames * 1000) // max(rate, 1))
+        # deterministic fake: STUB (non-WAV payload)
+        rate = 8000 + (int(sha[:4], 16) % 8) * 1000
+        frames = n  # 1 fake frame per byte
+        return (mime, n, sha, rate, 1, frames, (frames * 1000) // rate)
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = [_one(m, b) for m, b in zip(pdf["mime"], pdf["payload"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [r[0] for r in rows],
+                    "byte_len": [r[1] for r in rows],
+                    "content_sha": [r[2] for r in rows],
+                    "sample_rate": [r[3] for r in rows],
+                    "n_channels": [r[4] for r in rows],
+                    "n_frames": [r[5] for r in rows],
+                    "duration_ms": [r[6] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

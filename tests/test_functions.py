@@ -365,6 +365,43 @@ def test_png_codec_roundtrip_and_filters():
         png_decode(b"\x89PNG\r\n\x1a\n garbage")
 
 
+def test_multimodal_audio_real_wav(spark):
+    """Round-4 audio arm: RIFF/WAVE headers decode to REAL sample rate /
+    channels / frames / duration (stdlib wave-generated fixtures);
+    non-WAV payloads keep the deterministic fake arm."""
+    import io
+    import wave
+
+    from datax_spark.functions.multimodal import audio_meta, sniff_wav
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    w.writeframes(b"\x00\x01\x02\x03" * 22050)  # exactly 0.5 s stereo
+    w.close()
+    wav = buf.getvalue()
+    assert sniff_wav(wav) == (44100, 2, 22050)
+    assert sniff_wav(b"not audio") is None
+
+    text = b"plain text payload"
+    df = spark.createDataFrame(
+        [(0, "application/octet-stream", bytearray(wav)),
+         (1, "text/plain", bytearray(text))],
+        "doc_id long, mime string, payload binary",
+    )
+    got = {r["doc_id"]: r for r in audio_meta(df).collect()}
+    r = got[0]
+    assert (r["mime"], r["sample_rate"], r["n_channels"]) == ("audio/x-wav", 44100, 2)
+    assert r["n_frames"] == 22050 and r["duration_ms"] == 500
+    s = got[1]
+    sha = hashlib.sha256(text).hexdigest()
+    assert s["mime"] == "text/plain"
+    assert s["sample_rate"] == 8000 + (int(sha[:4], 16) % 8) * 1000
+    assert s["n_frames"] == len(text)
+
+
 def test_repetition_metrics_gopher_rules(spark):
     """Gopher-style repetition filters: duplicate-line ratio, bullet and
     ellipsis line ratios, top-2-gram fraction — crafted docs exercise
