@@ -445,6 +445,14 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
         limit = int(param.get("recordNumBeforePrint", 20))
         df.show(limit, truncate=False)
         return None
+    if name == "elasticsearchwriter":
+        # live HTTP bulk path (round 4): prepare (cleanup/create) ->
+        # executor-parallel _bulk NDJSON -> atomic alias post, the real
+        # ESWriter lifecycle (sources/es_live.py). The es-hadoop option
+        # builder remains in sources/connectors.py for jar-based setups.
+        from datax_spark.sources.es_live import run_es_writer
+
+        return run_es_writer(df, param)
     if "jdbcUrl" in param:
         # live rdbms writer (CommonRdbmsWriter.java:88-169 pre/postSql +
         # 176-609 writeModes): insert -> parallel executor append; replace/
