@@ -322,6 +322,19 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
     """reader spec -> DataFrame (declarative: pushdown/pruning apply)."""
     name = reader["name"]
     param = reader.get("parameter", {})
+    if name == "ftpreader" and "host" in param:
+        # live FTP transfer (round 4): real ftplib PASV walk + executor-
+        # parallel RETR (sources/ftp_live.py). Without `host` the legacy
+        # mounted-path form still reads via the shared file branch below.
+        from datax_spark.sources.ftp_live import ftp_read_lines
+
+        df = ftp_read_lines(spark, param)
+        df = _split_value_columns(df, param)
+        if param.get("where"):
+            df = df.filter(param["where"])
+        if channel:
+            df = df.repartition(channel)
+        return df
     if name in {f"{f}reader" for f in FILE_FORMATS} or name in (
         "txtfilereader",
         "hdfsreader",
