@@ -454,6 +454,23 @@ def q_text_repetition(spark, sf_dir):
     return repetition_metrics(docs)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (Jegou et al. 2011, the FAISS IVFPQ
+    compression half): 64-dim float vectors encode to 8 uint4 codes via
+    8 per-subspace k=16 codebooks (deterministic sampled fit, like the
+    trained IVF); the query scores every code row through a literal ADC
+    lookup table and the top-50 candidates re-rank by exact cosine. At
+    scale the candidate scan reads the ~32x-narrower encoded corpus.
+    Fully oracle-checked: pq_fit_local refits the codebooks
+    bit-identically and the generated SQL reproduces code assignment +
+    ADC + rerank exactly."""
+    from datax_spark.functions.similarity import pq_fit, pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    codebooks = pq_fit(emb, m=8, k=16, iters=3)
+    return pq_topk(emb, _query_vec(spark, sf_dir), codebooks, k=5, rerank=50)
+
+
 def q_text_tokens(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1524,6 +1541,71 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _pq_oracle_sql(m: int = 8, k: int = 16, rerank: int = 50) -> str:
+    """DuckDB oracle for ann_pq_topk: refit the per-subspace codebooks
+    locally (bit-identical, pq_fit_local), embed them AND the query's
+    ADC lookup table as literals, and reproduce code assignment
+    (argmin over explicit left-associative squared-distance chains) +
+    ADC sum + exact-cosine rerank. Same centroids-are-DATA move as
+    _ivf_trained_oracle_sql."""
+    import duckdb as _duckdb
+
+    from datax_spark.functions.similarity import _adc_lut, pq_fit_local
+
+    emb_path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
+    cbs = pq_fit_local(emb_path, m=m, k=k, iters=3)
+    con = _duckdb.connect()
+    try:
+        qv = con.sql(
+            f"SELECT embedding::DOUBLE[] FROM '{emb_path}' WHERE vec_id = 0"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    lut = _adc_lut([float(x) for x in qv], cbs)
+    sub = len(cbs[0][0])
+
+    def sq(j: int, c: list[float]) -> str:
+        return " + ".join(
+            f"(vec[{j * sub + i + 1}]-({c[i]!r}))"
+            f"*(vec[{j * sub + i + 1}]-({c[i]!r}))"
+            for i in range(sub)
+        )
+
+    d_cols = ",\n               ".join(
+        f"({sq(j, c)}) AS d_{j}_{ci}"
+        for j, cb in enumerate(cbs)
+        for ci, c in enumerate(cb)
+    )
+    code_cols = ", ".join(
+        "(list_position([{ds}], least({ds})) - 1) AS c_{j}".format(
+            ds=", ".join(f"d_{j}_{ci}" for ci in range(k)), j=j
+        )
+        for j in range(m)
+    )
+    adc = " + ".join(
+        "([{vals}])[c_{j} + 1]".format(
+            vals=", ".join(repr(x) for x in lut[j]), j=j
+        )
+        for j in range(m)
+    )
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        d AS (SELECT vec_id, vec,
+               {d_cols}
+              FROM s),
+        c AS (SELECT vec_id, vec, {code_cols} FROM d),
+        a AS (SELECT vec_id, vec,
+                     floor(({adc}) * 1000000.0 + 0.5) / 1000000.0 AS _adc
+              FROM c),
+        cand AS (SELECT vec_id, vec FROM a ORDER BY _adc ASC, vec_id LIMIT {rerank})
+        SELECT vec_id,
+               floor((SELECT {_COS} FROM (SELECT vec AS v1, qv AS v2)) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+        FROM cand, q
+        ORDER BY cosine_sim DESC, vec_id LIMIT 5
+    """
+
+
 def _ivf_trained_oracle_sql() -> str:
     """DuckDB oracle for ann_ivf_trained / ann_ivf_index (VERDICT r3
     item 2): the fitted centroids are DATA, not process. The fit is
@@ -1668,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_framesample": q_multimodal_framesample,
         "text_repetition": q_text_repetition,
         "multimodal_audio": q_multimodal_audio,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -1906,6 +1989,7 @@ def oracle_sql() -> dict[str, str]:
         # The serving-index query answers from the SAME fitted codebook
         # (persisted + reloaded, never refit), so its oracle is identical.
         sql["ann_ivf_index"] = trained_ivf
+        sql["ann_pq_topk"] = _pq_oracle_sql()
     except Exception:  # missing oracle data dir: rows-only fallback
         pass
     sql["text_tokens"] = """

@@ -369,3 +369,185 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------- product
+# quantization (IVF-PQ's compression half): the 100-TB ANN memory story.
+# A d-dim float vector (4d bytes) compresses to M uint8 codes (M bytes,
+# here 8) by k-means-quantizing each of M subspaces independently;
+# queries score against codes via ADC (asymmetric distance computation:
+# a per-query M x K lookup table of exact subspace distances), then the
+# top candidates re-rank by exact cosine on their true vectors. Public
+# design: Jegou et al., "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) — the FAISS IVFPQ building block.
+#
+# Like the trained IVF, the fit is deterministic DATA (hash-ordered
+# sample + shared _lloyd per subspace), so pq_fit_local reproduces it
+# engine-neutrally and the DuckDB oracle scores the SAME codes with the
+# SAME literal LUT — exact value parity, no rows-only fallback.
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "pq",
+    train_size: int = 20_000,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: ``m`` lists of ``k`` centroids of dim/m
+    floats. One sample job (same hash-order rule as kmeans_fit), then m
+    independent driver-side Lloyd's over the float64 sample slices."""
+    import numpy as np
+
+    from datax_spark.functions.text import h32
+
+    v = _dbl(F.col(vec_col))
+    rows = (
+        df.select(F.col(id_col).alias("vid"), v.alias("v"))
+        .withColumn("_r", h32(F.col("vid").cast("string"), seed))
+        .orderBy("_r", "vid")
+        .limit(train_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_fit: empty input")
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    sub = d // m
+    return [
+        _lloyd(np.ascontiguousarray(X[:, j * sub:(j + 1) * sub]), k, iters)
+        for j in range(m)
+    ]
+
+
+def pq_fit_local(
+    parquet_path: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "pq",
+    train_size: int = 20_000,
+) -> list[list[list[float]]]:
+    """``pq_fit`` WITHOUT Spark — bit-identical codebooks (the oracle
+    contract; see kmeans_fit_local for the mechanics)."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        pairs = con.sql(
+            f"SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v "
+            f"FROM '{parquet_path}'"
+        ).fetchall()
+    finally:
+        con.close()
+    if not pairs:
+        raise ValueError("pq_fit_local: empty input")
+
+    def r(vid) -> int:
+        return int(hashlib.md5(f"{seed}|{vid}".encode()).hexdigest()[:8], 16)
+
+    sample = sorted(((r(vid), vid, v) for vid, v in pairs))[:train_size]
+    X = np.asarray([s[2] for s in sample], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq_fit_local: dim {d} not divisible by m={m}")
+    sub = d // m
+    return [
+        _lloyd(np.ascontiguousarray(X[:, j * sub:(j + 1) * sub]), k, iters)
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    vec_col: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """array<int> of M codes — per subspace, the argmin-distance
+    sub-centroid (centroid_assign over the dimension slice). Pure Column
+    exprs; at M=8,K=16 the encoded corpus is 8 bytes/vector + id."""
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            centroid_assign(
+                F.slice(vec_col, j * sub + 1, sub), codebooks[j]
+            )
+            for j in range(len(codebooks))
+        ]
+    )
+
+
+def _adc_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Per-query ADC lookup table: lut[j][c] = ||q_j - C_j[c]||^2,
+    driver-side exact float64 (M*K tiny)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut = []
+    for j in range(m):
+        qj = [float(x) for x in query_vec[j * sub:(j + 1) * sub]]
+        row = []
+        for c in codebooks[j]:
+            acc = 0.0
+            for a, b in zip(qj, c):
+                acc = acc + (a - b) * (a - b)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC candidate scan + exact rerank.
+
+    Stage 1 scores EVERY vector by summed LUT entries over its M codes —
+    at scale this runs over the 8-byte encoded corpus (pq_encode
+    persisted), a ~32x narrower scan than raw floats, with the global
+    top-``rerank`` moving only rerank rows/partition
+    (TakeOrderedAndProject). Stage 2 re-ranks those candidates by exact
+    cosine on their true vectors and returns the final top-k — the
+    rerank bound makes PQ's approximation error a recall knob, not a
+    correctness one. Ties break on id both stages, both engines.
+    """
+    v = _dbl(F.col(vec_col))
+    codes = pq_encode(v, codebooks)
+    lut = _adc_lut(query_vec, codebooks)
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(x) for x in lut[j]]),
+            F.element_at(codes, j + 1) + 1,
+        )
+        for j in range(len(lut))
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    cand = (
+        df.select(F.col(id_col).alias(id_col), round6(adc).alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(rerank)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = round6(cosine(_dbl(F.col(vec_col)), q))
+    return (
+        df.join(cand, id_col, "inner")
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -181,3 +181,34 @@ def test_local_fit_matches_spark_fit(emb, sf_dir):
         os.path.join(sf_dir, "embeddings.parquet"), k=K_CELLS, iters=3
     )
     assert spark_cents == local_cents
+
+
+def test_pq_fit_local_matches_spark_and_recall(emb, sf_dir):
+    """PQ codebooks: engine-neutral local fit == Spark fit bit-for-bit
+    (the ann_pq_topk oracle contract), and PQ-ADC + exact rerank holds
+    recall@10 vs brute force well above the unreranked quantizer."""
+    from datax_spark.functions.similarity import (
+        pq_fit,
+        pq_fit_local,
+        pq_topk,
+    )
+
+    spark_cbs = pq_fit(emb, m=8, k=16, iters=3)
+    local_cbs = pq_fit_local(
+        os.path.join(sf_dir, "embeddings.parquet"), m=8, k=16, iters=3
+    )
+    assert spark_cbs == local_cbs
+
+    qs = _queries(emb, 4)
+    total = 0.0
+    for _vid, q in qs:
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=TOPK).collect()}
+        approx = {
+            r["vec_id"]
+            for r in pq_topk(emb, q, spark_cbs, k=TOPK, rerank=50).collect()
+        }
+        total += len(exact & approx) / TOPK
+    recall = total / len(qs)
+    # rerank=50 over ~500-6k vectors: PQ candidates + exact rerank should
+    # recover most of the true top-10
+    assert recall >= 0.6, recall
