@@ -471,6 +471,23 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, _query_vec(spark, sf_dir), codebooks, k=5, rerank=50)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """The combined FAISS-IVFPQ query shape: trained coarse cells prune
+    the candidate set (n_probes of 8), PQ-ADC scores only the probed
+    cells' rows, exact cosine re-ranks the top-50. Fully oracle-checked
+    — both fits are deterministic data, so the generated SQL reproduces
+    cell assignment + code assignment + ADC + rerank end to end."""
+    from datax_spark.functions.similarity import ivfpq_topk, kmeans_fit, pq_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=3)
+    codebooks = pq_fit(emb, m=8, k=16, iters=3)
+    return ivfpq_topk(
+        emb, _query_vec(spark, sf_dir), cents, codebooks,
+        k=5, n_probes=2, rerank=50,
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1606,6 +1623,95 @@ def _pq_oracle_sql(m: int = 8, k: int = 16, rerank: int = 50) -> str:
     """
 
 
+def _ivfpq_oracle_sql(
+    kc: int = 8, m: int = 8, k: int = 16, n_probes: int = 2, rerank: int = 50
+) -> str:
+    """ann_ivfpq_topk oracle: the PQ oracle with a cell-pruning WHERE in
+    front (both fits refit locally, bit-identical)."""
+    import duckdb as _duckdb
+
+    from datax_spark.functions.similarity import (
+        _adc_lut,
+        kmeans_fit_local,
+        pq_fit_local,
+        probe_centroids,
+    )
+
+    emb_path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
+    cents = kmeans_fit_local(emb_path, k=kc, iters=3)
+    cbs = pq_fit_local(emb_path, m=m, k=k, iters=3)
+    con = _duckdb.connect()
+    try:
+        qv = con.sql(
+            f"SELECT embedding::DOUBLE[] FROM '{emb_path}' WHERE vec_id = 0"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    qv = [float(x) for x in qv]
+    probes = probe_centroids(qv, cents, n_probes)
+    lut = _adc_lut(qv, cbs)
+    sub = len(cbs[0][0])
+
+    def sq_full(c: list[float]) -> str:
+        return " + ".join(
+            f"(vec[{i + 1}]-({c[i]!r}))*(vec[{i + 1}]-({c[i]!r}))"
+            for i in range(len(c))
+        )
+
+    cell_d = ",\n               ".join(
+        f"({sq_full(c)}) AS e{j}" for j, c in enumerate(cents)
+    )
+    cell_list = ", ".join(f"e{j}" for j in range(kc))
+    probe_list = ", ".join(str(p) for p in probes)
+
+    def sq(j: int, c: list[float]) -> str:
+        return " + ".join(
+            f"(vec[{j * sub + i + 1}]-({c[i]!r}))"
+            f"*(vec[{j * sub + i + 1}]-({c[i]!r}))"
+            for i in range(sub)
+        )
+
+    d_cols = ",\n               ".join(
+        f"({sq(j, c)}) AS d_{j}_{ci}"
+        for j, cb in enumerate(cbs)
+        for ci, c in enumerate(cb)
+    )
+    code_cols = ", ".join(
+        "(list_position([{ds}], least({ds})) - 1) AS c_{j}".format(
+            ds=", ".join(f"d_{j}_{ci}" for ci in range(k)), j=j
+        )
+        for j in range(m)
+    )
+    adc = " + ".join(
+        "([{vals}])[c_{j} + 1]".format(
+            vals=", ".join(repr(x) for x in lut[j]), j=j
+        )
+        for j in range(m)
+    )
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        cd AS (SELECT vec_id, vec,
+               {cell_d}
+              FROM s),
+        cc AS (SELECT vec_id, vec FROM cd
+               WHERE (list_position([{cell_list}], least({cell_list})) - 1)
+                     IN ({probe_list})),
+        d AS (SELECT vec_id, vec,
+               {d_cols}
+              FROM cc),
+        c AS (SELECT vec_id, vec, {code_cols} FROM d),
+        a AS (SELECT vec_id, vec,
+                     floor(({adc}) * 1000000.0 + 0.5) / 1000000.0 AS _adc
+              FROM c),
+        cand AS (SELECT vec_id, vec FROM a ORDER BY _adc ASC, vec_id LIMIT {rerank})
+        SELECT vec_id,
+               floor((SELECT {_COS} FROM (SELECT vec AS v1, qv AS v2)) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+        FROM cand, q
+        ORDER BY cosine_sim DESC, vec_id LIMIT 5
+    """
+
+
 def _ivf_trained_oracle_sql() -> str:
     """DuckDB oracle for ann_ivf_trained / ann_ivf_index (VERDICT r3
     item 2): the fitted centroids are DATA, not process. The fit is
@@ -1751,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "multimodal_audio": q_multimodal_audio,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 
 
@@ -1990,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         # (persisted + reloaded, never refit), so its oracle is identical.
         sql["ann_ivf_index"] = trained_ivf
         sql["ann_pq_topk"] = _pq_oracle_sql()
+        sql["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
     except Exception:  # missing oracle data dir: rows-only fallback
         pass
     sql["text_tokens"] = """

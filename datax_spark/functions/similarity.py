@@ -551,3 +551,32 @@ def pq_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probes: int = 2,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ combined — the FAISS IVFPQ query shape: the coarse
+    quantizer prunes to ``n_probes`` trained cells (at scale: partition
+    pruning over the cell-partitioned index, see write_ivf_index), PQ-ADC
+    scores only the probed cells' code rows, and the top-``rerank``
+    candidates re-rank by exact cosine. This variant quantizes RAW
+    vectors within cells (residual encoding — PQ over vector minus cell
+    centroid — is the production refinement; it changes the codebook fit,
+    not the plan shape). Both stages stay pure Column expressions, so the
+    DuckDB oracle reproduces the whole pipeline exactly."""
+    probes = probe_centroids(query_vec, centroids, n_probes)
+    v = _dbl(F.col(vec_col))
+    cell_pruned = df.filter(centroid_assign(v, centroids).isin(probes))
+    return pq_topk(
+        cell_pruned, query_vec, codebooks, k=k, rerank=rerank,
+        vec_col=vec_col, id_col=id_col,
+    )
