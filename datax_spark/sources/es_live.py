@@ -103,6 +103,7 @@ def es_bulk_write(
     batch_entries: int = 1000,
     try_size: int = 3,
     retry_sleep_sec: float = 1.0,
+    op_col: str | None = None,
 ) -> dict[str, int]:
     """Executor-parallel bulk indexing. Returns {"indexed": n, "errors": m}.
 
@@ -113,9 +114,17 @@ def es_bulk_write(
     reference without an id-typed column). Item-level rejections count
     as errors (the reference's dirty records); request-level failures
     retry ``try_size`` times then raise.
+
+    ``op_col``: CDC mode — rows whose ``op_col`` is ``'delete'`` emit a
+    bulk DELETE action (no source line) instead of an upsert; requires
+    ``id_cols``. Delete-of-missing (404) counts as success: deletes are
+    idempotent, which is what makes streaming replays safe without a
+    fence. The op column never enters the stored document.
     """
     if action not in ("index", "update"):
         raise ValueError(f"unknown bulk action {action!r}")
+    if op_col is not None and not id_cols:
+        raise ValueError("op_col (CDC deletes) requires id_cols")
     cols = df.columns
 
     def _batches(it):
@@ -137,9 +146,10 @@ def es_bulk_write(
                     continue
                 ok = err = 0
                 for item in out.get("items", []):
-                    st = next(iter(item.values())).get("status", 500)
-                    if st < 300:
-                        ok += 1
+                    kind, r = next(iter(item.items()))
+                    st = r.get("status", 500)
+                    if st < 300 or (kind == "delete" and st == 404):
+                        ok += 1  # idempotent delete: missing doc is done
                     else:
                         err += 1
                 return ok, err
@@ -154,6 +164,16 @@ def es_bulk_write(
                 meta: dict[str, Any] = {"_index": index}
                 if id_cols:
                     meta["_id"] = ":".join(str(doc[c]) for c in id_cols)
+                if op_col is not None and doc.get(op_col) == "delete":
+                    lines.append(json.dumps({"delete": meta}).encode())
+                    pending += 1
+                    if pending >= batch_entries:
+                        o, e = post(lines)
+                        ok, err = ok + o, err + e
+                        lines, pending = [], 0
+                    continue
+                if op_col is not None:
+                    doc = {c: v for c, v in doc.items() if c != op_col}
                 if action == "index":
                     lines.append(json.dumps({"index": meta}).encode())
                     lines.append(json.dumps(doc, default=str).encode())
@@ -230,3 +250,63 @@ def run_es_writer(df: DataFrame, param: dict[str, Any]) -> dict[str, int]:
             endpoint, alias, index, clean=bool(param.get("needCleanAlias"))
         )
     return result
+
+
+def tail_to_es(
+    spark: SparkSession,
+    log_dir: str,
+    checkpoint_dir: str,
+    schema,
+    endpoint: str,
+    index: str,
+    key_cols: list[str],
+    timeout_sec: float = 120.0,
+    max_files_per_trigger: int = 1,
+    envelope: str | None = None,
+    batch_entries: int = 1000,
+):
+    """CDC tail -> SEARCH-INDEX materialization: Structured Streaming
+    micro-batches of change events keep an ES index in sync with the
+    source (the classic binlog-to-search pipeline; DataX users run the
+    batch form of this daily).
+
+    Per micro-batch: latest-wins dedup on ``key_cols`` (one image per
+    key per batch), then ONE bulk apply — upserts index full docs by the
+    composite ``_id``, deletes emit bulk DELETE actions. Replay safety
+    needs NO fence here: indexing by _id is an idempotent PUT and
+    delete-of-missing counts as done, so a checkpoint-replayed batch
+    converges to the same index state (contrast the lake sink, whose
+    appends need the batch-id fence). Checkpoint/resume, bounded
+    triggers, and the optional envelope parse are the same machinery as
+    tail_and_apply — this is just a different sink.
+    """
+    from datax_spark.operators.dedup import dedup_latest
+    from datax_spark.quality.quarantine import split_dirty
+    from datax_spark.streaming.pipeline import tail_and_apply
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        events = batch_df.drop("ts", "batch_file")
+        # same dirty taxonomy as the lake sink: null keys / invalid ops /
+        # null content never reach the index
+        clean, _dirty = split_dirty(
+            events,
+            key_cols=key_cols,
+            content_col="content" if "content" in events.columns else None,
+        )
+        deduped = dedup_latest(clean, key_cols)
+        es_bulk_write(
+            deduped, endpoint, index,
+            id_cols=key_cols, op_col="op", batch_entries=batch_entries,
+        )
+
+    return tail_and_apply(
+        spark,
+        table_path="",  # unused: the custom sink replaces the lake apply
+        log_dir=log_dir,
+        checkpoint_dir=checkpoint_dir,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+        sink=_sink,
+        envelope=envelope,
+    )

@@ -80,8 +80,11 @@ class _Handler(BaseHTTPRequestHandler):
             while i < len(lines):
                 act = json.loads(lines[i])
                 kind, meta = next(iter(act.items()))
-                src = json.loads(lines[i + 1])
-                i += 2
+                i += 1
+                src = {}
+                if kind != "delete":  # delete carries no source line
+                    src = json.loads(lines[i])
+                    i += 1
                 idx = meta["_index"]
                 _id = meta.get("_id")
                 if _id is None:
@@ -89,6 +92,13 @@ class _Handler(BaseHTTPRequestHandler):
                     _id = f"auto-{st.auto_id}"
                 if idx not in st.indices:
                     items.append({kind: {"status": 404, "_id": _id}})
+                    continue
+                if kind == "delete":
+                    existed = st.indices[idx]["docs"].pop(_id, None)
+                    items.append({kind: {
+                        "status": 200 if existed is not None else 404,
+                        "_id": _id,
+                    }})
                     continue
                 # fixture rule: a doc with reject=True fails item-level
                 doc = src.get("doc", src) if kind == "update" else src
@@ -250,3 +260,83 @@ def test_transport_failure_raises_after_retries(spark):
             df, "http://127.0.0.1:9", "x", id_cols=["id"],
             try_size=2, retry_sleep_sec=0.01,
         )
+
+
+def test_cdc_deletes_in_bulk(spark, es_server):
+    endpoint, state = es_server
+    es_create_index(endpoint, "cdc")
+    base = spark.createDataFrame(
+        [(1, "a", "insert"), (2, "b", "insert")],
+        "id long, body string, op string",
+    )
+    out = es_bulk_write(base, endpoint, "cdc", id_cols=["id"], op_col="op")
+    assert out == {"indexed": 2, "errors": 0}
+    # the op column never enters the stored doc
+    assert state.indices["cdc"]["docs"]["1"] == {"id": 1, "body": "a"}
+    ch = spark.createDataFrame(
+        [(1, None, "delete"), (2, "b2", "update"), (3, None, "delete")],
+        "id long, body string, op string",
+    )
+    out2 = es_bulk_write(ch, endpoint, "cdc", id_cols=["id"], op_col="op")
+    # delete-of-missing id=3 is idempotent success
+    assert out2 == {"indexed": 3, "errors": 0}
+    assert set(state.indices["cdc"]["docs"]) == {"2"}
+    assert state.indices["cdc"]["docs"]["2"]["body"] == "b2"
+
+
+def test_tail_to_es_stream_materializes_index(spark, es_server, tmp_path):
+    """Structured-Streaming CDC tail keeps the search index in sync:
+    latest-wins per batch, deletes drop docs, and a checkpoint replay
+    (fresh checkpoint over the same log) converges to the same state —
+    idempotence by _id, no fence needed."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.sources.changelog import generate_changelog, write_segments
+    from datax_spark.sources.es_live import tail_to_es
+
+    endpoint, state = es_server
+    es_create_index(endpoint, "code")
+    logdir = str(tmp_path / "log")
+    log = generate_changelog(
+        spark, n_events=2000, n_keys=250, events_per_segment=500
+    )
+    write_segments(log, logdir)
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+        + [StructField("op", StringType())]
+    )
+    # actual segment schema comes from the parquet; reuse the lake tail's
+    full_schema = spark.read.parquet(logdir + "/seg=0").schema
+    keys = ["repo", "path", "commit"]
+    tail_to_es(
+        spark, logdir, str(tmp_path / "ckpt"), full_schema,
+        endpoint, "code", keys, timeout_sec=120,
+    )
+    # oracle: latest-wins state of the clean log (ES drops deleted keys)
+    from datax_spark.operators.dedup import dedup_latest
+    from datax_spark.quality.quarantine import split_dirty
+
+    clean, _ = split_dirty(spark.read.parquet(logdir + "/seg=*"))
+    # the stream applies per-segment latest-wins in seq order; final =
+    # global latest-wins with deletes removed
+    final = dedup_latest(clean, keys).filter("op != 'delete'")
+    want = {
+        ":".join(str(r[k]) for k in keys): r["content"]
+        for r in final.collect()
+    }
+    got = {
+        _id: d.get("content")
+        for _id, d in state.indices["code"]["docs"].items()
+    }
+    assert got == want
+    # replay from a FRESH checkpoint: same final state (idempotent)
+    tail_to_es(
+        spark, logdir, str(tmp_path / "ckpt2"), full_schema,
+        endpoint, "code", keys, timeout_sec=120,
+    )
+    got2 = {
+        _id: d.get("content")
+        for _id, d in state.indices["code"]["docs"].items()
+    }
+    assert got2 == want
