@@ -2087,10 +2087,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE s.b IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4), xor(q.qb, 8))
         ORDER BY cosine_sim DESC, vec_id LIMIT 5
     """
-    try:
-        # Data-dependent (refits the codebook locally over the oracle's
-        # parquet); omitted — falling back to the rows-only check — only
-        # if the oracle data dir is absent in this environment.
+    # Data-dependent (refit the codebooks locally over the oracle's
+    # parquet); omitted — falling back to the rows-only check — ONLY
+    # when the oracle data dir is absent in this environment. Any other
+    # failure must raise: a swallowed generator bug would silently
+    # downgrade four queries to rows-only while appearing green.
+    if os.path.exists(os.path.join(_oracle_sf_dir(), "embeddings.parquet")):
         trained_ivf = _ivf_trained_oracle_sql()
         sql["ann_ivf_trained"] = trained_ivf
         # The serving-index query answers from the SAME fitted codebook
@@ -2098,8 +2100,6 @@ def oracle_sql() -> dict[str, str]:
         sql["ann_ivf_index"] = trained_ivf
         sql["ann_pq_topk"] = _pq_oracle_sql()
         sql["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
-    except Exception:  # missing oracle data dir: rows-only fallback
-        pass
     sql["text_tokens"] = """
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0

@@ -12,10 +12,12 @@ caller falls back to the deterministic stub arm.
 Shapes: decode returns an ``(h, w, channels) uint8`` numpy array;
 encode writes filter-0 scanlines (valid, universally readable output —
 optimal filtering is a size optimization, not a correctness one).
-Unfiltering is sequential per scanline (Up/Average/Paeth reference the
-previous row) but vectorized ACROSS each row with numpy, so cost is
-O(pixels) with small constants; this runs inside mapInPandas Arrow
-batches, never row-at-a-time across the JVM boundary.
+Unfilter cost: None/Up are whole-row numpy ops; Sub vectorizes to a
+wrapping per-lane ``np.add.accumulate``; Average/Paeth genuinely depend
+on the decoded left pixel, so they step per PIXEL COLUMN (w Python
+iterations per row, all channel lanes vectorized per step) — O(pixels)
+work with numpy inner ops, running inside mapInPandas Arrow batches,
+never row-at-a-time across the JVM boundary.
 """
 
 from __future__ import annotations
@@ -86,28 +88,45 @@ def png_decode(payload: bytes):
         ).copy()
         if ftype == 0:  # None
             cur = line
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up: fully vectorized (uint8 wraps mod 256)
             cur = line + prev
-        elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth reference the pixel `channels` bytes to
-            # the left — sequential in x, vectorized per channel lane
-            cur = line
-            prev_i = prev.astype(np.int16)
-            cur_i = cur.astype(np.int16)
-            for x in range(stride):
-                a = int(cur_i[x - channels]) if x >= channels else 0
-                b = int(prev_i[x])
-                if ftype == 1:
-                    cur_i[x] = (cur_i[x] + a) & 0xFF
-                elif ftype == 3:
-                    cur_i[x] = (cur_i[x] + ((a + b) >> 1)) & 0xFF
-                else:  # Paeth
-                    c = int(prev_i[x - channels]) if x >= channels else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur_i[x] = (cur_i[x] + pred) & 0xFF
-            cur = cur_i.astype(np.uint8)
+        elif ftype == 1:
+            # Sub: out[x] = line[x] + out[x-ch] is a per-channel-lane
+            # running sum mod 256 — np.add.accumulate in uint8 wraps
+            # exactly, so the whole row vectorizes with zero loops
+            lanes = line.reshape(width, channels)
+            cur = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(
+                stride
+            )
+        elif ftype in (3, 4):
+            # Average/Paeth reference the decoded pixel to the LEFT, so
+            # x is sequential — but only per PIXEL COLUMN: each step
+            # computes all `channels` lanes at once (w iterations, not
+            # w*channels)
+            lanes = line.reshape(width, channels).astype(np.int16)
+            up = prev.reshape(width, channels).astype(np.int16)
+            dec = np.empty((width, channels), dtype=np.int16)
+            left = np.zeros(channels, dtype=np.int16)
+            if ftype == 3:  # Average
+                for x in range(width):
+                    dec[x] = (lanes[x] + ((left + up[x]) >> 1)) & 0xFF
+                    left = dec[x]
+            else:  # Paeth
+                ul = np.zeros(channels, dtype=np.int16)
+                for x in range(width):
+                    p = left + up[x] - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up[x])
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up[x], ul),
+                    )
+                    dec[x] = (lanes[x] + pred) & 0xFF
+                    left = dec[x]
+                    ul = up[x]
+            cur = dec.astype(np.uint8).reshape(stride)
         else:
             raise PngError(f"unknown filter {ftype}")
         out[y] = cur

@@ -408,14 +408,23 @@ class LakeTable:
         retained snapshot is newer (history vacuumed past the asked-for
         time)."""
         best = None
+        # regex scan instead of json.load: inline-mode manifests embed
+        # full file lists, and a timestamp lookup over a long history
+        # shouldn't pay O(history x manifest-parse) just to read one
+        # float (sharded mode, the default, keeps these files small
+        # either way)
+        pat = re.compile(rb'"committed_at":\s*([0-9][0-9.eE+-]*)')
         for n in os.listdir(self._mdir):
             if not (n.startswith("v") and n.endswith(".json")):
                 continue
             v = int(n[1:-5])
             mpath = os.path.join(self._mdir, n)
+            committed = None
             try:
-                with open(mpath) as f:
-                    committed = json.load(f).get("committed_at")
+                with open(mpath, "rb") as f:
+                    m = pat.search(f.read())
+                if m:
+                    committed = float(m.group(1))
             except (OSError, ValueError):
                 committed = None
             if committed is None:

@@ -290,9 +290,10 @@ def _read_zip(spark: SparkSession, param: dict[str, Any]) -> DataFrame:
         r = r.option("pathGlobFilter", param["pathGlobFilter"])
     bins = r.load(*paths).select("content")
     encoding = param.get("encoding", "utf-8")
-    header = str(param.get("header", False)).lower() == "true" or (
-        param.get("header") is True
-    )
+    # DataX's key is skipHeader; accept header too (same lookup as the
+    # ftp_live path so the two unstructured readers agree)
+    raw_header = param.get("skipHeader", param.get("header", False))
+    header = raw_header is True or str(raw_header).lower() == "true"
 
     def _entries(it):
         import io
@@ -635,6 +636,8 @@ def run_job(
             for i in range(len(entries)):
                 sub = {"job": {"setting": spec["job"].get("setting", {}),
                                "content": [entries[i]]}}
+                if "core" in spec:  # per-channel speed budgets live here
+                    sub["core"] = spec["core"]
                 results.append(run_job(spark, sub, hooks=hooks))
             return results
         spec = JobSpec.from_dict(spec)

@@ -183,11 +183,13 @@ def _load_properties(path: str) -> dict[str, str]:
             if line.endswith("\\"):
                 pending = line[:-1]
                 continue
-            for sep in ("=", ":"):
-                if sep in line:
-                    k, _, v = line.partition(sep)
-                    props[k.strip()] = v.strip()
-                    break
+            # java.util.Properties terminates the key at the FIRST '=' or
+            # ':', whichever comes first — base64 values contain '=', so
+            # preferring '=' outright would mis-parse 'key:MIIE...==' lines
+            cuts = [i for i in (line.find("="), line.find(":")) if i >= 0]
+            if cuts:
+                i = min(cuts)
+                props[line[:i].strip()] = line[i + 1:].strip()
     return props
 
 

@@ -106,8 +106,11 @@ def from_debezium(
     8 KiB default). Streams outside those bounds (giant single-
     transaction binlogs) must pass their own ``seq_expr``. When ``file``
     is absent entirely (older connector configs), falls back to
-    ``pos * 2^12 + row`` — single-file order only. MUST be a total
-    order per key for latest-wins dedup to be correct (SURVEY.md §2.7).
+    ``pos * 2^20 + row`` — EXACTLY the pre-round-4 default, so tables
+    built on the old formula keep a consistent seq scale (a shrunken
+    fallback would make post-upgrade events compare older than
+    pre-upgrade ones); single-file order only. MUST be a total order
+    per key for latest-wins dedup to be correct (SURVEY.md §2.7).
     """
     env = F.from_json(F.col(value_col), debezium_envelope_schema(payload_schema))
     parsed = raw.select(env.alias("env"))
@@ -115,13 +118,17 @@ def from_debezium(
         file_n = F.regexp_extract(
             F.coalesce(F.col("env.source.file"), F.lit("")), r"(\d+)$", 1
         )
+        with_file = (
+            file_n.cast("long") * F.lit(1 << 42)
+            + F.col("env.source.pos") * F.lit(1 << 12)
+            + F.coalesce(F.col("env.source.row"), F.lit(0))
+        )
+        legacy = F.col("env.source.pos") * F.lit(1 << 20) + F.coalesce(
+            F.col("env.source.row"), F.lit(0)
+        )
         seq_expr = F.coalesce(
             F.col("env.source.lsn"),
-            F.when(file_n != "", file_n.cast("long") * F.lit(1 << 42)).otherwise(
-                F.lit(0)
-            )
-            + F.col("env.source.pos") * F.lit(1 << 12)
-            + F.coalesce(F.col("env.source.row"), F.lit(0)),
+            F.when(file_n != "", with_file).otherwise(legacy),
         )
     op = (
         F.when(F.col("env.op").isin("c", "r"), F.lit("insert"))

@@ -83,7 +83,13 @@ def es_create_index(
     """Prepare-phase lifecycle: optionally drop, then create (idempotent
     when it already exists and cleanup is False) — ESWriter.java:62-80."""
     if cleanup:
-        _http("DELETE", endpoint, f"/{index}")  # 404 is fine
+        status, out = _http("DELETE", endpoint, f"/{index}")
+        # 404 = already absent (fine); anything else failing the drop
+        # must raise — otherwise the subsequent create hits
+        # already-exists, succeeds vacuously, and the caller merges new
+        # data into the STALE index it believes was rebuilt
+        if status >= 300 and status != 404:
+            raise EsHttpError(f"cleanup delete {index}: {status} {out}")
     body: dict[str, Any] = {}
     if mappings:
         body["mappings"] = mappings
@@ -155,12 +161,29 @@ def es_bulk_write(
                 return ok, err
             raise last  # type: ignore[misc]
 
+        def clean(v):
+            # Arrow->pandas surfaces SQL NULLs as NaN/NaT; json.dumps
+            # would emit the bare token NaN (invalid JSON a real ES
+            # rejects with a request-level parse error — the stdlib
+            # fixture tolerates it, so only this guard keeps the wire
+            # format strict)
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            try:
+                import pandas as pd
+
+                if pd.isna(v):
+                    return None
+            except (TypeError, ValueError):
+                pass  # arrays/containers: not a scalar NA probe
+            return v
+
         for pdf in it:
             ok = err = 0
             lines: list[bytes] = []
             pending = 0
             for row in pdf[cols].itertuples(index=False):
-                doc = dict(zip(cols, row))
+                doc = {c: clean(v) for c, v in zip(cols, row)}
                 meta: dict[str, Any] = {"_index": index}
                 if id_cols:
                     meta["_id"] = ":".join(str(doc[c]) for c in id_cols)
@@ -264,6 +287,7 @@ def tail_to_es(
     max_files_per_trigger: int = 1,
     envelope: str | None = None,
     batch_entries: int = 1000,
+    quarantine_dir: str | None = None,
 ):
     """CDC tail -> SEARCH-INDEX materialization: Structured Streaming
     micro-batches of change events keep an ES index in sync with the
@@ -281,18 +305,22 @@ def tail_to_es(
     tail_and_apply — this is just a different sink.
     """
     from datax_spark.operators.dedup import dedup_latest
-    from datax_spark.quality.quarantine import split_dirty
+    from datax_spark.quality.quarantine import append_quarantine, split_dirty
     from datax_spark.streaming.pipeline import tail_and_apply
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         events = batch_df.drop("ts", "batch_file")
         # same dirty taxonomy as the lake sink: null keys / invalid ops /
-        # null content never reach the index
-        clean, _dirty = split_dirty(
+        # null content never reach the index — and like the lake sink
+        # they land in the quarantine log (with ``quarantine_dir``
+        # unset they are dropped, which the caller opts into explicitly)
+        clean, dirty = split_dirty(
             events,
             key_cols=key_cols,
             content_col="content" if "content" in events.columns else None,
         )
+        if quarantine_dir:
+            append_quarantine(dirty, quarantine_dir, batch_id)
         deduped = dedup_latest(clean, key_cols)
         es_bulk_write(
             deduped, endpoint, index,

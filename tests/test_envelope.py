@@ -67,7 +67,8 @@ def test_debezium_mysql_pos_row_seq(spark):
         spark.createDataFrame([(e,)], "value string"), PAYLOAD
     ).collect()[0]
     assert got["seq"] == 5 * (1 << 42) + 7 * (1 << 12) + 3
-    # no file (older connector configs): single-file (pos, row) order
+    # no file (older connector configs): the PRE-round-4 formula exactly,
+    # so tables built on the old default keep a consistent seq scale
     e2 = json.dumps(
         {"after": _row("r1", "a"), "op": "c", "ts_ms": 1,
          "source": {"pos": 7, "row": 3}}
@@ -75,7 +76,7 @@ def test_debezium_mysql_pos_row_seq(spark):
     got2 = from_debezium(
         spark.createDataFrame([(e2,)], "value string"), PAYLOAD
     ).collect()[0]
-    assert got2["seq"] == 7 * (1 << 12) + 3
+    assert got2["seq"] == 7 * (1 << 20) + 3
 
 
 def test_debezium_mysql_seq_survives_binlog_rotation(spark):

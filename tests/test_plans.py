@@ -416,3 +416,25 @@ def test_adjust_channel_number_speed_budgets(spark, tmp_path):
     assert spec.channel == 2
     df = compile_reader(spark, spec.reader, spec.channel)
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_multi_entry_job_keeps_core_speed_budget(spark, tmp_path):
+    """run_job's multi-entry recursion must carry the top-level `core`
+    key, or a speed budget valid for one entry fails for two
+    (code-review r4 finding)."""
+    src = str(tmp_path / "me_in")
+    spark.range(10).selectExpr("id", "cast(id as string) s").write.parquet(src)
+    entry = {
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": src, "fileType": "parquet"}},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }
+    spec = {
+        "core": {"transport": {"channel": {"speed": {"record": 10000}}}},
+        "job": {
+            "setting": {"speed": {"record": 20000}},
+            "content": [entry, dict(entry)],
+        },
+    }
+    results = run_job(spark, spec)
+    assert len(results) == 2  # both entries ran with the derived channel

@@ -198,3 +198,21 @@ def test_encrypted_job_runs_live_derby(spark, tmp_path, keystore):
     masked = json.dumps(filter_sensitive(spec))
     assert "derby-pw" not in masked
     assert spec["job"]["content"][0]["reader"]["parameter"]["*password"] not in masked
+
+
+def test_properties_colon_separator_with_base64_value(tmp_path):
+    """java.util.Properties terminates the key at the FIRST '=' or ':' —
+    a colon-keyed line whose base64 value ends in '=' padding must not
+    split at the '=' (code-review r4 finding)."""
+    from datax_spark.secrets import _load_properties
+
+    p = tmp_path / "colon.properties"
+    p.write_text(
+        "current.service.username:v1\n"
+        "current.service.password:abcDEF==\n"
+        "plain=value:with:colons\n"
+    )
+    props = _load_properties(str(p))
+    assert props["current.service.username"] == "v1"
+    assert props["current.service.password"] == "abcDEF=="
+    assert props["plain"] == "value:with:colons"
