@@ -54,10 +54,14 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
     "ann_ivf_trained",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     "text_quality",
     "text_filter_pipeline",
     "text_langid",
+    "text_repetition",
     "multimodal_decode",
+    "multimodal_audio",
 ]
 
 
