@@ -1406,6 +1406,18 @@ def q_text_search_tf(spark, sf_dir):
     return search_postings_tf(docs, SEARCH_TERMS, k=20)
 
 
+def q_text_search_bm25(spark, sf_dir):
+    """BM25-ranked search (the float scoring search_postings_tf deferred):
+    idf weights + length-normalization constants come from ONE integer
+    stats pass and embed as driver literals, so the engine-side math is
+    pure +,*,/ on doubles — bit-identical to the generated DuckDB oracle
+    (_bm25_oracle_sql, the same fit-is-DATA contract as trained IVF)."""
+    from datax_spark.functions.text import search_postings_bm25
+
+    docs = _read(spark, sf_dir, "documents")
+    return search_postings_bm25(docs, SEARCH_TERMS, k=20)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders (DuckDB dialect, same math as the Spark expressions)
 # ---------------------------------------------------------------------------
@@ -1712,6 +1724,63 @@ def _ivfpq_oracle_sql(
     """
 
 
+def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75, k: int = 20) -> str:
+    """DuckDB oracle for text_search_bm25: compute the SAME integer
+    corpus stats (N, total tokens, per-term df) locally with DuckDB over
+    the oracle's parquet, derive the idf weights / length constants in
+    the SAME Python ``math.log`` as the Spark query's driver pass
+    (bm25_weights), and embed them as repr() literals — shortest
+    round-trip decimals both engines parse to the identical double. The
+    scalar score expression mirrors search_postings_bm25's parse tree
+    (left-associative sum of ``(w*tf)/((tf+C1)+(C2*dl))`` terms), so all
+    downstream float math is correctly-rounded IEEE +,*,/ on identical
+    inputs: bit-identical scores, hash-comparable after round6."""
+    import duckdb as _duckdb
+
+    from datax_spark.functions.text import bm25_weights
+
+    doc_path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains({_TOKS}, '{t}') THEN 1 ELSE 0 END)::BIGINT"
+        for t in SEARCH_TERMS
+    )
+    con = _duckdb.connect()
+    try:
+        row = con.sql(
+            f"SELECT count(*)::BIGINT, sum(len({_TOKS}))::BIGINT, {df_cols} "
+            f"FROM '{doc_path}'"
+        ).fetchone()
+    finally:
+        con.close()
+    stats = {
+        "n_docs": int(row[0]),
+        "total_tokens": int(row[1]),
+        "df": [int(x) for x in row[2:]],
+    }
+    ws, c1, c2 = bm25_weights(stats, k1, b)
+    terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    tf_cols = ",\n                 ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    score = " + ".join(
+        f"({w!r} * tf_{i}::DOUBLE / "
+        f"(tf_{i}::DOUBLE + {c1!r} + {c2!r} * dl::DOUBLE))"
+        for i, w in enumerate(ws)
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        tfs AS (SELECT doc_id,
+                 {tf_cols}
+                FROM tok WHERE token IN ({terms_in}) GROUP BY doc_id),
+        dls AS (SELECT doc_id, len({_TOKS})::BIGINT AS dl FROM documents),
+        s AS (SELECT t.doc_id AS doc_id, {score} AS _s
+              FROM tfs t JOIN dls d USING (doc_id))
+        SELECT doc_id, floor(_s * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM s ORDER BY _s DESC, doc_id LIMIT {k}
+    """
+
+
 def _ivf_trained_oracle_sql() -> str:
     """DuckDB oracle for ann_ivf_trained / ann_ivf_index (VERDICT r3
     item 2): the fitted centroids are DATA, not process. The fit is
@@ -1858,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "text_search_bm25": q_text_search_bm25,
     }
 
 
@@ -2100,6 +2170,10 @@ def oracle_sql() -> dict[str, str]:
         sql["ann_ivf_index"] = trained_ivf
         sql["ann_pq_topk"] = _pq_oracle_sql()
         sql["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
+    if os.path.exists(os.path.join(_oracle_sf_dir(), "documents.parquet")):
+        # Data-dependent like the trained-IVF family: the idf weights are
+        # integers -> math.log literals derived from the oracle corpus.
+        sql["text_search_bm25"] = _bm25_oracle_sql()
     sql["text_tokens"] = """
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0

@@ -475,3 +475,125 @@ def repetition_metrics(
         "ellipsis_ratio",
         round6(F.coalesce(F.col("_tg"), F.lit(0.0))).alias("top_2gram_ratio"),
     )
+
+
+def bm25_corpus_stats(docs, terms: list[str], text_col: str = "text") -> dict:
+    """The corpus statistics BM25 needs — doc count N, total token count
+    (for avgdl), per-term document frequency — in ONE map-only Spark
+    action with partial aggregation (the token arrays never shuffle; the
+    agg output is a single row). Integers only, so any engine computing
+    them over the same tokenization agrees exactly.
+
+    The ``explode(array(tokens))`` is a Generate barrier: the regex
+    tokenizer evaluates ONCE per row even though ``len(terms) + 1``
+    downstream expressions reference the array (the CollapseProject
+    re-inline trap, NOTES.md / PLANS.md §4).
+    """
+    arr = docs.select(F.explode(F.array(tokens(text_col))).alias("_toks"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_toks")).alias("total_tokens"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"df_{i}")
+        )
+    row = arr.agg(*aggs).collect()[0]
+    if not row["n_docs"] or not row["total_tokens"]:
+        raise ValueError("bm25 over an empty (or token-free) corpus")
+    return {
+        "n_docs": int(row["n_docs"]),
+        "total_tokens": int(row["total_tokens"]),
+        "df": [int(row[f"df_{i}"]) for i in range(len(terms))],
+    }
+
+
+def bm25_weights(
+    stats: dict, k1: float = 1.2, b: float = 0.75
+) -> tuple[list[float], float, float]:
+    """Driver-side floats BM25 embeds as literals: per-term weight
+    ``w_t = idf_t * (k1 + 1)`` with the Lucene/Robertson+ idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive), plus the
+    length-normalization constants ``C1 = k1*(1-b)`` and
+    ``C2 = k1*b/avgdl``.
+
+    Computing ``ln`` HERE — not engine-side — is the same
+    fit-is-DATA move as the trained-IVF oracle: libm ``log`` is only
+    1-ulp-accurate and differs between the JVM and DuckDB, but once the
+    weights are literals the engine-side arithmetic is pure ``+ * /`` on
+    doubles, correctly rounded per IEEE 754 in both engines, so scores
+    come out bit-identical and the oracle can hash-compare them.
+    """
+    import math
+
+    n, total = stats["n_docs"], stats["total_tokens"]
+    avgdl = total / n
+    ws = [
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * (k1 + 1.0)
+        for df in stats["df"]
+    ]
+    return ws, k1 * (1.0 - b), k1 * b / avgdl
+
+
+def search_postings_bm25(
+    docs,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-k docs by BM25 (Robertson et al.; the Lucene practical
+    formulation) — the float-scored ranking the integer-exact
+    ``search_postings_tf`` deferred since round 3:
+
+        score(d) = sum_t  w_t * tf_t / (tf_t + C1 + C2 * dl)
+
+    Two Spark actions total: the one-row stats pass
+    (``bm25_corpus_stats``) and the ranking query. Ranking shape: the
+    term IN filter cuts the exploded token stream to matched postings
+    only (same pruning discipline as the posting index), per-term tf by
+    conditional aggregation (integer, order-independent under any
+    partitioning — a float SUM over shuffled rows would not be), and
+    ``dl = size(tokens)`` fused into a narrow second scan that joins the
+    (small) matched-doc side. The scalar score expression mirrors the
+    DuckDB oracle's parse tree exactly (left-associative term sum,
+    ``(w*tf)/((tf+C1)+(C2*dl))``), so the doubles are bit-identical;
+    output is round6 for the hashed comparison, ordering uses the raw
+    double with doc_id tiebreak.
+    """
+    terms = list(terms)
+    if len(set(terms)) != len(terms) or not terms:
+        raise ValueError("bm25 terms must be non-empty and distinct")
+    stats = bm25_corpus_stats(docs, terms, text_col)
+    ws, c1, c2 = bm25_weights(stats, k1, b)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tfs = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum((F.col("token") == F.lit(t)).cast("long")).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    dls = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl")
+    )
+    j = tfs.join(dls, "doc_id")
+    dl_d = F.col("dl").cast("double")
+    score = None
+    for i, w in enumerate(ws):
+        tf_d = F.col(f"tf_{i}").cast("double")
+        term = F.lit(w) * tf_d / (tf_d + F.lit(c1) + F.lit(c2) * dl_d)
+        score = term if score is None else score + term
+    return (
+        j.select("doc_id", score.alias("_s"))
+        .orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", round6(F.col("_s")).alias("score"))
+    )
