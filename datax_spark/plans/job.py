@@ -319,10 +319,59 @@ def _read_zip(spark: SparkSession, param: dict[str, Any]) -> DataFrame:
     return _split_value_columns(df, param)
 
 
+# DataX mongo column types (mongodbreader/.../KeyConstant.java) -> Spark DDL.
+_MONGO_TYPES = {
+    "int": "long", "long": "long", "double": "double", "string": "string",
+    "bool": "boolean", "boolean": "boolean", "bytes": "binary",
+    "binary": "binary",
+}
+
+
+def _mongo_addr(param: dict[str, Any]) -> tuple[str, int]:
+    """First entry of the ``address`` list (``host:port``) — the wire
+    client is per-connection; slices fan out from the same seed node
+    the way the reference's MongoClient does."""
+    addr = param["address"]
+    first = addr[0] if isinstance(addr, list) else addr
+    host, _, port = str(first).partition(":")
+    return host, int(port or 27017)
+
+
+def _mongo_ddl(cols: list[dict[str, Any]]) -> str:
+    return ", ".join(
+        f"{c['name']} "
+        f"{_MONGO_TYPES.get(str(c.get('type', 'string')).lower(), 'string')}"
+        for c in cols
+    )
+
+
 def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | None = None) -> DataFrame:
     """reader spec -> DataFrame (declarative: pushdown/pruning apply)."""
     name = reader["name"]
     param = reader.get("parameter", {})
+    if name == "mongodbreader":
+        # live wire-protocol read (round 4): count/skip split planning +
+        # executor-parallel find/getMore with projection pushdown
+        # (sources/mongo_live.py; CollectionSplitUtil.java:130-166's
+        # unprivileged fallback arm). The mongo-spark option builder in
+        # sources/connectors.py remains for jar-based setups.
+        import json as _json
+
+        from datax_spark.sources.mongo_live import mongo_read
+
+        host, port = _mongo_addr(param)
+        flt = param.get("query")
+        if isinstance(flt, str):
+            flt = _json.loads(flt) if flt.strip() else None
+        df = mongo_read(
+            spark, host, port, param["dbName"], param["collectionName"],
+            schema=_mongo_ddl(param["column"]),
+            num_slices=channel or 4,
+            filter=flt,
+        )
+        if param.get("where"):
+            df = df.filter(param["where"])
+        return df
     if name == "ftpreader" and "host" in param:
         # live FTP transfer (round 4): real ftplib PASV walk + executor-
         # parallel RETR (sources/ftp_live.py). Without `host` the legacy
@@ -467,6 +516,26 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
         from datax_spark.sources.es_live import run_es_writer
 
         return run_es_writer(df, param)
+    if name == "mongodbwriter":
+        # live wire-protocol write (round 4): batched insert or
+        # ReplaceOne-upsert keyed on writeMode.replaceKey, exactly
+        # MongoDBWriter.java:285-309 (isReplace without replaceKey is the
+        # reference's ILLEGAL_VALUE).
+        from datax_spark.sources.mongo_live import mongo_write
+
+        host, port = _mongo_addr(param)
+        wm = param.get("writeMode") or {}
+        replace = str(wm.get("isReplace", "")).lower() == "true"
+        if replace and not wm.get("replaceKey"):
+            raise ValueError(
+                "mongodbwriter: isReplace=true requires replaceKey "
+                "(MongoDBWriter.java:295-309 ILLEGAL_VALUE)"
+            )
+        return mongo_write(
+            df, host, port, param["dbName"], param["collectionName"],
+            write_mode="replace" if replace else "insert",
+            unique_key=wm.get("replaceKey"),
+        )
     if "jdbcUrl" in param:
         # live rdbms writer (CommonRdbmsWriter.java:88-169 pre/postSql +
         # 176-609 writeModes): insert -> parallel executor append; replace/

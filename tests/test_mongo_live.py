@@ -316,3 +316,68 @@ def test_mongo_write_replace_requires_key(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="unique_key"):
         mongo_write(df, "h", 1, "db", "c", write_mode="replace")
+
+
+def test_run_job_mongo_roundtrip(spark, mongod):
+    """Full DataX job.json: mongodbreader (live wire read, query filter,
+    typed column list) -> dx transform -> mongodbwriter replace-upsert.
+    The job-compiler wiring (plans/job.py) maps the reference's own
+    parameter names (address/dbName/collectionName/column, writeMode
+    isReplace/replaceKey)."""
+    from datax_spark.plans.job import run_job
+
+    _seed(mongod.store, 20)
+    host, port = mongod.server_address
+    addr = [f"{host}:{port}"]
+    job = {
+        "job": {
+            "setting": {"speed": {"channel": 2}},
+            "content": [{
+                "reader": {
+                    "name": "mongodbreader",
+                    "parameter": {
+                        "address": addr,
+                        "dbName": "db",
+                        "collectionName": "events",
+                        "column": [
+                            {"name": "_id", "type": "long"},
+                            {"name": "name", "type": "string"},
+                            {"name": "qty", "type": "long"},
+                        ],
+                        "query": '{"flag": true}',
+                    },
+                },
+                "writer": {
+                    "name": "mongodbwriter",
+                    "parameter": {
+                        "address": addr,
+                        "dbName": "db",
+                        "collectionName": "sink",
+                        "writeMode": {"isReplace": "true",
+                                      "replaceKey": "_id"},
+                    },
+                },
+            }],
+        }
+    }
+    res = run_job(spark, job)
+    assert res["errors"] == 0
+    got = {d["_id"]: d for d in mongod.store.colls["sink"]}
+    assert sorted(got) == [i for i in range(20) if i % 2 == 0]
+    assert got[4]["qty"] == 12 and got[4]["name"] == "user-4"
+    # idempotence: re-running the replace job converges to the same state
+    run_job(spark, job)
+    assert sorted(d["_id"] for d in mongod.store.colls["sink"]) == sorted(got)
+
+
+def test_mongodbwriter_replace_requires_key(spark):
+    from datax_spark.plans.job import compile_writer
+
+    with pytest.raises(ValueError, match="replaceKey"):
+        compile_writer(
+            spark.range(1),
+            {"name": "mongodbwriter",
+             "parameter": {"address": ["h:1"], "dbName": "d",
+                           "collectionName": "c",
+                           "writeMode": {"isReplace": "true"}}},
+        )
