@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "cdc_overwrite_where",
     "cdc_asof_join",
     "text_search",
+    "text_search_bm25",
     "dedup_exact",
     "dedup_incremental",
     "dedup_corpus_quality",

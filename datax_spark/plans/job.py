@@ -345,10 +345,66 @@ def _mongo_ddl(cols: list[dict[str, Any]]) -> str:
     )
 
 
+# DataX cassandra column types -> Spark DDL (the wire client needs the
+# types declared in the job spec; the jar-based option builder in
+# sources/connectors.py remains for metadata-driven setups).
+_CASSANDRA_TYPES = {
+    "bigint": "long", "long": "long", "counter": "long", "int": "int",
+    "smallint": "int", "varchar": "string", "text": "string",
+    "ascii": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "bool": "boolean", "blob": "binary",
+}
+
+
+def _cassandra_conn(param: dict[str, Any]) -> tuple[str, int]:
+    conn = param["connection"]
+    if isinstance(conn, list):
+        conn = conn[0]
+    host = str(conn["host"]).split(",")[0].strip()
+    return host, int(conn.get("port", 9042))
+
+
+def _cassandra_ddl(cols: list[Any]) -> str:
+    parts = []
+    for c in cols:
+        if isinstance(c, str):
+            cname, _, ctype = c.partition(":")
+            ctype = ctype or "varchar"
+        else:
+            cname, ctype = c["name"], c.get("type", "varchar")
+        parts.append(
+            f"{cname} {_CASSANDRA_TYPES.get(str(ctype).lower(), 'string')}"
+        )
+    return ", ".join(parts)
+
+
 def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | None = None) -> DataFrame:
     """reader spec -> DataFrame (declarative: pushdown/pruning apply)."""
     name = reader["name"]
     param = reader.get("parameter", {})
+    if name == "cassandrareader" and "connection" in param:
+        # live CQL-v4 wire read (round 4): min/max splitPk probe ->
+        # range slices with ALLOW FILTERING, protocol-native paging,
+        # executor-parallel (sources/cassandra_live.py;
+        # CassandraReaderSplitUtil.java:138-230).
+        from datax_spark.sources.cassandra_live import cassandra_read
+
+        host, port = _cassandra_conn(param)
+        if not param.get("splitPk"):
+            raise ValueError("cassandrareader: splitPk is required for the "
+                             "live wire path (CassandraReaderSplitUtil)")
+        df = cassandra_read(
+            spark, host, port,
+            param.get("keySpace") or param["keyspace"],
+            param["table"],
+            schema=_cassandra_ddl(param["column"]),
+            split_pk=param["splitPk"],
+            num_slices=channel or 4,
+            where=param.get("where"),
+            consistency=param.get("consistancyLevel",
+                                  param.get("consistencyLevel", "ONE")),
+        )
+        return df
     if name == "mongodbreader":
         # live wire-protocol read (round 4): count/skip split planning +
         # executor-parallel find/getMore with projection pushdown
@@ -516,6 +572,23 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
         from datax_spark.sources.es_live import run_es_writer
 
         return run_es_writer(df, param)
+    if name == "cassandrawriter" and "connection" in param:
+        # live CQL-v4 batched bound-statement inserts (round 4):
+        # CassandraHelper.insertBatch's wire form, LOGGED batch like
+        # `new BatchStatement()` (CassandraHelper.java:384-420).
+        from datax_spark.sources.cassandra_live import cassandra_write
+
+        host, port = _cassandra_conn(param)
+        ks = param.get("keyspace")
+        if isinstance(ks, dict):
+            ks = ks["name"]
+        ks = ks or param.get("keySpace")
+        return cassandra_write(
+            df, host, port, ks, param["table"],
+            batch_size=int(param.get("batchSize", 100)),
+            consistency=param.get("consistancyLevel",
+                                  param.get("consistencyLevel", "ONE")),
+        )
     if name == "mongodbwriter":
         # live wire-protocol write (round 4): batched insert or
         # ReplaceOne-upsert keyed on writeMode.replaceKey, exactly
