@@ -572,6 +572,24 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
         from datax_spark.sources.es_live import run_es_writer
 
         return run_es_writer(df, param)
+    if name == "ocswriter" and "proxy" in param:
+        # live memcached-binary-protocol KV write (round 4):
+        # OcsWriter.java:82-180 record mapping (indexes -> key,
+        # fieldDelimiter-joined value, writeMode set/add/replace/append).
+        from datax_spark.sources.ocs_live import ocs_write
+
+        idx_raw = param.get("indexes", "0")
+        if isinstance(idx_raw, str):
+            idx = [int(x) for x in idx_raw.split(",") if x.strip() != ""]
+        else:
+            idx = [int(x) for x in idx_raw]
+        return ocs_write(
+            df, param["proxy"], int(param.get("port", 11211)),
+            write_mode=param.get("writeMode", "set"),
+            indexes=idx,
+            field_delimiter=param.get("fieldDelimiter", ""),
+            expire_time=int(param.get("expireTime", 0)),
+        )
     if name == "cassandrawriter" and "connection" in param:
         # live CQL-v4 batched bound-statement inserts (round 4):
         # CassandraHelper.insertBatch's wire form, LOGGED batch like
