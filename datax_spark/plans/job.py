@@ -405,6 +405,23 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
                                   param.get("consistencyLevel", "ONE")),
         )
         return df
+    if name in ("hbase11xreader", "hbase094xreader") and "restEndpoint" in param:
+        # live REST-gateway read (round 4): normal-mode typed scan with
+        # the stateful scanner lifecycle (sources/hbase_live.py). The
+        # reference's ZK/RPC transport needs the HBase jars; the REST
+        # gateway is the public HTTP surface of the same store. The
+        # option builders in sources/connectors.py remain for jar-based
+        # setups (incl. the executed multiVersionFixedColumn explode).
+        from datax_spark.sources.hbase_live import hbase_read
+
+        rng = param.get("range", {}) or {}
+        return hbase_read(
+            spark, param["restEndpoint"], param["table"],
+            columns=param["column"],
+            start_rowkey=rng.get("startRowkey") or None,
+            end_rowkey=rng.get("endRowkey") or None,
+            split_rowkeys=param.get("splitRowkeys"),
+        )
     if name == "mongodbreader":
         # live wire-protocol read (round 4): count/skip split planning +
         # executor-parallel find/getMore with projection pushdown
@@ -572,6 +589,20 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
         from datax_spark.sources.es_live import run_es_writer
 
         return run_es_writer(df, param)
+    if name in ("hbase11xwriter", "hbase094xwriter") and "restEndpoint" in param:
+        # live REST-gateway write (round 4): NormalTask.java:30-110
+        # rowkey/cell/version/nullMode mapping over multi-row PUT
+        # envelopes (sources/hbase_live.py).
+        from datax_spark.sources.hbase_live import hbase_write
+
+        return hbase_write(
+            df, param["restEndpoint"], param["table"],
+            rowkey_column=param["rowkeyColumn"],
+            column=param["column"],
+            version_column=param.get("versionColumn"),
+            null_mode=param.get("nullMode", "skip"),
+            batch_size=int(param.get("batchSize", 256)),
+        )
     if name == "ocswriter" and "proxy" in param:
         # live memcached-binary-protocol KV write (round 4):
         # OcsWriter.java:82-180 record mapping (indexes -> key,
