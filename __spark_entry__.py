@@ -1406,6 +1406,66 @@ def q_text_search_tf(spark, sf_dir):
     return search_postings_tf(docs, SEARCH_TERMS, k=20)
 
 
+def q_text_pii(spark, sf_dir):
+    """PII scrub pass (the CCNet/Dolma/RefinedWeb pre-training hygiene
+    step): email/IPv4/long-digit-run counts + a fingerprint of the
+    redacted text. Pure Column regexes fused into the scan; the DuckDB
+    oracle shares the literal patterns (RE2- and Java-compatible) and
+    must pass the 'g' flag (its regexp_replace defaults first-match).
+    The synthetic corpus contains no PII, so every 7th doc is enriched
+    with a deterministic email/IP/digit-run suffix (the oracle applies
+    the identical expression) — otherwise the redaction arm would pass
+    vacuously."""
+    from datax_spark.functions.text import pii_metrics
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    extra = F.concat(
+        F.lit(" mail u"), did.cast("string"),
+        F.lit("@ex.com ip 10.0."), (did % 200).cast("string"),
+        F.lit(".7 acct 912345678"), (did % 10).cast("string"),
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(did % 7 == 0, F.concat(F.col("text"), extra)).otherwise(
+            F.col("text")
+        ),
+    )
+    return pii_metrics(docs)
+
+
+def q_text_chunks(spark, sf_dir):
+    """Sequence packing: fixed-token-budget chunks with overlap (stride
+    = 64 - 8), one row per chunk with offset/len/fingerprint — the
+    long-document windowing every pre-training pipeline applies before
+    batching. One explode, Column HOF slices, no shuffle."""
+    from datax_spark.functions.text import pack_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_chunks(docs, chunk_tokens=64, overlap=8)
+
+
+SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_text_sample(spark, sf_dir):
+    """Deterministic stratified sampling (corpus mixing): per-source
+    keep fractions via an md5 hash threshold on doc_id — reproducible
+    across runs/engines/partitionings (unlike df.sample), so DuckDB
+    verifies the EXACT surviving row set. The filter fuses into the
+    scan; no shuffle."""
+    from datax_spark.functions.text import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return stratified_sample(
+        docs, SAMPLE_FRACTIONS, strata_col="source",
+        default_fraction=SAMPLE_DEFAULT,
+    )
+
+
 def q_text_search_bm25(spark, sf_dir):
     """BM25-ranked search (the float scoring search_postings_tf deferred):
     idf weights + length-normalization constants come from ONE integer
@@ -1928,6 +1988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "text_search_bm25": q_text_search_bm25,
+        "text_pii": q_text_pii,
+        "text_chunks": q_text_chunks,
+        "text_sample": q_text_sample,
     }
 
 
@@ -2174,6 +2237,58 @@ def oracle_sql() -> dict[str, str]:
         # Data-dependent like the trained-IVF family: the idf weights are
         # integers -> math.log literals derived from the oracle corpus.
         sql["text_search_bm25"] = _bm25_oracle_sql()
+    from datax_spark.functions.text import (
+        PII_DIGITRUN_RE,
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+    )
+
+    _red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_IPV4_RE}', '<IP>', 'g'), "
+        f"'{PII_DIGITRUN_RE}', '<NUM>', 'g')"
+    )
+    sql["text_pii"] = f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' mail u' || doc_id || '@ex.com ip 10.0.'
+                           || (doc_id % 200) || '.7 acct 912345678'
+                           || (doc_id % 10)
+                      ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(text, '{PII_IPV4_RE}'))::BIGINT AS n_ips,
+               len(regexp_extract_all(text, '{PII_DIGITRUN_RE}'))::BIGINT AS n_digitruns,
+               {_h32_sql(_red, "pii")} AS redacted_h
+        FROM docs
+    """
+    _thr = " ".join(
+        f"WHEN '{k}' THEN {int(f * 1000000)}"
+        for k, f in sorted(SAMPLE_FRACTIONS.items())
+    )
+    sql["text_sample"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_h32_sql("doc_id", "samp")} % 1000000 <
+              (CASE source {_thr} ELSE {int(SAMPLE_DEFAULT * 1000000)} END)
+    """
+    sql["text_chunks"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        st AS (SELECT doc_id, t,
+                      unnest(generate_series(1, len(t), 56)) AS chunk_start
+               FROM toks),
+        ch AS (SELECT doc_id, chunk_start,
+                      t[chunk_start:chunk_start + 63] AS sl
+               FROM st)
+        SELECT doc_id,
+               ((chunk_start - 1) / 56 + 1)::BIGINT AS chunk_idx,
+               chunk_start::BIGINT AS chunk_start,
+               len(sl)::BIGINT AS chunk_len,
+               {_h32_sql("array_to_string(sl, ' ')", "chunk")} AS chunk_h
+        FROM ch
+    """
     sql["text_tokens"] = """
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0

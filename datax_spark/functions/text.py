@@ -597,3 +597,130 @@ def search_postings_bm25(
         .limit(k)
         .select("doc_id", round6(F.col("_s")).alias("score"))
     )
+
+
+# PII patterns shared by the Spark exprs and the DuckDB oracle: RE2- and
+# Java-regex-compatible (no lookaround/backrefs; \b is ASCII in both).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_DIGITRUN_RE = "\\b[0-9]{9,}\\b"
+
+
+def pii_metrics(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """PII scrub pass — the public pre-training hygiene step (CCNet /
+    Dolma / RefinedWeb all document it): count and redact emails, IPv4
+    literals, and long digit runs (phone/account-number class). Returns
+    (id, n_emails, n_ips, n_digitruns, redacted_h) where ``redacted_h``
+    fingerprints the text AFTER replacing matches with <EMAIL>/<IP>/
+    <NUM> — downstream dedup/fingerprints run on the scrubbed form.
+
+    Pure Column expressions fused into the scan (regexp_extract_all +
+    chained regexp_replace, JVM codegen; zero Python, zero shuffle).
+    Redaction order matters and is part of the contract: emails first
+    (an email can contain digits), then IPs (dotted digits would also
+    match the digit-run class once dots were gone — they can't, but the
+    fixed order keeps both engines literally identical), then digit
+    runs. DuckDB reproduces with the same patterns + the 'g' flag
+    (its regexp_replace is first-match-only by default — a silent
+    half-redaction bug if forgotten)."""
+    c = _c(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0))
+    n_runs = F.size(F.regexp_extract_all(c, F.lit(PII_DIGITRUN_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>",
+        ),
+        PII_DIGITRUN_RE, "<NUM>",
+    )
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_runs.cast("long").alias("n_digitruns"),
+        h32(redacted, "pii").alias("redacted_h"),
+    )
+
+
+def pack_chunks(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sequence packing for LLM training: split each document's token
+    stream into fixed-budget chunks with overlap (stride =
+    ``chunk_tokens - overlap``), the standard long-document windowing
+    every pre-training pipeline applies before batching. Returns one
+    row per chunk: (id, chunk_idx 1-based, chunk_start 1-based token
+    offset, chunk_len, chunk_h fingerprint of the chunk's tokens).
+
+    Physical shape: tokens -> start-offset sequence -> ONE explode; the
+    per-chunk slice/hash are Column HOFs computed post-explode on bound
+    attributes (the Generate barrier keeps the tokenizer evaluated once
+    per row — the CollapseProject trap again). Token-free documents
+    emit no chunks (sequence(1,0) is empty in both engines). O(total
+    tokens x chunk/stride) work, no shuffle, no Python."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array(tokens(text_col))).alias("_toks"),
+    )
+    # sequence(1, 0, +step) THROWS in Spark while DuckDB's
+    # generate_series returns empty — guard token-free docs explicitly
+    starts = F.when(
+        F.size("_toks") >= 1,
+        F.sequence(F.lit(1), F.size("_toks"), F.lit(stride)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    exploded = tok.select(
+        F.col(id_col), F.col("_toks"), F.explode(starts).alias("chunk_start")
+    )
+    sl = F.slice(F.col("_toks"), F.col("chunk_start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("chunk_start") - 1) / F.lit(stride) + 1)
+        .cast("long")
+        .alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(sl).cast("long").alias("chunk_len"),
+        h32(F.concat_ws(" ", sl), "chunk").alias("chunk_h"),
+    )
+
+
+def stratified_sample(
+    docs,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: str = "samp",
+):
+    """Deterministic stratified sampling — the corpus-mixing step
+    (up/down-weighting per language/source/quality stratum) every
+    pre-training data recipe applies. A row survives iff
+    ``h32(seed|id) % 1e6 < fraction(stratum) * 1e6``: pure Column
+    arithmetic on an md5 hash, so (a) the sample is REPRODUCIBLE — the
+    same row set on every run, engine, and partitioning (Spark's
+    df.sample is neither: it is partition-order-dependent), (b) any SQL
+    engine verifies it exactly, and (c) it composes with incremental
+    pipelines — a re-run over an extended corpus keeps every previously
+    sampled row (per-row independence), unlike reservoir methods.
+
+    ``fractions`` maps stratum value -> keep fraction in [0, 1];
+    unlisted strata keep ``default_fraction``. Fractions are quantized
+    to 1e-6 (the hash bucket width) — the contract is exact-threshold,
+    not approximate-rate. No shuffle: the filter fuses into the scan.
+    """
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {f}")
+    bucket = F.pmod(h32(F.col(id_col).cast("string"), seed), F.lit(1000000))
+    thr = F.lit(int(default_fraction * 1000000))
+    for k, f in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == F.lit(k),
+                     F.lit(int(f * 1000000))).otherwise(thr)
+    return docs.filter(bucket < thr)

@@ -536,3 +536,68 @@ def test_select_representatives_quality_and_ties(spark):
         for r in select_representatives(scored, clusters).collect()
     }
     assert got == {(2, 1), (4, 4), (9, 9)}
+
+
+def test_pack_chunks_overlap_and_empty_docs(spark):
+    from datax_spark.functions.text import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, ""), (3, "one")],
+        "doc_id long, text string",
+    )
+    out = pack_chunks(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, stride 3 -> starts 1,4,7,10 -> lens 4,4,4,1
+    assert [r["chunk_len"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [4, 4, 4, 1]
+    assert [r["chunk_start"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [1, 4, 7, 10]
+    assert 2 not in by_doc  # token-free doc emits no chunks
+    assert [r["chunk_len"] for r in by_doc[3]] == [1]
+    with pytest.raises(ValueError, match="overlap"):
+        pack_chunks(docs, chunk_tokens=4, overlap=4)
+
+
+def test_stratified_sample_deterministic_and_exact_strata(spark):
+    from datax_spark.functions.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "doc_id long, src string",
+    )
+    out1 = stratified_sample(docs, {"a": 1.0, "b": 0.0}, "src").collect()
+    assert sorted(r["doc_id"] for r in out1) == list(range(0, 400, 2))
+    # determinism: same rows on a re-run and under different partitioning
+    out2 = stratified_sample(
+        docs.repartition(13), {"a": 0.3, "b": 0.3}, "src"
+    ).collect()
+    out3 = stratified_sample(docs, {"a": 0.3, "b": 0.3}, "src").collect()
+    assert sorted(r["doc_id"] for r in out2) == sorted(r["doc_id"] for r in out3)
+    # subset property: raising a fraction only ADDS rows
+    small = {r["doc_id"] for r in out3}
+    big = {r["doc_id"] for r in stratified_sample(
+        docs, {"a": 0.6, "b": 0.6}, "src").collect()}
+    assert small <= big
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, {"a": 1.5}, "src")
+
+
+def test_pii_metrics_redacts_and_counts(spark):
+    from datax_spark.functions.text import pii_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "write to Bob.Smith+x@corp.example.org or 10.1.2.3 acct 123456789"),
+         (2, "clean text, short num 12345678 and version 1.2.3.not-ip")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_metrics(docs).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_digitruns"]) == (1, 1, 1)
+    # 8-digit run and a dotted version string with letters must NOT match
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_digitruns"]) == (0, 0, 0)
+    # redaction changes the fingerprint for the dirty doc only
+    from datax_spark.functions.text import h32
+    import pyspark.sql.functions as F
+    plain = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", h32(F.col("text"), "pii").alias("h")).collect()}
+    assert rows[1]["redacted_h"] != plain[1]
+    assert rows[2]["redacted_h"] == plain[2]
