@@ -407,3 +407,127 @@ def mongo_write(
     out = df.mapInPandas(_batches, "written long, errors long").groupBy().sum()
     row = out.collect()[0]
     return {"written": int(row[0] or 0), "errors": int(row[1] or 0)}
+
+
+def mongo_apply_cdc(
+    df: DataFrame,
+    host: str,
+    port: int,
+    db: str,
+    coll: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    batch_size: int = 1000,
+) -> dict[str, int]:
+    """Apply a (deduped) CDC batch to a collection: non-delete events
+    upsert the full document keyed by the composite ``_id``
+    (key_cols joined with ':', the same identity rule as the ES sink);
+    delete events issue ``delete`` commands on that ``_id``. Both arms
+    are idempotent — an upsert repeats to the same doc, a
+    delete-of-missing reports n=0 — so checkpoint-replayed batches
+    converge with NO fence (the lake sink's append path is the one that
+    needs fencing). Returns {"upserted": n, "deleted": m}."""
+    cols = [c for c in df.columns if c != op_col]
+
+    def _batches(it):
+        import pandas as pd
+
+        up = dl = 0
+        for pdf in it:
+            ups, dels = [], []
+            for rec in pdf.to_dict("records"):
+                _id = ":".join(str(rec[k]) for k in key_cols)
+                if str(rec[op_col]) == "delete":
+                    dels.append({"q": {"_id": _id}, "limit": 1})
+                else:
+                    doc = {"_id": _id}
+                    for c in cols:
+                        v = rec[c]
+                        if v is None or (isinstance(v, float) and v != v):
+                            doc[c] = None
+                        elif hasattr(v, "item"):
+                            doc[c] = v.item()
+                        else:
+                            doc[c] = v
+                    ups.append(doc)
+            with MongoWire(host, port) as w:
+                for i in range(0, len(ups), batch_size):
+                    chunk = ups[i : i + batch_size]
+                    w.command(db, {
+                        "update": coll,
+                        "updates": [
+                            {"q": {"_id": d["_id"]}, "u": d,
+                             "upsert": True, "multi": False}
+                            for d in chunk
+                        ],
+                        "ordered": False,
+                    })
+                    up += len(chunk)
+                for i in range(0, len(dels), batch_size):
+                    chunk = dels[i : i + batch_size]
+                    w.command(db, {"delete": coll, "deletes": chunk,
+                                   "ordered": False})
+                    dl += len(chunk)
+        yield pd.DataFrame({"upserted": [up], "deleted": [dl]})
+
+    out = df.mapInPandas(
+        _batches, "upserted long, deleted long"
+    ).groupBy().sum()
+    row = out.collect()[0]
+    return {"upserted": int(row[0] or 0), "deleted": int(row[1] or 0)}
+
+
+def tail_to_mongo(
+    spark: SparkSession,
+    log_dir: str,
+    checkpoint_dir: str,
+    schema,
+    host: str,
+    port: int,
+    db: str,
+    coll: str,
+    key_cols: list[str],
+    timeout_sec: float = 120.0,
+    max_files_per_trigger: int = 1,
+    envelope: str | None = None,
+    batch_size: int = 1000,
+    quarantine_dir: str | None = None,
+):
+    """CDC tail -> OPERATIONAL-STORE materialization: Structured
+    Streaming micro-batches keep a mongo collection in sync with the
+    change log (the serving-cache twin of ``tail_to_es``). Per batch:
+    dirty split (same taxonomy as the lake sink), latest-wins dedup on
+    ``key_cols``, then ONE ``mongo_apply_cdc`` — idempotent by _id, so
+    replays need no fence. Checkpoint/resume, bounded triggers and the
+    envelope parse are tail_and_apply's machinery; only the sink
+    differs."""
+    from datax_spark.operators.dedup import dedup_latest
+    from datax_spark.quality.quarantine import append_quarantine, split_dirty
+    from datax_spark.streaming.pipeline import tail_and_apply
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        events = batch_df.drop("ts", "batch_file")
+        clean, dirty = split_dirty(
+            events,
+            key_cols=key_cols,
+            content_col="content" if "content" in events.columns else None,
+        )
+        if quarantine_dir:
+            append_quarantine(dirty, quarantine_dir, batch_id)
+        deduped = dedup_latest(clean, key_cols)
+        mongo_apply_cdc(
+            deduped, host, port, db, coll,
+            key_cols=key_cols, batch_size=batch_size,
+        )
+
+    return tail_and_apply(
+        spark,
+        table_path="",  # unused: the custom sink replaces the lake apply
+        log_dir=log_dir,
+        checkpoint_dir=checkpoint_dir,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+        sink=_sink,
+        envelope=envelope,
+    )

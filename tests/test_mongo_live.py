@@ -127,6 +127,16 @@ def _dispatch(store: _Store, cmd: dict) -> dict:
                 coll.append(dict(u["u"]))
                 n += 1
         return {"n": n, "ok": 1.0}
+    if name == "delete":
+        coll = store.colls.setdefault(cmd["delete"], [])
+        n = 0
+        for d in cmd["deletes"]:
+            hit = [i for i, doc in enumerate(coll) if _match(doc, d["q"])]
+            lim = int(d.get("limit", 0)) or len(hit)
+            for i in sorted(hit[:lim], reverse=True):
+                coll.pop(i)
+                n += 1
+        return {"n": n, "ok": 1.0}
     return {"ok": 0.0, "code": 59, "errmsg": f"no such command: {name}"}
 
 
@@ -381,3 +391,66 @@ def test_mongodbwriter_replace_requires_key(spark):
                            "collectionName": "c",
                            "writeMode": {"isReplace": "true"}}},
         )
+
+
+def test_mongo_apply_cdc_ops_and_idempotence(spark, mongod):
+    from datax_spark.sources.mongo_live import mongo_apply_cdc
+
+    host, port = mongod.server_address
+    # the sink contract takes a key-DEDUPED batch (one image per key —
+    # duplicate keys would race across partitions); r2:p1 pre-exists so
+    # the delete arm actually deletes
+    mongod.store.colls["state"] = [{"_id": "r2:p1", "content": "old"}]
+    batch = spark.createDataFrame(
+        [("r1", "p1", "v1b", "update"),
+         ("r1", "p2", "v2", "insert"),
+         ("r2", "p1", "x", "delete")],
+        "repo string, path string, content string, op string",
+    )
+    res = mongo_apply_cdc(batch, host, port, "db", "state",
+                          key_cols=["repo", "path"])
+    assert res == {"upserted": 2, "deleted": 1}
+    state = {d["_id"]: d["content"] for d in mongod.store.colls["state"]}
+    assert state == {"r1:p1": "v1b", "r1:p2": "v2"}
+    # replay converges (upsert + delete-of-missing are idempotent)
+    mongo_apply_cdc(batch, host, port, "db", "state",
+                    key_cols=["repo", "path"])
+    state2 = {d["_id"]: d["content"] for d in mongod.store.colls["state"]}
+    assert state2 == state
+
+
+def test_tail_to_mongo_stream_materializes_collection(spark, mongod, tmp_path):
+    """Structured-Streaming CDC tail keeps an operational mongo
+    collection in sync: latest-wins per batch, deletes drop docs, and a
+    fresh-checkpoint replay converges — idempotence by _id, no fence."""
+    from datax_spark.operators.dedup import dedup_latest
+    from datax_spark.quality.quarantine import split_dirty
+    from datax_spark.sources.changelog import generate_changelog, write_segments
+    from datax_spark.sources.mongo_live import tail_to_mongo
+
+    host, port = mongod.server_address
+    logdir = str(tmp_path / "log")
+    log = generate_changelog(
+        spark, n_events=2000, n_keys=250, events_per_segment=500
+    )
+    write_segments(log, logdir)
+    full_schema = spark.read.parquet(logdir + "/seg=0").schema
+    keys = ["repo", "path", "commit"]
+    tail_to_mongo(
+        spark, logdir, str(tmp_path / "ckpt"), full_schema,
+        host, port, "db", "state", keys, timeout_sec=120,
+    )
+    clean, _ = split_dirty(spark.read.parquet(logdir + "/seg=*"))
+    final = dedup_latest(clean, keys).filter("op != 'delete'")
+    want = {
+        ":".join(str(r[k]) for k in keys): r["content"]
+        for r in final.collect()
+    }
+    got = {d["_id"]: d.get("content") for d in mongod.store.colls["state"]}
+    assert got == want
+    tail_to_mongo(
+        spark, logdir, str(tmp_path / "ckpt2"), full_schema,
+        host, port, "db", "state", keys, timeout_sec=120,
+    )
+    got2 = {d["_id"]: d.get("content") for d in mongod.store.colls["state"]}
+    assert got2 == want
