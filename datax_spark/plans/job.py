@@ -356,6 +356,23 @@ _CASSANDRA_TYPES = {
 }
 
 
+# DataX OTS column types (otswriter/.../model/OTSConst.java:4-9) ->
+# Spark DDL for the live wire client's declared read schema.
+_OTS_TYPES = {
+    "int": "long", "integer": "long", "string": "string",
+    "double": "double", "bool": "boolean", "boolean": "boolean",
+    "binary": "binary",
+}
+
+
+def _ots_ddl(cols: list[dict[str, Any]]) -> str:
+    return ", ".join(
+        f"{c['name']} "
+        f"{_OTS_TYPES.get(str(c.get('type', 'string')).lower(), 'string')}"
+        for c in cols
+    )
+
+
 def _cassandra_conn(param: dict[str, Any]) -> tuple[str, int]:
     conn = param["connection"]
     if isinstance(conn, list):
@@ -445,6 +462,25 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
         if param.get("where"):
             df = df.filter(param["where"])
         return df
+    if name == "otsreader" and "accessId" in param:
+        # live protobuf-wire range scan (round 4): DescribeTable pk
+        # schema, probe-or-points range split, per-slice paged GetRange
+        # with columns_to_get projection (sources/ots_live.py;
+        # OtsReaderMasterProxy.java:62-215 + OtsReaderSlaveProxy.java:
+        # 93-160). Without accessId the legacy predicate builder in
+        # sources/connectors.ots_read_options still compiles.
+        from datax_spark.sources.ots_live import ots_read
+
+        rng = param.get("range", {}) or {}
+        return ots_read(
+            spark, param["endpoint"], param["accessId"],
+            param["accessKey"], param["instanceName"], param["table"],
+            schema=_ots_ddl(param["column"]),
+            begin=rng.get("begin"),
+            end=rng.get("end"),
+            num_slices=channel or 4,
+            split_points=rng.get("split"),
+        )
     if name == "ftpreader" and "host" in param:
         # live FTP transfer (round 4): real ftplib PASV walk + executor-
         # parallel RETR (sources/ftp_live.py). Without `host` the legacy
@@ -620,6 +656,21 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
             indexes=idx,
             field_delimiter=param.get("fieldDelimiter", ""),
             expire_time=int(param.get("expireTime", 0)),
+        )
+    if name == "otswriter" and "accessId" in param:
+        # live protobuf-wire BatchWriteRow (round 4): PutRow skips null
+        # attrs, UpdateRow deletes the attr on null, DeleteRow pk-only;
+        # per-row !is_ok and null-pk rows are dirty counts
+        # (sources/ots_live.py; OtsWriterSlaveProxy.java:85-135 +
+        # utils/Common.java:71-103).
+        from datax_spark.sources.ots_live import ots_write
+
+        return ots_write(
+            df, param["endpoint"], param["accessId"],
+            param["accessKey"], param["instanceName"], param["table"],
+            primary_key=[c["name"] for c in param["primaryKey"]],
+            write_mode=param.get("writeMode", "PutRow"),
+            batch_size=int(param.get("batchWriteCount", 100)),
         )
     if name == "cassandrawriter" and "connection" in param:
         # live CQL-v4 batched bound-statement inserts (round 4):
