@@ -419,6 +419,94 @@ class OtsClient:
         return by_field[2] + by_field[3] + by_field[4]
 
 
+    # ---- stream actions (otsstreamreader's API surface) -----------------
+    #
+    # The reference tails the table's change stream with four calls
+    # (otsstreamreader/.../utils/OTSHelper.java:44-55 ListStream/
+    # DescribeStream; core/RecordProcessor.java:117,242-247
+    # GetShardIterator/GetStreamRecord). Message layout here: the
+    # real 2016+ stream API wraps each record's row in PlainBuffer;
+    # this module keeps the row as the SAME protobuf Row message the
+    # batch actions use (documented deviation — the shard/iterator/
+    # checkpoint state machine is the faithful part, the row codec is
+    # shared with the proven batch path).
+    #
+    # StreamRecord {1 action_type PUT=1|UPDATE=2|DELETE=3, 2 row,
+    #               3 timestamp_micros, 4 row_index, 5 epoch}
+
+    def list_stream(self, table: str) -> str | None:
+        """-> stream_id for the table's change stream (or None)."""
+        resp = self.call("ListStream", _ld(1, table.encode()))
+        for f, w, val in pb_fields(resp):
+            if f == 1:  # Stream {1 stream_id, 2 table_name}
+                for f2, w2, v2 in pb_fields(val):
+                    if f2 == 1:
+                        return v2.decode()
+        return None
+
+    def describe_stream(self, stream_id: str) -> list[tuple[str, str | None]]:
+        """-> [(shard_id, parent_id|None)] (pagination folded in, the
+        getOrderedShardList loop)."""
+        shards: list[tuple[str, str | None]] = []
+        start: str | None = None
+        while True:
+            body = _ld(1, stream_id.encode())
+            if start:
+                body += _ld(2, start.encode())
+            resp = self.call("DescribeStream", body)
+            nxt = None
+            for f, w, val in pb_fields(resp):
+                if f == 4:  # StreamShard {1 shard_id, 2 parent_id}
+                    sid, parent = "", None
+                    for f2, w2, v2 in pb_fields(val):
+                        if f2 == 1:
+                            sid = v2.decode()
+                        elif f2 == 2:
+                            parent = v2.decode()
+                    shards.append((sid, parent))
+                elif f == 6:
+                    nxt = val.decode()
+            if not nxt:
+                return shards
+            start = nxt
+
+    def get_shard_iterator(self, stream_id: str, shard_id: str) -> str:
+        body = _ld(1, stream_id.encode()) + _ld(2, shard_id.encode())
+        resp = self.call("GetShardIterator", body)
+        for f, w, val in pb_fields(resp):
+            if f == 1:
+                return val.decode()
+        raise OtsError("OTSProtocolError", "no shard iterator in response")
+
+    def get_stream_records(self, shard_iterator: str, limit: int = 1000):
+        """One page -> (records, next_iterator|None); each record is
+        (action 'PUT'|'UPDATE'|'DELETE', pk_cols, attr_cols,
+        (timestamp_micros, row_index, epoch))."""
+        body = _ld(1, shard_iterator.encode()) + _vi(2, limit)
+        resp = self.call("GetStreamRecords", body)
+        records, nxt = [], None
+        names = {1: "PUT", 2: "UPDATE", 3: "DELETE"}
+        for f, w, val in pb_fields(resp):
+            if f == 1:
+                action, row, ts, idx, epoch = 1, (None, None), 0, 0, 0
+                for f2, w2, v2 in pb_fields(val):
+                    if f2 == 1:
+                        action = v2
+                    elif f2 == 2:
+                        row = decode_row(v2)
+                    elif f2 == 3:
+                        ts = v2
+                    elif f2 == 4:
+                        idx = v2
+                    elif f2 == 5:
+                        epoch = v2
+                records.append((names[action], row[0], row[1],
+                                (ts, idx, epoch)))
+            elif f == 2:
+                nxt = val.decode()
+        return records, nxt
+
+
 # --------------------------------------------------------------------------
 # range split (OtsReaderMasterProxy.defaultRangeSplit / userDefinedRangeSplit)
 # --------------------------------------------------------------------------

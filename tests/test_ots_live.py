@@ -64,9 +64,33 @@ class _Store:
         self.get_range_calls = 0
         self.batch_write_calls = 0
         self.reject_pk_prefix: str | None = None
+        # change-stream state: table -> stream_id; stream_id ->
+        # [(shard_id, parent|None)]; shard_id -> [(action, pk_cols,
+        # attrs, ts, idx, epoch)]; closed shards return no next iterator
+        # once drained
+        self.streams: dict[str, str] = {}
+        self.shards: dict[str, list] = {}
+        self.shard_recs: dict[str, list] = {}
+        self.closed: set[str] = set()
+        self.get_iterator_calls = 0
+        self.stream_record_calls = 0
 
     def create(self, table, pk_schema):
         self.tables[table] = (pk_schema, {})
+
+    def create_stream(self, table, shards):
+        sid = f"stream_{table}"
+        self.streams[table] = sid
+        self.shards[sid] = list(shards)
+        for s, _ in shards:
+            self.shard_recs.setdefault(s, [])
+        return sid
+
+    def stream_put(self, shard, pk_cols, attrs, action="PUT",
+                   ts=0, epoch=0):
+        recs = self.shard_recs[shard]
+        recs.append((action, list(pk_cols), list(attrs), ts, len(recs),
+                     epoch))
 
     def rows_sorted(self, table):
         _, rows = self.tables[table]
@@ -215,6 +239,53 @@ def _dispatch(store: _Store, action: str, body: bytes) -> bytes:
             tout += statuses[2] + statuses[3] + statuses[4]
             out_tables += _ld(1, tout)
         return out_tables
+
+    if action == "ListStream":
+        table = next(v.decode() for f, w, v in pb_fields(body) if f == 1)
+        sid = store.streams.get(table)
+        if sid is None:
+            return b""
+        return _ld(1, _ld(1, sid.encode()) + _ld(2, table.encode()))
+
+    if action == "DescribeStream":
+        sid = next(v.decode() for f, w, v in pb_fields(body) if f == 1)
+        out = b""
+        for shard, parent in store.shards[sid]:
+            s = _ld(1, shard.encode())
+            if parent:
+                s += _ld(2, parent.encode())
+            out += _ld(4, s)
+        return out
+
+    if action == "GetShardIterator":
+        store.get_iterator_calls += 1
+        shard = next(v.decode() for f, w, v in pb_fields(body) if f == 2)
+        return _ld(1, f"{shard}|0".encode())
+
+    if action == "GetStreamRecords":
+        store.stream_record_calls += 1
+        it, limit = "", 1000
+        for f, w, v in pb_fields(body):
+            if f == 1:
+                it = v.decode()
+            elif f == 2:
+                limit = v
+        shard, off = it.rsplit("|", 1)
+        off = int(off)
+        recs = store.shard_recs[shard]
+        page = recs[off : off + limit]
+        out = b""
+        anum = {"PUT": 1, "UPDATE": 2, "DELETE": 3}
+        from datax_spark.sources.ots_live import encode_row
+
+        for act, pk, attrs, ts, idx, epoch in page:
+            rec = _vi(1, anum[act]) + _ld(2, encode_row(pk, attrs))
+            rec += _vi(3, ts) + _vi(4, idx) + _vi(5, epoch)
+            out += _ld(1, rec)
+        end = off + len(page)
+        if end >= len(recs) and shard in store.closed:
+            return out  # no next iterator: closed shard fully drained
+        return out + _ld(2, f"{shard}|{end}".encode())
 
     raise OtsError("OTSParameterInvalid", f"no such action {action}")
 
