@@ -481,6 +481,27 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
             num_slices=channel or 4,
             split_points=rng.get("split"),
         )
+    if name == "ossreader" and "accessId" in param:
+        # live REST read (round 4): signed listing + glob expansion
+        # (OssReader.java:240-307), executor-parallel downloads with
+        # gzip/bzip2/zip decode into the shared delimited split. Without
+        # accessId the mounted-path file branch below still reads.
+        from datax_spark.sources.oss_live import oss_read_lines
+
+        objs = param.get("object")
+        if isinstance(objs, str):
+            objs = [objs]
+        df = oss_read_lines(
+            spark, param["endpoint"], param["bucket"],
+            param["accessId"], param["accessKey"], objs,
+            encoding=param.get("encoding", "utf-8"),
+            compress=param.get("compress"),
+            num_slices=channel,
+        )
+        df = _split_value_columns(df, param)
+        if param.get("where"):
+            df = df.filter(param["where"])
+        return df
     if name == "ftpreader" and "host" in param:
         # live FTP transfer (round 4): real ftplib PASV walk + executor-
         # parallel RETR (sources/ftp_live.py). Without `host` the legacy
@@ -656,6 +677,23 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
             indexes=idx,
             field_delimiter=param.get("fieldDelimiter", ""),
             expire_time=int(param.get("expireTime", 0)),
+        )
+    if name == "osswriter" and "accessId" in param:
+        # live REST multipart write (round 4): one object per task,
+        # truncate/append/nonConflict prepare, partSize-buffered parts
+        # (OssWriter.java:119-152,300-430).
+        from datax_spark.sources.oss_live import oss_write
+
+        return oss_write(
+            df, param["endpoint"], param["bucket"],
+            param["accessId"], param["accessKey"], param["object"],
+            field_delimiter=param.get("fieldDelimiter", ","),
+            write_mode=param.get("writeMode", "truncate"),
+            header=param.get("header"),
+            suffix=param.get("suffix", ""),
+            encoding=param.get("encoding", "utf-8"),
+            part_size=int(param.get("partSize", 10 * 1024 * 1024)),
+            null_format=param.get("nullFormat", "null"),
         )
     if name == "otswriter" and "accessId" in param:
         # live protobuf-wire BatchWriteRow (round 4): PutRow skips null
