@@ -481,6 +481,24 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
             num_slices=channel or 4,
             split_points=rng.get("split"),
         )
+    if name == "odpsreader" and "accessId" in param:
+        # live tunnel download (round 4): one session, record-count
+        # rowranges split over slices (splitMode=record,
+        # OdpsReader.java:318-371 + ReaderProxy.java:39-74). The
+        # in-engine partition-regex expansion (sources/expand.py) keeps
+        # handling multi-partition specs; the live path takes one
+        # resolved partition per session, like one reference task.
+        from datax_spark.sources.odps_live import odps_read
+
+        return odps_read(
+            spark, param.get("odpsServer") or param["endpoint"],
+            param["project"], param["accessId"], param["accessKey"],
+            param["table"],
+            columns=[c for c in param.get("column", []) if c != "*"]
+            or None,
+            partition=param.get("partition"),
+            num_slices=channel or 4,
+        )
     if name == "ossreader" and "accessId" in param:
         # live REST read (round 4): signed listing + glob expansion
         # (OssReader.java:240-307), executor-parallel downloads with
@@ -677,6 +695,21 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
             indexes=idx,
             field_delimiter=param.get("fieldDelimiter", ""),
             expire_time=int(param.get("expireTime", 0)),
+        )
+    if name == "odpswriter" and "accessId" in param:
+        # live tunnel upload (round 4): dealTruncate, shared session,
+        # disjoint per-task blocks, one driver commit
+        # (OdpsWriter.java:140-175,299-334).
+        from datax_spark.sources.odps_live import odps_write
+
+        return odps_write(
+            df, param.get("odpsServer") or param["endpoint"],
+            param["project"], param["accessId"], param["accessKey"],
+            param["table"],
+            partition=param.get("partition"),
+            truncate=str(param.get("truncate", "false")).lower()
+            == "true",
+            block_rows=int(param.get("blockRows", 100_000)),
         )
     if name == "osswriter" and "accessId" in param:
         # live REST multipart write (round 4): one object per task,
