@@ -743,6 +743,23 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
             write_mode=param.get("writeMode", "PutRow"),
             batch_size=int(param.get("batchWriteCount", 100)),
         )
+    if name == "hbase11xsqlwriter" and "queryServerAddress" in param:
+        # live Phoenix UPSERT over the Avatica JSON wire (round 4): the
+        # thick-driver task's exact batch/commit/row-retry/nullMode
+        # semantics through the query server's public HTTP surface
+        # (sources/phoenix_live.py; HbaseSQLWriterTask.java:80-183).
+        # Without queryServerAddress the jar-based upsert_sql MERGE
+        # analog in operators/upsert_sql.py keeps compiling.
+        from datax_spark.sources.phoenix_live import phoenix_write
+
+        return phoenix_write(
+            df, param["queryServerAddress"], param["table"],
+            columns=param.get("column"),
+            batch_size=int(param.get("batchSize", 256)),
+            null_mode=param.get("nullMode", "skip"),
+            truncate=str(param.get("truncate", "false")).lower()
+            == "true",
+        )
     if name == "cassandrawriter" and "connection" in param:
         # live CQL-v4 batched bound-statement inserts (round 4):
         # CassandraHelper.insertBatch's wire form, LOGGED batch like
