@@ -743,6 +743,33 @@ def compile_writer(df: DataFrame, writer: dict[str, Any]) -> Any:
             write_mode=param.get("writeMode", "PutRow"),
             batch_size=int(param.get("batchWriteCount", 100)),
         )
+    if name == "adswriter" and "username" in param:
+        # live MySQL-wire path (round 4): insert/stream = batched
+        # multi-row INSERTs per task with row-by-row dirty fallback
+        # (insert/AdsInsertProxy.java:123-190); load = LIVE ODPS tunnel
+        # staging + LOAD DATA submit + job_instances poll
+        # (load/AdsHelper.java:204-420). Without username the
+        # spec-compile builder in sources/connectors.py still applies.
+        from datax_spark.sources.ads_live import ads_insert, ads_load
+
+        host, _, port = str(param["url"]).partition(":")
+        mode = (param.get("writeMode") or "load").lower()
+        if mode in ("insert", "stream"):
+            return ads_insert(
+                df, host, int(port or 3306), param["username"],
+                param["password"], param["schema"], param["table"],
+                columns=param.get("column"),
+                batch_size=int(param.get("batchSize", 32)),
+            )
+        if mode == "load":
+            return ads_load(
+                df, host, int(port or 3306), param["username"],
+                param["password"], param["schema"], param["table"],
+                odps=param["odps"],
+                overwrite=bool(param.get("overWrite", True)),
+                partition=param.get("partition"),
+            )
+        raise ValueError(f"adswriter writeMode {mode!r} not supported")
     if name == "hbase11xsqlwriter" and "queryServerAddress" in param:
         # live Phoenix UPSERT over the Avatica JSON wire (round 4): the
         # thick-driver task's exact batch/commit/row-retry/nullMode
