@@ -1466,6 +1466,19 @@ def q_text_sample(spark, sf_dir):
     )
 
 
+def q_text_decontam(spark, sf_dir):
+    """Benchmark decontamination: flag any corpus doc sharing a word
+    n-gram with the benchmark subset (doc_id % 97 == 0 — the
+    deterministic eval-set stand-in), excluding self-hits. Integer-exact
+    counts; grams dedupe per doc before the join and the benchmark side
+    broadcasts. n=3 because the fixture docs are short; production runs
+    8-13-gram windows through the same shape."""
+    from datax_spark.functions.text import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    return decontaminate(docs, F.col("doc_id") % 97 == 0, n=3)
+
+
 def q_text_search_bm25(spark, sf_dir):
     """BM25-ranked search (the float scoring search_postings_tf deferred):
     idf weights + length-normalization constants come from ONE integer
@@ -1991,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_chunks": q_text_chunks,
         "text_sample": q_text_sample,
+        "text_decontam": q_text_decontam,
     }
 
 
@@ -2273,6 +2287,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source FROM documents
         WHERE {_h32_sql("doc_id", "samp")} % 1000000 <
               (CASE source {_thr} ELSE {int(SAMPLE_DEFAULT * 1000000)} END)
+    """
+    sql["text_decontam"] = """
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3 THEN
+                     list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                     ELSE [] END) AS gram
+            FROM tok)),
+        bench AS (
+          SELECT DISTINCT doc_id AS bid, gram FROM g WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+          FROM g JOIN bench b USING (gram)
+          WHERE g.doc_id != b.bid GROUP BY g.doc_id),
+        pg AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(pg.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               (CASE WHEN coalesce(h.n_hits, 0) > 0
+                     THEN 1 ELSE 0 END)::BIGINT AS contaminated
+        FROM documents d
+        LEFT JOIN pg ON d.doc_id = pg.doc_id
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
     """
     sql["text_chunks"] = f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -724,3 +724,66 @@ def stratified_sample(
         thr = F.when(F.col(strata_col) == F.lit(k),
                      F.lit(int(f * 1000000))).otherwise(thr)
     return docs.filter(bucket < thr)
+
+
+def decontaminate(
+    docs,
+    bench_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+):
+    """Benchmark decontamination — the n-gram-overlap check every
+    pre-training pipeline runs before a corpus ships (flag any document
+    sharing a word n-gram with the eval/benchmark set, so test data
+    can't leak into training). ``bench_pred`` selects the benchmark
+    rows; a doc is contaminated when one of its n-grams appears in a
+    benchmark document OTHER than itself (benchmark members don't
+    self-flag).
+
+    Returns (id_col, n_grams, n_hits, contaminated) with integer-exact
+    columns: n_grams = the doc's DISTINCT n-gram count, n_hits = how
+    many of those appear in the benchmark set. Production pipelines use
+    8-13-gram windows; the fixture corpus is short-doc synthetic so
+    tests/oracles run n=3 — the physical shape is n-independent.
+
+    Physical shape for 100 TB: grams are DEDUPED per doc before any
+    join (explode -> distinct, the big shrink), the benchmark side is
+    tiny by construction (eval sets, not the corpus) so Spark broadcasts
+    it, and the corpus side never shuffles on anything wider than
+    (doc_id, gram). Integer counts only — order-independent under any
+    partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    grams = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_gram")
+    ).distinct()
+    bench = (
+        docs.filter(bench_pred)
+        .select(F.col(id_col).alias("_bid"),
+                F.explode(shingles(text_col, n)).alias("_gram"))
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "_gram")
+        .filter(F.col(id_col) != F.col("_bid"))
+        .select(id_col, "_gram")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("long")
+            .alias("contaminated"),
+        )
+    )

@@ -601,3 +601,33 @@ def test_pii_metrics_redacts_and_counts(spark):
         "doc_id", h32(F.col("text"), "pii").alias("h")).collect()}
     assert rows[1]["redacted_h"] != plain[1]
     assert rows[2]["redacted_h"] == plain[2]
+
+
+def test_decontaminate_flags_overlap_not_self(spark):
+    """A doc sharing a 3-gram with a BENCHMARK doc is contaminated;
+    benchmark members don't self-flag; short docs (< n tokens) report
+    zero grams; repeated shared grams count once (distinct)."""
+    import pyspark.sql.functions as F
+
+    from datax_spark.functions.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"),          # benchmark (id%97==0)
+         (97, "totally different benchmark words here"),  # benchmark
+         (1, "xx the quick brown fox yy the quick brown fox"),  # leak, twice
+         (2, "no overlap with anything at all"),
+         (3, "hi"),                                  # < 3 tokens
+         ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(
+        docs, F.col("doc_id") % 97 == 0, n=3).collect()}
+    assert out[1]["contaminated"] == 1
+    # 'the quick brown'+'quick brown fox' shared, each counted ONCE
+    assert out[1]["n_hits"] == 2
+    assert out[2]["contaminated"] == 0 and out[2]["n_hits"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["contaminated"] == 0
+    # benchmark members only flag on OTHER benchmark docs' grams
+    assert out[0]["contaminated"] == 0
+    assert out[97]["contaminated"] == 0
+    assert len(out) == 5  # every input doc reported
