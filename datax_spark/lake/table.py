@@ -272,6 +272,7 @@ class LakeTable:
         manifest_mode: str = "sharded",
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        bloom_ndv: dict[str, int] | None = None,
         constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         """Create the table.
@@ -289,7 +290,12 @@ class LakeTable:
         reader's pushed equality predicate even where range bounds are
         useless (hash-spread values span every file's [min, max]). Pure
         write-side opt-in; Spark's vectorized reader consumes the bloom
-        automatically on pushed ``=`` filters. Costs ~1 MB/file/column.
+        automatically on pushed ``=`` filters, and ``plan_scan`` probes
+        the same bloom DRIVER-SIDE to skip whole files before the read
+        is even planned (lake/parquet_bloom.py). ``bloom_ndv`` sizes the
+        bitset per column (expected distinct values PER FILE — without
+        it parquet-mr reserves its 1 MiB default per file per column;
+        ~10k NDV ≈ 16 KiB at the default 1% FPP).
 
         ``manifest_mode='sharded'`` (default) stores each bucket's file
         list in a content-addressed side file under ``_manifests/refs/``;
@@ -324,6 +330,7 @@ class LakeTable:
                 "bucket_hash_version": 2,
                 "stats_cols": list(stats_cols or []),
                 "bloom_cols": list(bloom_cols or []),
+                "bloom_ndv": dict(bloom_ndv or {}),
                 # Named CHECK constraints (Delta table-constraint analog):
                 # the apply path quarantines non-delete rows whose
                 # expression is literally FALSE as `constraint:<name>`
@@ -646,8 +653,19 @@ class LakeTable:
           commits cluster naturally on seq/event-time, so range scans
           touch only the commits in range.
 
+        Round 4 adds a third pass: **bloom probing**. For ``=`` filters
+        on the table's ``bloom_cols``, each surviving file's own parquet
+        bloom filter (written by Spark at every commit) is probed
+        driver-side (lake/parquet_bloom.py), dropping files that PROVABLY
+        lack the value — the point-lookup case min/max can't help with
+        (hash-spread values span every file's range). Footer+bitset
+        reads are lazy (only files that survived the first two passes)
+        and fan out to executors above ``FILE_STATS_PARALLEL_THRESHOLD``
+        candidates, so a wide lookup never serializes I/O on the driver.
+
         Returns ``{"version", "buckets", "files", "files_total",
-        "files_kept"}``; ``files`` are absolute base-file paths.
+        "files_kept", "files_bloom_pruned"}``; ``files`` are absolute
+        base-file paths.
         """
         from datax_spark.lake.stats import file_survives, validate_filters
 
@@ -668,21 +686,45 @@ class LakeTable:
                 hit = str(self._bucket_id_of(snap, val))
                 sel = [b for b in sel if b == hit]
         files: list[str] = []
-        total = kept = 0
+        total = 0
         for b in sel:
             stats_b = snap.file_stats.get(b, {})
             for rel in snap.buckets.get(b, []):
                 total += 1
                 if prune_files and not file_survives(stats_b.get(rel), filters):
                     continue
-                kept += 1
                 files.append(os.path.join(self.path, rel))
+        bloom_pruned = 0
+        probes = {
+            col: val
+            for col, op, val in filters
+            if op == "=" and val is not None
+            and col in (props.get("bloom_cols") or [])
+        }
+        if prune_files and probes and files:
+            from datax_spark.lake.parquet_bloom import file_might_contain
+            from datax_spark.lake.stats import FILE_STATS_PARALLEL_THRESHOLD
+
+            if len(files) <= FILE_STATS_PARALLEL_THRESHOLD:
+                verdicts = [(p, file_might_contain(p, probes)) for p in files]
+            else:
+                sc = self.spark.sparkContext
+                n_slices = max(1, min(len(files) // 8, sc.defaultParallelism))
+                verdicts = (
+                    sc.parallelize(files, n_slices)
+                    .map(lambda p: (p, file_might_contain(p, probes)))
+                    .collect()
+                )
+            keep = dict(verdicts)
+            bloom_pruned = sum(1 for v in keep.values() if not v)
+            files = [p for p in files if keep.get(p, True)]
         return {
             "version": snap.version,
             "buckets": [int(b) for b in sel],
             "files": files,
             "files_total": total,
-            "files_kept": kept,
+            "files_kept": len(files),
+            "files_bloom_pruned": bloom_pruned,
         }
 
     def scan(
@@ -1064,10 +1106,16 @@ class LakeTable:
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         bloom_cols = tprops.get("bloom_cols") or []
+        bloom_ndv = tprops.get("bloom_ndv") or {}
         for c in bloom_cols:
             # parquet-mr per-column bloom toggle, consumed transparently
             # by the reader's pushed '=' predicates (row-group skipping)
+            # AND probed driver-side by plan_scan (lake/parquet_bloom.py)
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if c in bloom_ndv:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv[c])
+                )
         writer.parquet(out)
         return commit_rel
 
