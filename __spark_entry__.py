@@ -1064,6 +1064,42 @@ def q_cdc_change_feed(spark, sf_dir):
     )
 
 
+def q_cdc_envelope_emit(spark, sf_dir):
+    """Outbound CDC: EMIT batch-2's net changes as Debezium JSON
+    envelopes (sources/envelope.to_debezium — inserts op='c', deletes
+    op='d' carrying the before image, update pre/post pairs collapsed
+    into one op='u' envelope via a single conditional aggregation, no
+    self-join) and parse them straight back with from_debezium. The lake
+    is a CDC *source*: a downstream replaying this stream converges on
+    the table (pytest test_envelope_emit pins the lake->lake trip). The
+    oracle recomputes the same net changes in SQL — the JSON round trip
+    must be value-lossless."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.sources.envelope import from_debezium, to_debezium
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_emit_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    v_after_first = table.current_version()
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    env = to_debezium(
+        table.read_changes(v_after_first), ["repo", "path", "commit"]
+    )
+    parsed = from_debezium(env.select("value"), schema)
+    return parsed.select("repo", "path", "commit", "content", "op")
+
+
 def q_cdc_lake_apply(spark, sf_dir):
     """The real exactly-once lake engine end-to-end (COW MERGE mode).
 
@@ -2005,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_sample": q_text_sample,
         "text_decontam": q_text_decontam,
+        "cdc_envelope_emit": q_cdc_envelope_emit,
     }
 
 
@@ -2582,6 +2619,36 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, post, 'update_postimage' FROM upd)
         SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
                content, _change_type
+        FROM feed
+    """
+    # Outbound Debezium emit -> parse-back: the envelope trip is value-
+    # lossless, so the parsed rows equal the net-change feed with
+    # Debezium image semantics (delete carries the BEFORE image, update
+    # the AFTER image).
+    sql["cdc_envelope_emit"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        mid AS (SELECT floor(max(seq) / 2) AS m FROM chg),
+        d1 AS (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY seq DESC) AS rn
+               FROM clean WHERE seq <= (SELECT m FROM mid)),
+        s1 AS (SELECT user_id, content FROM d1 WHERE rn = 1 AND op != 'delete'),
+        d2 AS (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean),
+        s2 AS (SELECT user_id, content FROM d2 WHERE rn = 1 AND op != 'delete'),
+        upd AS (SELECT s1.user_id, s2.content AS post
+                FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+                WHERE s1.content IS DISTINCT FROM s2.content),
+        feed AS (
+          SELECT user_id, content, 'insert' AS op FROM s2
+          WHERE user_id NOT IN (SELECT user_id FROM s1)
+          UNION ALL
+          SELECT user_id, content, 'delete' FROM s1
+          WHERE user_id NOT IN (SELECT user_id FROM s2)
+          UNION ALL
+          SELECT user_id, post, 'update' FROM upd)
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
+               content, op
         FROM feed
     """
     # SCD2: incremental interval maintenance == one lead() window over
