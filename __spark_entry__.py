@@ -1502,6 +1502,25 @@ def q_text_sample(spark, sf_dir):
     )
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring: fit an add-alpha bigram language
+    model over the corpus (two integer aggregations + one driver-side
+    math.log per distinct bigram — the fit-is-DATA contract), then score
+    every document by mean bigram log-probability. Per-doc sums are
+    explicitly ORDERED left folds (sort_array + F.aggregate — never a
+    float SUM over rows, whose accumulation order is partition-
+    dependent); the oracle refits locally (bigram_lm_fit_local, pinned
+    bit-identical) and folds list(logp ORDER BY pos) with list_reduce,
+    so the doubles hash bit-identically. Scale: the fit table is
+    vocab-bounded and broadcast; bigram expansion is a scan-fused array
+    transform, no self-join; one shuffle (the per-doc groupBy)."""
+    from datax_spark.functions.text import bigram_lm_fit, bigram_lm_scores
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    fit = bigram_lm_fit(docs)
+    return bigram_lm_scores(docs, fit)
+
+
 def q_text_decontam(spark, sf_dir):
     """Benchmark decontamination: flag any corpus doc sharing a word
     n-gram with the benchmark subset (doc_id % 97 == 0 — the
@@ -1833,6 +1852,43 @@ def _ivfpq_oracle_sql(
     """
 
 
+def _lm_oracle_sql() -> str:
+    """text_lm_score oracle: refit the bigram LM locally over the
+    oracle corpus (bigram_lm_fit_local — bit-identical to the Spark
+    fit, pinned in tests/test_lm_score.py) and embed every (w1, w2,
+    logp) as VALUES literals; the per-doc mean is then the same ordered
+    left fold over the same doubles."""
+    from datax_spark.functions.text import TOKEN_RE, bigram_lm_fit_local
+
+    table, oov = bigram_lm_fit_local(
+        os.path.join(_oracle_sf_dir(), "documents.parquet")
+    )
+    # ::DOUBLE is load-bearing: bare decimal literals parse as DECIMAL
+    # in DuckDB (overflow + rounding), not IEEE doubles
+    vals = ",\n              ".join(
+        f"('{w1}', '{w2}', {lp!r}::DOUBLE)" for w1, w2, lp in table
+    )
+    return f"""
+        WITH fit(w1, w2, logp) AS (VALUES {vals}),
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text),
+                        '{TOKEN_RE}') AS l FROM documents),
+        pe AS (SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS w
+               FROM tok),
+        bg AS (SELECT a.doc_id, a.p AS pos, a.w AS w1, b.w AS w2
+               FROM pe a JOIN pe b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        j AS (SELECT bg.doc_id, bg.pos, coalesce(f.logp, {oov!r}::DOUBLE) AS logp
+              FROM bg LEFT JOIN fit f ON bg.w1 = f.w1 AND bg.w2 = f.w2),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                       list_reduce(list(logp ORDER BY pos),
+                                   (acc, x) -> acc + x) AS s
+                FROM j GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+               floor((a.s / a.n_bigrams) * 1000000.0 + 0.5) / 1000000.0
+                 AS lm_score
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75, k: int = 20) -> str:
     """DuckDB oracle for text_search_bm25: compute the SAME integer
     corpus stats (N, total tokens, per-term df) locally with DuckDB over
@@ -2042,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample": q_text_sample,
         "text_decontam": q_text_decontam,
         "cdc_envelope_emit": q_cdc_envelope_emit,
+        "text_lm_score": q_text_lm_score,
     }
 
 
@@ -2288,6 +2345,7 @@ def oracle_sql() -> dict[str, str]:
         # Data-dependent like the trained-IVF family: the idf weights are
         # integers -> math.log literals derived from the oracle corpus.
         sql["text_search_bm25"] = _bm25_oracle_sql()
+        sql["text_lm_score"] = _lm_oracle_sql()
     from datax_spark.functions.text import (
         PII_DIGITRUN_RE,
         PII_EMAIL_RE,

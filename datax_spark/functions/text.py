@@ -787,3 +787,174 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------------------ bigram LM
+# CCNet-style language-model quality scoring (Wenzek et al. 2020 use a
+# 5-gram KenLM; a corpus-trained add-alpha bigram model is the honest
+# sandbox-scale analog). The FIT IS DATA (the BM25/trained-IVF
+# contract): counts are integer aggregations both engines reproduce
+# exactly, the single transcendental (log) runs ONCE driver-side over
+# those integers, and the resulting per-bigram log-probs re-enter both
+# engines as literal values — engine-side math is then pure IEEE +,/
+# over identical bits in an identical order, so the DuckDB oracle
+# hashes bit-identically.
+
+LM_ALPHA = 0.5  # add-alpha smoothing
+LM_MAX_TABLE = 200_000  # collect guard: fit table is vocab-bounded (V^2)
+
+
+def _lm_logp_table(
+    pairs: list[tuple[str, str, int]], vocab_size: int, alpha: float
+) -> tuple[list[tuple[str, str, float]], float]:
+    """(w1, w2, count) -> (w1, w2, logp) + the OOV default, all driver
+    math. P(w2|w1) = (B + a) / (C(w1) + a*V) with C = sum_w2 B(w1, w2).
+    Deterministic: inputs are exact integers, one math.log per row."""
+    import math
+
+    ctx: dict[str, int] = {}
+    for w1, _w2, c in pairs:
+        ctx[w1] = ctx.get(w1, 0) + c
+    table = [
+        (w1, w2, math.log((c + alpha) / (ctx[w1] + alpha * vocab_size)))
+        for w1, w2, c in sorted(pairs)
+    ]
+    return table, math.log(1.0 / vocab_size)
+
+
+def bigram_lm_fit(
+    docs: DataFrame, text_col: str = "text", alpha: float = LM_ALPHA
+) -> tuple[list[tuple[str, str, float]], float]:
+    """Fit the bigram LM over a corpus IN SPARK: two integer
+    aggregations (bigram counts, vocab size), collected driver-side
+    (bounded by distinct-bigram count <= V^2 — guarded), then one
+    math.log per distinct bigram. ``bigram_lm_fit_local`` reproduces
+    this bit-for-bit from the same parquet (pinned in
+    tests/test_lm_score.py), which is what lets the DuckDB oracle embed
+    the identical literals."""
+    tok = docs.select(tokens(text_col).alias("l"))
+    bg = (
+        tok.filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> named_struct('w1', l[i-1], 'w2', l[i]))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    rows = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).collect()
+    if len(rows) > LM_MAX_TABLE:
+        raise ValueError(
+            f"bigram table {len(rows)} exceeds {LM_MAX_TABLE}; the fit "
+            "collect is only safe on bounded vocabularies — prune the "
+            "vocab (e.g. top-K tokens) before fitting"
+        )
+    vocab = (
+        tok.select(F.explode("l").alias("w")).agg(
+            F.countDistinct("w").alias("v")
+        ).first()["v"]
+    )
+    pairs = [(r["w1"], r["w2"], r["c"]) for r in rows]
+    return _lm_logp_table(pairs, int(vocab), alpha)
+
+
+def bigram_lm_fit_local(
+    docs_path: str, text_col: str = "text", alpha: float = LM_ALPHA
+) -> tuple[list[tuple[str, str, float]], float]:
+    """The engine-neutral local twin of ``bigram_lm_fit`` (DuckDB
+    counts + the same driver math) — MUST stay bit-identical; the
+    oracle generator embeds its output as SQL literals."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.sql(
+            f"""
+            WITH tok AS (
+              SELECT row_number() OVER () AS rid,
+                     regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS l
+              FROM read_parquet('{docs_path}')),
+            pe AS (SELECT rid, generate_subscripts(l, 1) AS p, unnest(l) AS w
+                   FROM tok)
+            SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
+            FROM pe a JOIN pe b ON a.rid = b.rid AND b.p = a.p + 1
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+        vocab = con.sql(
+            f"""
+            SELECT count(DISTINCT w) FROM (
+              SELECT unnest(regexp_extract_all(lower({text_col}),
+                            '{TOKEN_RE}')) AS w
+              FROM read_parquet('{docs_path}'))
+            """
+        ).fetchone()[0]
+    finally:
+        con.close()
+    return _lm_logp_table(
+        [(w1, w2, int(c)) for w1, w2, c in rows], int(vocab), alpha
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    fit: tuple[list[tuple[str, str, float]], float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a fitted LM —
+    (id, n_bigrams, lm_score round6; NULL for docs under 2 tokens).
+
+    Exactness contract: the per-doc sum is an explicitly ORDERED left
+    fold (sort_array by position, then F.aggregate) — never a float SUM
+    over rows, whose accumulation order is partition-dependent. The
+    DuckDB oracle folds ``list(logp ORDER BY pos)`` with list_reduce:
+    same literals, same order, same IEEE adds, identical bits.
+
+    Scale shape: the fit table is vocab-bounded and broadcast; bigram
+    expansion is a scan-fused projection (transform over the token
+    array, no self-join); the only shuffle is the per-doc groupBy.
+    """
+    spark = docs.sparkSession
+    table, oov = fit
+    lt = spark.createDataFrame(table, "w1 string, w2 string, logp double")
+    bg = (
+        docs.select(id_col, tokens(text_col).alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> named_struct('pos', i, 'w1', l[i-1], 'w2', l[i]))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.pos", "b.w1", "b.w2")
+    )
+    joined = bg.join(F.broadcast(lt), ["w1", "w2"], "left").select(
+        id_col, "pos", F.coalesce("logp", F.lit(oov)).alias("logp")
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "logp"))),
+                lambda x: x["logp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            round6(F.col("s") / F.col("n_bigrams")).alias("lm_score"),
+        )
+    )
