@@ -40,7 +40,9 @@ BENCH_QUERIES = [
     "cdc_scd2_apply",
     "cdc_overwrite_where",
     "cdc_asof_join",
+    "cdc_envelope_emit",
     "text_search",
+    "text_lm_score",
     "text_search_bm25",
     "dedup_exact",
     "dedup_incremental",

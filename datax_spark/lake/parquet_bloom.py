@@ -329,8 +329,10 @@ def _plain_encode(value: Any, ptype: int) -> bytes | None:
 
 
 def file_might_contain(path: str, probes: dict[str, Any]) -> bool:
-    """False iff some probed column's blooms PROVE the value absent from
-    every row group — the only case that may prune. Missing blooms,
+    """False iff some probed column's blooms PROVE every probed value
+    absent from every row group — the only case that may prune. Probe
+    values may be a single literal or a list (IN semantics: the file
+    survives if ANY listed value might be present). Missing blooms,
     unsupported types, or any decode surprise return True (keep).
     """
     if not probes:
@@ -343,19 +345,26 @@ def file_might_contain(path: str, probes: dict[str, Any]) -> bool:
         entries = index.get(col)
         if not entries:
             continue
-        absent_everywhere = True
+        values = value if isinstance(value, (list, tuple, set)) else [value]
+        if not values:
+            continue
+        # one bitset read per row group, shared across all probed values
+        loaded: list[tuple[bytes | None, int]] = []
         for offset, length, ptype in entries:
-            enc = _plain_encode(value, ptype)
-            if enc is None:
-                absent_everywhere = False
-                break
             try:
-                bitset = _read_bitset(path, offset, length)
+                loaded.append((_read_bitset(path, offset, length), ptype))
             except (OSError, IndexError, ValueError, struct.error):
-                bitset = None
-            if bitset is None or _sbbf_check(bitset, xxhash64(enc)):
-                absent_everywhere = False
-                break
-        if absent_everywhere:
+                loaded.append((None, ptype))
+
+        def _might_hold(v) -> bool:
+            for bitset, ptype in loaded:
+                enc = _plain_encode(v, ptype)
+                if enc is None or bitset is None:
+                    return True  # undecidable: keep
+                if _sbbf_check(bitset, xxhash64(enc)):
+                    return True
+            return False
+
+        if not any(_might_hold(v) for v in values):
             return False
     return True

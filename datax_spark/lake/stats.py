@@ -37,8 +37,8 @@ _SUPPORTED = (int, float, str)
 
 FILE_STATS_PARALLEL_THRESHOLD = 64  # footer reads above this go to executors
 
-Filter = tuple[str, str, Any]  # (column, op, literal); op in = < <= > >=
-_OPS = ("=", "<", "<=", ">", ">=")
+Filter = tuple[str, str, Any]  # (column, op, literal); op in = < <= > >= in
+_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _footer_one(abs_path: str, cols: list[str]) -> dict[str, list]:
@@ -115,6 +115,13 @@ def collect_footer_stats(
     return dict(got)
 
 
+def _in_range(lo, hi, v) -> bool:
+    try:
+        return lo <= v <= hi
+    except TypeError:
+        return True  # incomparable literal: can't prune on it
+
+
 def file_survives(stats: dict[str, list] | None, filters: list[Filter]) -> bool:
     """Can a file with these bounds contain a row matching ALL filters?
 
@@ -130,7 +137,14 @@ def file_survives(stats: dict[str, list] | None, filters: list[Filter]) -> bool:
             continue
         lo, hi = bounds
         try:
-            if op == "=":
+            if op == "in":
+                # batch point lookup: the file survives iff ANY listed
+                # value could be present (non-null values only — IN
+                # (NULL) matches nothing in SQL semantics)
+                keep = any(
+                    _in_range(lo, hi, v) for v in val if v is not None
+                )
+            elif op == "=":
                 keep = lo <= val <= hi
             elif op == "<":
                 keep = lo < val
@@ -157,7 +171,10 @@ def filters_to_expr(filters: list[Filter]):
     expr = None
     for col, op, val in filters:
         c = F.col(col)
-        if op == "=":
+        if op == "in":
+            vals = [v for v in val if v is not None]
+            e = c.isin(vals) if vals else F.lit(False)
+        elif op == "=":
             e = c == F.lit(val)
         elif op == "<":
             e = c < F.lit(val)
@@ -178,4 +195,8 @@ def validate_filters(filters: list[Filter]) -> None:
         if len(f) != 3 or f[1] not in _OPS:
             raise ValueError(
                 f"filter must be (col, op, value) with op in {_OPS}: {f!r}"
+            )
+        if f[1] == "in" and not isinstance(f[2], (list, tuple, set)):
+            raise ValueError(
+                f"'in' filter value must be a list/tuple/set: {f!r}"
             )

@@ -631,6 +631,23 @@ class LakeTable:
             ).first()["b"]
         )
 
+    def _bucket_ids_of(self, snap: Snapshot, values: list[Any]) -> set[int]:
+        """Bucket ids for a batch of bucket_key values — ONE local job
+        over all values (the IN-list twin of _bucket_id_of), same JVM
+        hash as the write path so write and prune can't drift."""
+        if not values:
+            return set()
+        props = snap.properties
+        key = props["bucket_key"]
+        dt = {f.name: f.dataType for f in snap.schema.fields}[key]
+        arr = F.array(*[F.lit(v).cast(dt) for v in values])
+        rows = self.spark.range(1).select(F.explode(arr).alias(key)).select(
+            bucket_expr(
+                key, props["num_buckets"], snap_bucket_dtype(snap)
+            ).alias("b")
+        )
+        return {int(r["b"]) for r in rows.collect()}
+
     def plan_scan(
         self,
         filters: list[tuple[str, str, Any]],
@@ -682,9 +699,16 @@ class LakeTable:
             else [str(b) for b in buckets]
         )
         for col, op, val in filters:
-            if op == "=" and col == props.get("bucket_key") and val is not None:
-                hit = str(self._bucket_id_of(snap, val))
-                sel = [b for b in sel if b == hit]
+            if col != props.get("bucket_key"):
+                continue
+            if op == "=" and val is not None:
+                hits = {str(self._bucket_id_of(snap, val))}
+            elif op == "in":
+                vals = [v for v in val if v is not None]
+                hits = {str(b) for b in self._bucket_ids_of(snap, vals)}
+            else:
+                continue
+            sel = [b for b in sel if b in hits]
         files: list[str] = []
         total = 0
         for b in sel:
@@ -695,12 +719,16 @@ class LakeTable:
                     continue
                 files.append(os.path.join(self.path, rel))
         bloom_pruned = 0
-        probes = {
-            col: val
-            for col, op, val in filters
-            if op == "=" and val is not None
-            and col in (props.get("bloom_cols") or [])
-        }
+        probes: dict[str, list[Any]] = {}
+        for col, op, val in filters:
+            if col not in (props.get("bloom_cols") or []):
+                continue
+            if op == "=" and val is not None:
+                probes[col] = [val]
+            elif op == "in":
+                vals = [v for v in val if v is not None]
+                if vals:
+                    probes[col] = vals
         if prune_files and probes and files:
             from datax_spark.lake.parquet_bloom import file_might_contain
             from datax_spark.lake.stats import FILE_STATS_PARALLEL_THRESHOLD

@@ -79,7 +79,23 @@ def asof_join(
     # mixed-type pair pays the double coercion, explicitly.
     pt_type = probes.schema[probe_time].dataType
     vt_type = versions.schema[version_time].dataType
-    t_type = pt_type if pt_type == vt_type else "double"
+    if pt_type == vt_type:
+        t_type = pt_type
+    else:
+        from pyspark.sql.types import (
+            ByteType, IntegerType, LongType, ShortType,
+        )
+
+        integral = (ByteType, ShortType, IntegerType, LongType)
+        # mixed INTEGRAL pair widens to long — exact for the full 64-bit
+        # range (a double coercion collapses values above 2^53, e.g.
+        # nanosecond epochs vs composite binlog seqs). Only a genuinely
+        # mixed-family pair (int vs float/decimal/timestamp) still pays
+        # the documented double coercion.
+        if isinstance(pt_type, integral) and isinstance(vt_type, integral):
+            t_type = "long"
+        else:
+            t_type = "double"
 
     ver_struct = F.struct(
         F.col(version_time).cast(t_type).alias("t"),

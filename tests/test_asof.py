@@ -98,3 +98,23 @@ def test_forward_tolerance(spark):
     got = {r["probe_id"]: r["asof_t"] for r in out.collect()}
     assert got[1] == 10   # 10 - 5 = 5 <= 6
     assert got[2] is None  # next version at 40: 40 - 31 = 9 > 6
+
+
+def test_mixed_integral_time_types_stay_exact(spark):
+    """int probes vs long versions above 2^53 (forward direction): a
+    double coercion collapses 2^53+1 onto 2^53+2, making the "earliest
+    version at-or-after" pick ambiguous and the returned asof_t wrong;
+    a mixed-INTEGRAL pair must widen to long instead (round-4 s5)."""
+    from datax_spark.operators.asof import asof_join
+
+    b = 1 << 53
+    versions = spark.createDataFrame(
+        [("k", b + 1, "first"), ("k", b + 2, "second")],
+        "k string, t long, val string",
+    )
+    probes = spark.createDataFrame([("k", 5)], "k string, pt int")
+    got = asof_join(
+        probes, versions, ["k"], "pt", "t", direction="forward"
+    ).first()
+    assert got["asof_val"] == "first"
+    assert got["asof_t"] == b + 1  # exact long, not the collapsed double

@@ -163,3 +163,45 @@ def test_probe_is_optimization_only_on_corrupt_bloom(spark, tmp_path):
         f.seek(offset)
         f.write(b"\xff" * 8)
     assert file_might_contain(path, {"eid": "e-definitely-absent"}) is True
+
+
+def test_in_list_point_lookup_batch(spark, tmp_path):
+    """IN-list lookups: bucket pruning unions the hit buckets, min/max
+    uses ANY semantics, blooms keep a file iff ANY listed value might be
+    present — and the residual isin() keeps results exact."""
+    t = _make_table(spark, tmp_path)
+    want = {"e10", "e600", "e1200"}
+    plan = t.plan_scan([("eid", "in", sorted(want))])
+    got = {r["eid"] for r in t.scan([("eid", "in", sorted(want))]).collect()}
+    assert got == want
+    assert plan["files_kept"] < plan["files_total"], plan
+    assert plan["files_bloom_pruned"] >= 1, plan
+
+    # all-absent list prunes everything
+    plan = t.plan_scan([("eid", "in", ["zz1", "zz2"])])
+    assert plan["files_kept"] == 0
+    assert t.scan([("eid", "in", ["zz1", "zz2"])]).count() == 0
+
+    # empty list: matches nothing (residual lit(False)); NULLs in the
+    # list are ignored per SQL IN semantics
+    assert t.scan([("eid", "in", [])]).count() == 0
+    got = {r["eid"] for r in t.scan([("eid", "in", ["e10", None])]).collect()}
+    assert got == {"e10"}
+
+
+def test_in_list_on_bucket_key_prunes_buckets(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    full = t.plan_scan([])
+    # repo values hash-spread over 4 buckets; two values pin <= 2 buckets
+    plan = t.plan_scan([("repo", "in", ["r0", "r5"])])
+    assert len(plan["buckets"]) <= 2 < len(full["buckets"]) + 1
+    got = {r["repo"] for r in t.scan([("repo", "in", ["r0", "r5"])]).collect()}
+    assert got == {"r0", "r5"}
+
+
+def test_in_filter_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _make_table(spark, tmp_path)
+    with _pytest.raises(ValueError, match="'in' filter"):
+        t.plan_scan([("eid", "in", "e10")])  # bare string, not a list
