@@ -110,9 +110,27 @@ def _sq_dist(v: Column, centroid: list[float]) -> Column:
 
 def centroid_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id as a pure Column expression (centroids are
-    literals baked into the plan — the broadcast-free codebook)."""
+    literals baked into the plan — the broadcast-free codebook).
+
+    Argmin is a single ordered fold over (dist, idx) structs — the
+    array_position(dists, array_min(dists)) form references the dists
+    array twice and CollapseProject inlines the k sq-dist expressions
+    per reference (2x eval; compounding with pq_encode's m subspaces it
+    was part of the measured 13 s PQ scan). Strict `<` keeps the same
+    first-index-wins tie rule, so assignments are bit-identical."""
     dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    idx = F.array(*[F.lit(i) for i in range(len(centroids))])
+    best = F.aggregate(
+        F.zip_with(
+            dists, idx,
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")
+        ),
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+    )
+    return best["i"].cast("int")
 
 
 def kmeans_fit(
@@ -528,16 +546,20 @@ def pq_topk(
     v = _dbl(F.col(vec_col))
     codes = pq_encode(v, codebooks)
     lut = _adc_lut(query_vec, codebooks)
-    terms = [
-        F.element_at(
-            F.array(*[F.lit(x) for x in lut[j]]),
-            F.element_at(codes, j + 1) + 1,
-        )
-        for j in range(len(lut))
-    ]
-    adc = terms[0]
-    for t in terms[1:]:
-        adc = adc + t
+    # ONE reference to `codes`: a per-term element_at chain references it
+    # M times and CollapseProject re-inlines the full encode expression
+    # per reference (M * K * sub ops EACH — measured 13 s/query at
+    # sf0.1, the NOTES.md blowup). zip_with against the literal 2D LUT +
+    # an ordered left fold keeps the identical left-associative sum
+    # (0.0 + t0 == t0 bitwise), so the oracle SQL is unchanged.
+    lut2d = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in lut]
+    )
+    adc = F.aggregate(
+        F.zip_with(codes, lut2d, lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     cand = (
         df.select(F.col(id_col).alias(id_col), round6(adc).alias("_adc"))
         .orderBy(F.col("_adc").asc(), F.col(id_col))
