@@ -219,27 +219,34 @@ _PT_INT64 = 2
 _PT_BYTE_ARRAY = 6
 
 
-def footer_bloom_index(path: str) -> dict[str, list[tuple[int, int | None, int]]]:
-    """column dotted path -> [(bloom_offset, bloom_length|None, ptype)]
-    with one entry PER ROW GROUP that has a bloom for the column.
+def footer_bloom_index(
+    path: str,
+) -> tuple[dict[str, list[tuple[int, int | None, int]]], int]:
+    """(column dotted path -> [(bloom_offset, bloom_length|None, ptype)]
+    with one entry PER ROW GROUP that has a bloom for the column,
+    number of row groups in the file).
 
     Reads the file's footer only (tail read); any column chunk without a
-    bloom contributes nothing. {} when no column has one.
+    bloom contributes nothing. ({}, n) when no column has one. Callers
+    deciding to PRUNE must require len(entries) == n_row_groups: a row
+    group whose chunk lacks a bloom (mixed writers, evolved configs) is
+    invisible here, and a prune that ignores it would be unsound.
     """
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         f.seek(max(0, size - 8))
         tail = f.read(8)
         if len(tail) != 8 or tail[4:] != b"PAR1":
-            return {}
+            return {}, 0
         (flen,) = struct.unpack("<I", tail[:4])
         if flen <= 0 or flen > size - 8:
-            return {}
+            return {}, 0
         f.seek(size - 8 - flen)
         footer = f.read(flen)
     fmd = _Reader(footer).struct()
     out: dict[str, list[tuple[int, int | None, int]]] = {}
-    for rg in fmd.get(_FMD_ROW_GROUPS) or []:
+    row_groups = fmd.get(_FMD_ROW_GROUPS) or []
+    for rg in row_groups:
         for cc in rg.get(_RG_COLUMNS) or []:
             md = cc.get(_CC_META_DATA)
             if not md:
@@ -255,7 +262,7 @@ def footer_bloom_index(path: str) -> dict[str, list[tuple[int, int | None, int]]
             out.setdefault(col, []).append(
                 (off, md.get(_CMD_BLOOM_LENGTH), md.get(_CMD_TYPE))
             )
-    return out
+    return out, len(row_groups)
 
 
 # --------------------------------------------------- split-block bloom probe
@@ -338,12 +345,14 @@ def file_might_contain(path: str, probes: dict[str, Any]) -> bool:
     if not probes:
         return True
     try:
-        index = footer_bloom_index(path)
+        index, n_rg = footer_bloom_index(path)
     except (OSError, IndexError, ValueError, struct.error):
         return True
     for col, value in probes.items():
         entries = index.get(col)
-        if not entries:
+        if not entries or len(entries) != n_rg:
+            # no bloom, or blooms don't cover EVERY row group (a
+            # bloom-less group could hold the value unseen): keep
             continue
         values = value if isinstance(value, (list, tuple, set)) else [value]
         if not values:

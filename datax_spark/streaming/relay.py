@@ -135,7 +135,13 @@ def apply_emitted_segments(
         if d.startswith("v=") and os.path.isdir(os.path.join(emit_dir, d))
     )
     applied: list[int] = []
+    # skip already-fenced segments before touching any files: apply_batch
+    # would no-op them anyway (fence is checked first, driver-side), but
+    # a long-lived relay shouldn't pay O(emitted history) listings per call
+    last = target.last_batch_id(cfg.stream_id)
     for v in versions:
+        if last is not None and v <= last:
+            continue
         seg = os.path.join(emit_dir, f"v={v}")
         if not any(f_.startswith("part-") for f_ in os.listdir(seg)):
             continue  # empty segment (no net changes in that commit)

@@ -76,8 +76,11 @@ def test_footer_index_matches_jvm_reader(spark, tmp_path):
     path = os.path.join(
         t.path, next(fs[0] for fs in snap.buckets.values() if fs)
     )
-    idx = footer_bloom_index(path)
+    idx, n_rg = footer_bloom_index(path)
     assert set(idx) == {"eid"}, idx  # only the opted-in column
+    # blooms cover EVERY row group (the soundness precondition for
+    # pruning — file_might_contain refuses to prune otherwise)
+    assert n_rg >= 1 and len(idx["eid"]) == n_rg, (idx, n_rg)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
@@ -146,7 +149,7 @@ def test_bloom_ndv_hint_shrinks_bitset(spark, tmp_path):
     path = os.path.join(
         small.path, next(fs[0] for fs in snap.buckets.values() if fs)
     )
-    (offset, length, ptype) = footer_bloom_index(path)["eid"][0]
+    (offset, length, ptype) = footer_bloom_index(path)[0]["eid"][0]
     # parquet-mr's unsized default reserves ~1 MiB; the hint right-sizes
     assert length is not None and length < 65536, length
     assert file_might_contain(path, {"eid": "e-definitely-absent"}) is False
@@ -157,12 +160,37 @@ def test_probe_is_optimization_only_on_corrupt_bloom(spark, tmp_path):
     snap = t.snapshot()
     rel = next(fs[0] for fs in snap.buckets.values() if fs)
     path = os.path.join(t.path, rel)
-    (offset, length, _ptype) = footer_bloom_index(path)["eid"][0]
+    (offset, length, _ptype) = footer_bloom_index(path)[0]["eid"][0]
     # scribble over the bloom HEADER: the probe must fail open (keep)
     with open(path, "r+b") as f:
         f.seek(offset)
         f.write(b"\xff" * 8)
     assert file_might_contain(path, {"eid": "e-definitely-absent"}) is True
+
+
+def test_partial_row_group_coverage_never_prunes(spark, tmp_path, monkeypatch):
+    """A row group whose chunk has NO bloom is invisible to the index; a
+    prune that ignored it could drop a file that holds the value in that
+    group. The guard: probing refuses to prune unless the bloom entries
+    cover EVERY row group."""
+    import datax_spark.lake.parquet_bloom as pb
+
+    t = _make_table(spark, tmp_path)
+    snap = t.snapshot()
+    path = os.path.join(
+        t.path, next(fs[0] for fs in snap.buckets.values() if fs)
+    )
+    real_idx, real_n = footer_bloom_index(path)
+    # the real bloom proves this value absent...
+    assert file_might_contain(path, {"eid": "e-definitely-absent"}) is False
+    # ...but if the file claimed one MORE row group than the blooms
+    # cover (mixed-writer file), the probe must keep it
+    monkeypatch.setattr(
+        pb, "footer_bloom_index", lambda p: (real_idx, real_n + 1)
+    )
+    assert pb.file_might_contain(
+        path, {"eid": "e-definitely-absent"}
+    ) is True
 
 
 def test_in_list_point_lookup_batch(spark, tmp_path):
