@@ -1546,6 +1546,82 @@ def q_text_search_bm25(spark, sf_dir):
     return search_postings_bm25(docs, SEARCH_TERMS, k=20)
 
 
+def q_text_search_sync(spark, sf_dir):
+    """Incrementally-SYNCED posting index (operators/posting_sync): the
+    index is a token-bucketed MOR lake table kept exact by replaying the
+    document table's row-level change feed — inserts, updates (the
+    pre-image yields the exact stale token set), deletes — with the
+    stream fence as the refresh cursor (exactly-once catch-up, even
+    spanning multiple doc commits). Reference analog: the full-load +
+    incremental binlog job pair (mysqlreader -> elasticsearchwriter)
+    users run to keep a search store fresh. The oracle recomputes the
+    FINAL corpus state in SQL and searches it from scratch —
+    incrementality must be invisible in the answers."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.operators.posting_sync import (
+        create_posting_index_table,
+        refresh_posting_index,
+        search_posting_index,
+    )
+    from datax_spark.streaming.pipeline import apply_batch
+
+    src = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    mid = src.agg(F.floor(F.max("doc_id") / 2).cast("long")).first()[0]
+    mx = src.agg(F.max("doc_id")).first()[0]
+    root = _tmproot("dx_psync_q_")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = LakeTable.create(
+        spark, os.path.join(root, "docs"), schema,
+        key_cols=["doc_id"], bucket_key="doc_id", num_buckets=8,
+    )
+    index = create_posting_index_table(
+        spark, os.path.join(root, "pidx"), docs, n_buckets=16
+    )
+    did = F.col("doc_id")
+    # commit 1: full load of the first half; index catches up
+    apply_batch(
+        docs,
+        src.filter(did <= mid).select(
+            "doc_id", "text", F.lit("insert").alias("op"),
+            (did + 1).alias("seq"),
+        ),
+        0,
+    )
+    refresh_posting_index(index, docs)
+    # commit 2: CDC churn on the loaded half — deletes and full-text
+    # rewrites (the update pre-image must retract the ORIGINAL tokens)
+    deletes = src.filter((did <= mid) & (did % 5 == 0)).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("delete").alias("op"), (did + mid + 2).alias("seq"),
+    )
+    updates = src.filter(
+        (did <= mid) & (did % 7 == 0) & (did % 5 != 0)
+    ).select(
+        "doc_id",
+        F.concat(F.lit("merge stream "), did.cast("string")).alias("text"),
+        F.lit("update").alias("op"), (did + mid + 2).alias("seq"),
+    )
+    apply_batch(docs, deletes.unionByName(updates), 1)
+    # commit 3: the second half arrives
+    apply_batch(
+        docs,
+        src.filter(did > mid).select(
+            "doc_id", "text", F.lit("insert").alias("op"),
+            (did + 10 * (mx + 1)).alias("seq"),
+        ),
+        2,
+    )
+    # ONE refresh spans commits 2+3 — the fence is the cursor
+    refresh_posting_index(index, docs)
+    return search_posting_index(index, SEARCH_TERMS, k=20)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders (DuckDB dialect, same math as the Spark expressions)
 # ---------------------------------------------------------------------------
@@ -2099,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontam": q_text_decontam,
         "cdc_envelope_emit": q_cdc_envelope_emit,
         "text_lm_score": q_text_lm_score,
+        "text_search_sync": q_text_search_sync,
     }
 
 
@@ -2769,6 +2846,28 @@ def oracle_sql() -> dict[str, str]:
     sql["text_search_tf"] = f"""
         WITH tok AS (
           SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+        SELECT doc_id, count(*)::BIGINT AS score FROM tok
+        WHERE token IN ({terms})
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+    """
+    # text_search_sync: recompute the FINAL corpus state (after the
+    # delete/update/insert churn q_text_search_sync replays through the
+    # change feed) from scratch and search it — the incremental index
+    # must be indistinguishable from the recompute. mid is data-driven
+    # (floor(max/2)), matching the Spark side at any sf.
+    sql["text_search_sync"] = f"""
+        WITH mid AS (
+          SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS m FROM documents),
+        live AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN doc_id <= (SELECT m FROM mid)
+                           AND doc_id % 7 = 0 AND doc_id % 5 <> 0
+                      THEN 'merge stream ' || CAST(doc_id AS VARCHAR)
+                      ELSE text END AS text
+          FROM documents
+          WHERE NOT (doc_id <= (SELECT m FROM mid) AND doc_id % 5 = 0)),
+        tok AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM live)
         SELECT doc_id, count(*)::BIGINT AS score FROM tok
         WHERE token IN ({terms})
         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
