@@ -1546,6 +1546,18 @@ def q_text_search_bm25(spark, sf_dir):
     return search_postings_bm25(docs, SEARCH_TERMS, k=20)
 
 
+def q_text_dup_spans(spark, sf_dir):
+    """Exact duplicate-substring detection (Lee et al. 2022 substring
+    dedup, suffix-array step re-expressed as distributed k-gram
+    counting): maximal per-doc character spans covered by 30-grams that
+    occur >= 2 times anywhere in the corpus. Integer-exact offsets; the
+    oracle replays the identical gram/merge math in SQL."""
+    from datax_spark.functions.text import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=30)
+
+
 def q_text_search_sync(spark, sf_dir):
     """Incrementally-SYNCED posting index (operators/posting_sync): the
     index is a token-bucketed MOR lake table kept exact by replaying the
@@ -2176,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_emit": q_cdc_envelope_emit,
         "text_lm_score": q_text_lm_score,
         "text_search_sync": q_text_search_sync,
+        "text_dup_spans": q_text_dup_spans,
     }
 
 
@@ -2849,6 +2862,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*)::BIGINT AS score FROM tok
         WHERE token IN ({terms})
         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+    """
+    # text_dup_spans: identical k-gram grouping and interval-merge
+    # window math; substr/substring and length are both character-based
+    # on the two engines.
+    sql["text_dup_spans"] = """
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(range(0, greatest(length(text) - 29, 0))) AS pos
+          FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 substr(text, pos::INT + 1, 30) AS gram
+          FROM pos),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, pos FROM grams
+                 WHERE gram IN (SELECT gram FROM dup)),
+        marked AS (
+          SELECT doc_id, pos,
+                 max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM hits),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM marked)
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 30 AS span_end
+        FROM grp GROUP BY doc_id, gid
+        ORDER BY doc_id, span_start
     """
     # text_search_sync: recompute the FINAL corpus state (after the
     # delete/update/insert churn q_text_search_sync replays through the

@@ -958,3 +958,92 @@ def bigram_lm_scores(
             round6(F.col("s") / F.col("n_bigrams")).alias("lm_score"),
         )
     )
+
+
+# ------------------------------------------------- exact substring dedup
+def duplicate_spans(
+    docs,
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    stride: int = 1,
+):
+    """Exact duplicate-substring detection — the substring-dedup pass of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), whose suffix-array step is re-expressed here as
+    distributed k-gram occurrence counting: every character position
+    starts a k-gram; any gram occurring >= ``min_count`` times anywhere
+    in the corpus (including within one document) marks its span
+    [pos, pos+k) duplicated; per document, overlapping-or-touching
+    marked spans merge into MAXIMAL intervals. For a duplicate of
+    length L >= k this yields exactly the byte range the suffix-array
+    method cuts (every window inside it is duplicated, so the merged
+    interval covers it end to end); no span shorter than k is ever
+    flagged.
+
+    Returns (id_col, span_start, span_end) — 0-based character offsets,
+    end-exclusive, one row per maximal duplicated span, integer-exact
+    and order-independent (DuckDB-reproducible).
+
+    Physical shape for 100 TB: the gram explode is O(total chars /
+    stride) rows but stays a scan-fused Generate (zero Python); the
+    occurrence count is ONE hash aggregation on the gram with map-side
+    partials, and the join back is gram-keyed equi (AQE handles the
+    skewed hot grams — the very duplicates being hunted, which a
+    window-over-gram formulation would funnel into single sorted
+    partitions). The interval merge is one doc-keyed sort whose two
+    window frames share the exchange, and the closing groupBy reuses
+    that partitioning (hashpartitioning(doc_id) satisfies the
+    (doc_id, gid) clustering — no fourth shuffle). At production scale
+    key the count on xxhash64(gram) instead of the raw 30-char string
+    (identical answers modulo 2^-64 collisions); the raw gram is kept
+    here so the DuckDB oracle is literally the same grouping.
+    ``stride > 1`` trades recall for an exact 1/stride cost cut (only
+    grams at stride offsets are counted); stride=1 is the exact setting.
+
+    DataX parity: none — this is "beyond the reference" training-data
+    surface (module docstring); the reference's nearest concept is the
+    transformer chain's dx_filter (SURVEY.md §2.3).
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or stride < 1 or min_count < 2:
+        raise ValueError("k >= 1, stride >= 1, min_count >= 2 required")
+    t = _c(text_col)
+    last = F.floor((F.length(t) - k) / stride).cast("int")
+    positions = F.when(F.length(t) >= k, F.sequence(F.lit(0), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        F.col(id_col), t.alias("_t"), F.explode(positions).alias("_i")
+    ).select(
+        id_col,
+        (F.col("_i") * stride).cast("long").alias("pos"),
+        F.expr(f"substring(_t, _i * {stride} + 1, {k})").alias("_gram"),
+    )
+    dup = (
+        grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_gram")
+    )
+    hits = grams.join(dup, "_gram").select(id_col, "pos")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.select(id_col, "pos", prev_end.alias("_pe"))
+    gid = F.sum(
+        F.when(F.col("_pe").isNull() | (F.col("pos") > F.col("_pe")), 1)
+        .otherwise(0)
+    ).over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.select(id_col, "pos", gid.alias("_gid"))
+        .groupBy(id_col, "_gid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
