@@ -1558,6 +1558,18 @@ def q_text_dup_spans(spark, sf_dir):
     return duplicate_spans(docs, k=30)
 
 
+def q_text_dup_scrub(spark, sf_dir):
+    """The duplicate-span CUT transform (Lee et al.'s best dedup
+    treatment): every doc keeps only the characters outside its maximal
+    duplicated 30-gram spans; dup_chars/dup_ratio quantify the cut.
+    The oracle rebuilds clean_text relationally (gap segments +
+    ordered string_agg) — identical character math."""
+    from datax_spark.functions.text import scrub_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return scrub_duplicate_spans(docs, k=30)
+
+
 def q_text_search_sync(spark, sf_dir):
     """Incrementally-SYNCED posting index (operators/posting_sync): the
     index is a token-bucketed MOR lake table kept exact by replaying the
@@ -2189,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "text_search_sync": q_text_search_sync,
         "text_dup_spans": q_text_dup_spans,
+        "text_dup_scrub": q_text_dup_scrub,
     }
 
 
@@ -2891,6 +2904,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(pos) AS span_start, max(pos) + 30 AS span_end
         FROM grp GROUP BY doc_id, gid
         ORDER BY doc_id, span_start
+    """
+    # text_dup_scrub: same spans pipeline, then relational text
+    # reconstruction — per-span predecessor gap via lag(), tail gap via
+    # the per-doc max(end), ordered string_agg of the kept substrings.
+    sql["text_dup_scrub"] = """
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(range(0, greatest(length(text) - 29, 0))) AS pos
+          FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 substr(text, pos::INT + 1, 30) AS gram
+          FROM pos),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, pos FROM grams
+                 WHERE gram IN (SELECT gram FROM dup)),
+        marked AS (
+          SELECT doc_id, pos,
+                 max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM hits),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM marked),
+        spans AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + 30 AS e
+          FROM grp GROUP BY doc_id, gid),
+        gaps AS (
+          SELECT doc_id,
+                 coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                          0) AS gs,
+                 s AS ge
+          FROM spans),
+        mids AS (
+          SELECT g.doc_id,
+                 string_agg(substr(d.text, g.gs::INT + 1,
+                                   (g.ge - g.gs)::INT), '' ORDER BY g.gs)
+                   AS mid_text
+          FROM gaps g JOIN documents d USING (doc_id)
+          GROUP BY g.doc_id),
+        tails AS (
+          SELECT doc_id, max(e) AS tail_start,
+                 sum(e - s) AS dup_chars
+          FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(m.mid_text, '') ||
+               CASE WHEN t.tail_start IS NULL THEN d.text
+                    ELSE substr(d.text, t.tail_start::INT + 1,
+                                (length(d.text) - t.tail_start)::INT)
+               END AS clean_text,
+               coalesce(t.dup_chars, 0)::BIGINT AS dup_chars,
+               floor(coalesce(t.dup_chars, 0)::DOUBLE
+                     / greatest(length(d.text), 1)::DOUBLE * 1e6 + 0.5)
+                 / 1e6 AS dup_ratio
+        FROM documents d
+        LEFT JOIN mids m USING (doc_id)
+        LEFT JOIN tails t USING (doc_id)
+        ORDER BY d.doc_id
     """
     # text_search_sync: recompute the FINAL corpus state (after the
     # delete/update/insert churn q_text_search_sync replays through the

@@ -1047,3 +1047,92 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def scrub_duplicate_spans(
+    docs,
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+):
+    """Cut the ``duplicate_spans`` intervals OUT of the text — the
+    "remove duplicated substrings" training-data transform of Lee et
+    al. 2022 (their best-performing dedup treatment): every document
+    keeps only the characters outside its maximal duplicated spans.
+
+    Returns (id_col, clean_text, dup_chars, dup_ratio): the scrubbed
+    text, how many characters were cut, and the cut fraction —
+    round6-rounded so the ratio is engine-portable; docs with no
+    duplicated spans pass through whole with dup_chars = 0.
+
+    Physical shape: spans per doc are FEW (merged maximal intervals),
+    so the reconstruction is relational, not string-functional — each
+    span's KEPT predecessor gap [prev_end, start) becomes a row via one
+    lag() window over the span set (tiny: one row per span), the final
+    tail gap [max_end, len) rides the same per-doc aggregate, and
+    clean_text is an ordered concat of substrings — all Column
+    expressions over the doc's own text, zero Python. Adds one
+    doc-keyed shuffle of the SPANS (not the corpus) plus the join back
+    to the docs; a doc with no spans never enters the window.
+    """
+    from pyspark.sql import Window
+
+    spans = duplicate_spans(
+        docs, k=k, text_col=text_col, id_col=id_col, min_count=min_count
+    )
+    wd = Window.partitionBy(id_col).orderBy("span_start")
+    gaps = spans.select(
+        id_col,
+        F.coalesce(
+            F.lag("span_end").over(wd), F.lit(0).cast("long")
+        ).alias("_gs"),
+        F.col("span_start").alias("_ge"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.max("span_end").alias("_tail_start"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_chars"),
+    )
+    t = _c(text_col)
+    joined = (
+        docs.select(id_col, t.alias("_t"))
+        .join(per_doc, id_col, "left")
+        .join(
+            gaps.groupBy(id_col).agg(
+                F.sort_array(
+                    F.collect_list(F.struct("_gs", "_ge"))
+                ).alias("_gaps")
+            ),
+            id_col,
+            "left",
+        )
+    )
+    kept_mid = F.array_join(
+        F.transform(
+            F.coalesce(
+                F.col("_gaps"),
+                F.array().cast("array<struct<_gs:bigint,_ge:bigint>>"),
+            ),
+            lambda g: F.expr("_t").substr(
+                (g["_gs"] + 1).cast("int"), (g["_ge"] - g["_gs"]).cast("int")
+            ),
+        ),
+        "",
+    )
+    tail = F.when(
+        F.col("_tail_start").isNotNull(),
+        F.expr("_t").substr(
+            (F.col("_tail_start") + 1).cast("int"),
+            (F.length("_t") - F.col("_tail_start")).cast("int"),
+        ),
+    ).otherwise(F.col("_t"))
+    dup_chars = F.coalesce("dup_chars", F.lit(0)).cast("long")
+    return joined.select(
+        id_col,
+        F.concat(kept_mid, tail).alias("clean_text"),
+        dup_chars.alias("dup_chars"),
+        round6(
+            dup_chars.cast("double")
+            / F.greatest(F.length("_t"), F.lit(1)).cast("double")
+        ).alias("dup_ratio"),
+    )

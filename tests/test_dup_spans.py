@@ -129,3 +129,80 @@ def test_stride_spans_are_contained_in_exact_spans(spark):
         assert any(
             d2 == d and s >= s2 and e <= e2 for d2, s2, e2 in exact
         ), "stride>1 spans must be a subset cover of the exact spans"
+
+
+# ------------------------------------------------ scrub (the cut transform)
+def _ref_scrub(texts: dict[str, str], k: int, min_count: int = 2):
+    spans_by_doc: dict[str, list[tuple[int, int]]] = {}
+    for d, s, e in _ref(texts, k, min_count):
+        spans_by_doc.setdefault(d, []).append((s, e))
+    out = []
+    for did, t in sorted(texts.items()):
+        cur, kept, cut = 0, [], 0
+        for s, e in sorted(spans_by_doc.get(did, [])):
+            kept.append(t[cur:s])
+            cut += e - s
+            cur = e
+        kept.append(t[cur:])
+        import math
+        ratio = math.floor(cut / max(len(t), 1) * 1e6 + 0.5) / 1e6
+        out.append((did, "".join(kept), cut, ratio))
+    return out
+
+
+def test_scrub_cuts_exactly_the_spans(spark):
+    from datax_spark.functions.text import scrub_duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    texts = {
+        "d1": f"keepme {shared} andme",
+        "d2": f"other {shared} tail",
+        "d3": "entirely unique text with no duplication at all",
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id string, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["clean_text"], r["dup_chars"], r["dup_ratio"])
+        for r in scrub_duplicate_spans(df, k=12).collect()
+    )
+    assert got == _ref_scrub(texts, 12)
+    by = {d: (c, n) for d, c, n, _ in got}
+    # the untouched doc passes through whole with zero cut
+    assert by["d3"] == (texts["d3"], 0)
+    # scrubbed docs no longer contain the shared sentence
+    assert shared not in by["d1"][0] and shared not in by["d2"][0]
+
+
+def test_scrub_whole_doc_duplicate_empties_it(spark):
+    from datax_spark.functions.text import scrub_duplicate_spans
+
+    texts = {"a": "identical-document-text!", "b": "identical-document-text!"}
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id string, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["clean_text"], r["dup_chars"], r["dup_ratio"])
+        for r in scrub_duplicate_spans(df, k=24).collect()
+    )
+    assert got == _ref_scrub(texts, 24)
+    assert all(c == "" and r == 1.0 for _, c, _, r in got)
+
+
+def test_scrub_multiple_spans_keep_the_gaps(spark):
+    from datax_spark.functions.text import scrub_duplicate_spans
+
+    texts = {
+        "x": "AABLOCKONEDUPLICATED middle kept BLOCKTWODUPLICATED zz",
+        "y": "qq BLOCKONEDUPLICATED other BLOCKTWODUPLICATED",
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id string, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["clean_text"], r["dup_chars"], r["dup_ratio"])
+        for r in scrub_duplicate_spans(df, k=16).collect()
+    )
+    assert got == _ref_scrub(texts, 16)
+    x_clean = next(c for d, c, _, _ in got if d == "x")
+    assert "middle kept" in x_clean
