@@ -2156,7 +2156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
-        "dedup_corpus_quality": q_dedup_corpus_quality,
+        # substring-level dedup family's first-50 representative (the
+        # corpus_quality variant moved to the tail: same family as
+        # dedup_corpus, which stays here)
+        "text_dup_spans": q_text_dup_spans,
         "dedup_incremental": q_dedup_incremental,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_corpus": q_dedup_embedding_corpus,
@@ -2200,7 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_emit": q_cdc_envelope_emit,
         "text_lm_score": q_text_lm_score,
         "text_search_sync": q_text_search_sync,
-        "text_dup_spans": q_text_dup_spans,
+        "dedup_corpus_quality": q_dedup_corpus_quality,
         "text_dup_scrub": q_text_dup_scrub,
     }
 
