@@ -42,8 +42,10 @@ BENCH_QUERIES = [
     "cdc_asof_join",
     "cdc_envelope_emit",
     "text_search",
+    "text_search_sync",
     "text_lm_score",
     "text_search_bm25",
+    "text_dup_scrub",
     "dedup_exact",
     "dedup_incremental",
     "dedup_corpus_quality",
