@@ -201,3 +201,65 @@ def test_search_stays_exact_after_compaction(spark, tmp_path):
         for r in search_posting_index(index, ["alpha", "beta"], k=5).collect()
     ]
     assert got == [("d1", 2), ("d2", 1)]
+
+
+def test_index_follows_a_live_stream_via_on_commit(spark, tmp_path):
+    """The search index as a CDC CONSUMER of a live stream: an on_commit
+    hook refreshes the posting index after every committed micro-batch,
+    so search stays fresh while the tail runs — and the final index
+    equals the from-scratch recompute."""
+    from datax_spark.sources.changelog import generate_changelog, write_segments
+    from datax_spark.streaming.pipeline import PipelineConfig, tail_and_apply
+    from pyspark.sql.types import LongType
+
+    log_dir = str(tmp_path / "log")
+    log = generate_changelog(
+        spark, n_events=3000, n_keys=400, events_per_segment=1000
+    )
+    write_segments(log, log_dir)
+
+    event_schema = StructType([
+        StructField("repo", StringType()), StructField("path", StringType()),
+        StructField("commit", StringType()), StructField("lang", StringType()),
+        StructField("content", StringType()), StructField("op", StringType()),
+        StructField("seq", LongType()),
+    ])
+    docs = LakeTable.create(
+        spark, str(tmp_path / "docs"),
+        StructType([f for f in event_schema.fields if f.name not in ("op", "seq")]),
+        key_cols=["repo", "path", "commit"], bucket_key="repo", num_buckets=4,
+    )
+    index = create_posting_index_table(
+        spark, str(tmp_path / "pidx"), docs, n_buckets=8
+    )
+    refreshed = []
+
+    def refresh_hook(metrics):
+        m = refresh_posting_index(index, docs, text_col="content")
+        refreshed.append((metrics.batch_id, m is not None))
+
+    tail_and_apply(
+        spark, docs.path, log_dir, checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=event_schema,
+        config=PipelineConfig(
+            quarantine_dir=str(tmp_path / "quar"), on_commit=[refresh_hook]
+        ),
+        max_files_per_trigger=1,
+    )
+    assert len(refreshed) >= 2 and all(did for _, did in refreshed)
+    got = sorted(
+        (r["repo"], r["path"], r["commit"], r["token"])
+        for r in index.read().collect()
+    )
+    want = sorted(
+        (r["repo"], r["path"], r["commit"], r["token"])
+        for r in docs.read()
+        .select(
+            "repo", "path", "commit",
+            F.explode(F.array_distinct(tokens("content"))).alias("token"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # stream is drained: one more refresh is a fenced no-op
+    assert refresh_posting_index(index, docs, text_col="content") is None
