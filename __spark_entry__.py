@@ -1570,6 +1570,61 @@ def q_text_dup_scrub(spark, sf_dir):
     return scrub_duplicate_spans(docs, k=30)
 
 
+MIX_BUDGETS = {"src0": 1500, "src1": 4000, "src2": 10**9}
+QB_HEAD, QB_MIDDLE = 0.1, 0.4
+SHARD_TOKENS = 2000
+
+
+def q_text_mixture(spark, sf_dir):
+    """Token-budget corpus mixing: per-domain token budgets -> keep
+    thresholds via ONE integer stats pass + integer floor division
+    driver-side (fit-is-DATA), applied as the same md5 hash-threshold
+    filter as text_sample — so the surviving row set is exact on every
+    engine/partitioning. Unlisted domains drop (the mixture is a
+    whitelist); src2's huge budget pins the keep-everything arm."""
+    from datax_spark.functions.text import mixture_fit, mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    ppm = mixture_fit(docs, MIX_BUDGETS)
+    return mixture_sample(docs, ppm)
+
+
+def q_text_quality_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): per language,
+    rank every document by its bigram-LM score and cut head/middle/tail
+    at the 10%/50% quantiles — head trains, middle keeps, tail drops.
+    Rank = row_number over (score DESC NULLS LAST, doc_id), quantile
+    cuts are integer comparisons (rank*1e6 <= n*ppm): no float quantile
+    estimation, so the DuckDB oracle reproduces the exact assignment.
+    One shuffle (the per-language sort — CCNet's own shape; a dominant
+    language goes through the sampled-threshold variant at 100 TB)."""
+    from datax_spark.functions.text import (
+        bigram_lm_fit,
+        bigram_lm_scores,
+        quality_buckets,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    scores = bigram_lm_scores(docs, bigram_lm_fit(docs))
+    return quality_buckets(docs, scores, head=QB_HEAD, middle=QB_MIDDLE)
+
+
+def q_text_shards(spark, sf_dir):
+    """Deterministic corpus shard export: every doc placed at a global
+    token offset in hash-of-id order and assigned to the fixed-budget
+    shard containing its start (start_tok div shard_tokens — integer
+    arithmetic end to end; a double `/` would collapse at 2^53 real
+    offsets). Physical shape is a DISTRIBUTED PREFIX SUM, not one
+    window over a global ORDER BY (which collapses to a single sorted
+    partition): 64 contiguous hash-range buckets, per-bucket totals
+    (O(64) collect), driver exclusive prefix, cumsum window WITHIN
+    each bucket + bucket offset."""
+    from datax_spark.functions.text import pack_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_shards(docs, shard_tokens=SHARD_TOKENS)
+
+
 def q_text_search_sync(spark, sf_dir):
     """Incrementally-SYNCED posting index (operators/posting_sync): the
     index is a token-bucketed MOR lake table kept exact by replaying the
@@ -1989,6 +2044,50 @@ def _lm_oracle_sql() -> str:
     """
 
 
+def _mixture_oracle_sql() -> str:
+    """text_mixture oracle: recompute the per-domain token totals
+    locally (mixture_fit_local — integer agg + integer floor division,
+    pinned bit-identical to the Spark fit) and embed the resulting ppm
+    thresholds as CASE literals over the same md5 hash filter."""
+    from datax_spark.functions.text import TOKEN_RE, mixture_fit_local
+
+    ppm = mixture_fit_local(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"), MIX_BUDGETS
+    )
+    thr = " ".join(f"WHEN '{k}' THEN {p}" for k, p in sorted(ppm.items()))
+    return f"""
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text),
+                   '{TOKEN_RE}'))::BIGINT AS n_tokens
+        FROM documents
+        WHERE {_h32_sql("doc_id", "mix")} % 1000000 <
+              (CASE source {thr} ELSE 0 END)
+    """
+
+
+def _qb_oracle_sql() -> str:
+    """text_quality_buckets oracle: the LM-score oracle as a CTE, then
+    the identical deterministic rank (score DESC NULLS LAST, doc_id)
+    and INTEGER quantile cuts — no float thresholds anywhere."""
+    h_ppm = int(QB_HEAD * 1000000)
+    m_ppm = int((QB_HEAD + QB_MIDDLE) * 1000000)
+    return f"""
+        WITH lm AS ({_lm_oracle_sql()}),
+        j AS (SELECT lm.doc_id, d.lang, lm.lm_score
+              FROM lm JOIN documents d USING (doc_id)),
+        r AS (SELECT doc_id, lang, lm_score,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY lm_score DESC NULLS LAST, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM j)
+        SELECT doc_id, lang, lm_score, rn::BIGINT AS lang_rank,
+               CASE WHEN rn * 1000000 <= n * {h_ppm} THEN 'head'
+                    WHEN rn * 1000000 <= n * {m_ppm} THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+    """
+
+
 def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75, k: int = 20) -> str:
     """DuckDB oracle for text_search_bm25: compute the SAME integer
     corpus stats (N, total tokens, per-term df) locally with DuckDB over
@@ -2205,6 +2304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_sync": q_text_search_sync,
         "dedup_corpus_quality": q_dedup_corpus_quality,
         "text_dup_scrub": q_text_dup_scrub,
+        "text_mixture": q_text_mixture,
+        "text_quality_buckets": q_text_quality_buckets,
+        "text_shards": q_text_shards,
     }
 
 
@@ -2452,6 +2554,8 @@ def oracle_sql() -> dict[str, str]:
         # integers -> math.log literals derived from the oracle corpus.
         sql["text_search_bm25"] = _bm25_oracle_sql()
         sql["text_lm_score"] = _lm_oracle_sql()
+        sql["text_mixture"] = _mixture_oracle_sql()
+        sql["text_quality_buckets"] = _qb_oracle_sql()
     from datax_spark.functions.text import (
         PII_DIGITRUN_RE,
         PII_EMAIL_RE,
@@ -3001,5 +3105,20 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
         SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit", content
         FROM ded WHERE rn = 1 AND op != 'delete'
+    """
+    # Window cumsum is the oracle's job; the ENGINE runs the
+    # distributed prefix-sum (pack_shards) — same integers.
+    sql["text_shards"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_h32_sql("doc_id", "shard")} % 1000000 AS hm,
+                 len(regexp_extract_all(lower(text),
+                     '[a-z0-9]+'))::BIGINT AS tl
+          FROM documents)
+        SELECT doc_id, tl AS n_tokens,
+               (sum(tl) OVER (ORDER BY hm, doc_id) - tl)::BIGINT
+                 AS start_tok,
+               ((sum(tl) OVER (ORDER BY hm, doc_id) - tl)
+                 // {SHARD_TOKENS})::BIGINT AS shard_id
+        FROM t
     """
     return sql

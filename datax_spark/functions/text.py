@@ -1136,3 +1136,231 @@ def scrub_duplicate_spans(
             / F.greatest(F.length("_t"), F.lit(1)).cast("double")
         ).alias("dup_ratio"),
     )
+
+
+# ------------------------------------------- token-budget corpus mixing
+# The data-mixture construction step of a pre-training pipeline: given a
+# per-domain TOKEN budget (the recipe's mixture weights times the total
+# token target), derive per-domain keep thresholds and sample the corpus
+# down to them. The fit-is-DATA contract again: the per-domain token
+# totals are ONE integer aggregation both engines reproduce exactly, the
+# threshold math is integer floor division driver-side, and the
+# resulting ppm literals re-enter both engines in the same
+# hash-threshold filter stratified_sample uses — so the SURVIVING ROW
+# SET is exact (budgets are hit in expectation; the contract is the row
+# set, not the token count).
+
+MIX_PPM = 1_000_000
+
+
+def _mixture_ppm(
+    totals: dict[str, int], budgets: dict[str, int]
+) -> dict[str, int]:
+    """budget tokens / total tokens -> keep threshold in ppm, integer
+    floor math only (engine-neutral by construction). Domains at or
+    over budget keep everything; domains absent from ``budgets`` are
+    dropped (ppm 0) — the mixture is a whitelist."""
+    out: dict[str, int] = {}
+    for s, budget in sorted(budgets.items()):
+        if budget < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0")
+        t = int(totals.get(s, 0))
+        out[s] = MIX_PPM if budget >= t else budget * MIX_PPM // t
+    return out
+
+
+def mixture_fit(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Per-domain token totals IN SPARK (one integer agg, map-side
+    partials, O(domains) collect) -> keep thresholds in ppm."""
+    rows = (
+        docs.groupBy(strata_col)
+        .agg(F.sum(F.size(tokens(text_col))).alias("t"))
+        .collect()
+    )
+    return _mixture_ppm({r[strata_col]: r["t"] for r in rows}, budgets)
+
+
+def mixture_fit_local(
+    docs_path: str,
+    budgets: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Engine-neutral local twin of ``mixture_fit`` (DuckDB counts +
+    the same integer driver math) — MUST stay bit-identical; the oracle
+    generator embeds its output as ppm literals."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.sql(
+            f"""
+            SELECT {strata_col},
+                   sum(len(regexp_extract_all(lower({text_col}),
+                           '{TOKEN_RE}')))::BIGINT
+            FROM read_parquet('{docs_path}') GROUP BY 1
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    return _mixture_ppm({s: int(t) for s, t in rows}, budgets)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    ppm: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Apply a fitted mixture: keep a row iff
+    ``h32(seed|id) % 1e6 < ppm[stratum]`` (unlisted strata drop).
+    Same reproducibility properties as stratified_sample — exact row
+    set on every engine/partitioning, per-row independent so re-runs
+    over a grown corpus keep prior picks. Returns the kept rows with
+    their token counts (the budget-accounting column). The filter and
+    tokenizer fuse into the scan; no shuffle."""
+    bucket = F.pmod(h32(F.col(id_col).cast("string"), seed), F.lit(MIX_PPM))
+    thr = F.lit(0)
+    for k, p in sorted(ppm.items()):
+        if not 0 <= p <= MIX_PPM:
+            raise ValueError(f"ppm for {k!r} out of range: {p}")
+        thr = F.when(F.col(strata_col) == F.lit(k), F.lit(p)).otherwise(thr)
+    return docs.filter(bucket < thr).select(
+        id_col,
+        strata_col,
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+
+
+# ------------------------------------------ quality-quantile bucketing
+def quality_buckets(
+    docs: DataFrame,
+    scores: DataFrame,
+    head: float = 0.1,
+    middle: float = 0.4,
+    lang_col: str = "lang",
+    score_col: str = "lm_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): per language,
+    rank documents by quality score and cut head / middle / tail at the
+    ``head`` and ``head+middle`` quantiles (CCNet trains on the head,
+    keeps the middle, drops the tail). ``scores`` is any (id, score)
+    frame — bigram_lm_scores output in the flagship query.
+
+    Exactness: the rank is row_number over (score DESC NULLS LAST, id)
+    per language — a deterministic total order — and the quantile cuts
+    are INTEGER comparisons (rank * 1e6 <= n * head_ppm), so any SQL
+    engine reproduces the exact bucket assignment; no float quantile
+    estimation is involved.
+
+    Scale shape: one shuffle on lang_col for the per-language sort —
+    the honest shape of CCNet's own per-language ranking. A dominant
+    language (en at ~40% of a 100 TB crawl) makes that partition the
+    straggler; production would switch to the two-pass sampled-
+    threshold variant (compute per-lang score cutoffs from a sample,
+    then filter scan-side — same output modulo boundary ties) or run
+    per-shard like CCNet itself. The exact-rank form is the
+    oracle-checkable contract."""
+    from pyspark.sql import Window
+
+    if not (0 <= head <= 1 and 0 <= middle <= 1 and head + middle <= 1):
+        raise ValueError("require 0 <= head, middle, head+middle <= 1")
+    h_ppm = int(head * MIX_PPM)
+    m_ppm = int((head + middle) * MIX_PPM)
+    j = docs.select(id_col, lang_col).join(scores, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
+    )
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy(lang_col))
+    bucket = (
+        F.when(rn * MIX_PPM <= n * h_ppm, F.lit("head"))
+        .when(rn * MIX_PPM <= n * m_ppm, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select(
+        id_col,
+        lang_col,
+        F.col(score_col),
+        rn.cast("long").alias("lang_rank"),
+        bucket.alias("bucket"),
+    )
+
+
+# --------------------------------------------- deterministic sharding
+def pack_shards(
+    docs: DataFrame,
+    shard_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_order_buckets: int = 64,
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic corpus shard export — the final step of a training
+    pipeline: place every document at a global token offset in a
+    pseudo-random but REPRODUCIBLE order (hash of the id), and assign
+    it to the fixed-token-budget shard containing its start offset
+    (shard = start_tok div shard_tokens; a doc may straddle its
+    shard's end — greedy-by-start, the WebDataset convention).
+
+    Exactness: order key = (h32(id) % 1e6, id) — unique, engine-neutral
+    — and every number is integer arithmetic, so DuckDB reproduces the
+    exact (start_tok, shard_id) per row with one window cumsum.
+
+    Physical shape for 100 TB (the reason this is not "one window over
+    ORDER BY hash", which collapses to a single sorted partition): a
+    DISTRIBUTED PREFIX SUM. The hash key is uniform, so its range
+    splits into ``n_order_buckets`` contiguous, balanced buckets; pass
+    1 aggregates per-bucket token totals (O(buckets) collect), the
+    driver exclusive-prefix-sums them, pass 2 runs the cumsum window
+    WITHIN each bucket (balanced parallel sorts) and adds the bucket's
+    offset. Same two-pass shape as split_ntile's exact ranks."""
+    if shard_tokens <= 0 or n_order_buckets <= 0:
+        raise ValueError("shard_tokens and n_order_buckets must be > 0")
+    from pyspark.sql import Window
+
+    hm = F.pmod(h32(F.col(id_col).cast("string"), seed), F.lit(MIX_PPM))
+    base = docs.select(
+        F.col(id_col),
+        hm.alias("_hm"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "_ob",
+        (F.col("_hm") * F.lit(n_order_buckets) / F.lit(MIX_PPM)).cast("int"),
+    )
+    totals = {
+        r["_ob"]: r["t"]
+        for r in base.groupBy("_ob")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    off, acc = {}, 0
+    for b in range(n_order_buckets):
+        off[b] = acc
+        acc += int(totals.get(b, 0))
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in sorted(off.items()) for x in kv]
+    )
+    w = Window.partitionBy("_ob").orderBy("_hm", id_col)
+    start = (
+        offset_map[F.col("_ob")] + F.sum("n_tokens").over(w)
+        - F.col("n_tokens")
+    )
+    # shard = start_tok div shard_tokens in INTEGER arithmetic — a
+    # double `/` would hit the 2^53 precision collapse at real corpus
+    # token offsets (the repo-wide long->double trap).
+    return base.select(
+        id_col,
+        F.col("n_tokens"),
+        start.cast("long").alias("start_tok"),
+    ).withColumn(
+        "shard_id", F.expr(f"start_tok div {int(shard_tokens)}")
+    )

@@ -1,0 +1,166 @@
+"""Token-budget mixture sampling, CCNet quality bucketing, and
+deterministic shard packing (functions/text.py, round-4 session 7).
+
+The exactness contracts under test:
+- mixture: the Spark fit and the local DuckDB fit produce IDENTICAL ppm
+  thresholds (integer agg + integer floor division — no floats), and the
+  hash-threshold filter is monotone in the budget (raising a budget only
+  ADDS rows — the incremental-rerun property stratified_sample pins).
+- quality_buckets: rank is a deterministic total order (score DESC NULLS
+  LAST, id) and the quantile cuts are integer comparisons, so bucket
+  sizes follow floor math exactly and NULL-score docs sink to the tail.
+- pack_shards: the distributed prefix sum is INVARIANT in the bucket
+  count (1 bucket == 64 buckets == one global window), offsets tile the
+  token stream exactly, and shard_id is integer division of the start.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.functions.text import (
+    MIX_PPM,
+    _mixture_ppm,
+    mixture_fit,
+    mixture_fit_local,
+    mixture_sample,
+    pack_shards,
+    quality_buckets,
+)
+
+DOCS_PQ = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS_PQ)
+
+
+# ------------------------------------------------------------- mixture
+def test_mixture_fit_matches_local_twin(docs):
+    budgets = {"src0": 1500, "src1": 4000, "src2": 10**9, "src19": 0}
+    assert mixture_fit(docs, budgets) == mixture_fit_local(DOCS_PQ, budgets)
+
+
+def test_mixture_ppm_integer_math():
+    totals = {"a": 1000, "b": 10, "c": 0}
+    ppm = _mixture_ppm(totals, {"a": 300, "b": 10, "c": 5, "d": 7})
+    assert ppm == {
+        "a": 300 * MIX_PPM // 1000,  # under budget -> floor ratio
+        "b": MIX_PPM,                # budget == total -> keep all
+        "c": MIX_PPM,                # empty stratum -> keep all (vacuous)
+        "d": MIX_PPM,                # absent stratum -> no rows to drop
+    }
+    assert _mixture_ppm({}, {"a": 0}) == {"a": MIX_PPM}  # 0 of 0
+    assert _mixture_ppm({"a": 5}, {"a": 0}) == {"a": 0}  # 0 of 5 -> drop
+    with pytest.raises(ValueError):
+        _mixture_ppm({}, {"a": -1})
+
+
+def test_mixture_monotone_in_budget(docs):
+    lo = mixture_fit(docs, {"src0": 500})
+    hi = mixture_fit(docs, {"src0": 1200})
+    kept_lo = {r.doc_id for r in mixture_sample(docs, lo).collect()}
+    kept_hi = {r.doc_id for r in mixture_sample(docs, hi).collect()}
+    assert kept_lo < kept_hi  # strictly grows, never swaps rows
+
+
+def test_mixture_whitelist_drops_unlisted(docs):
+    out = mixture_sample(docs, {"src3": MIX_PPM}).collect()
+    assert {r.source for r in out} == {"src3"}
+    total = docs.filter(F.col("source") == "src3").count()
+    assert len(out) == total  # ppm 1e6 keeps the whole stratum
+
+
+def test_mixture_sample_rejects_bad_ppm(docs):
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"src0": MIX_PPM + 1}).collect()
+
+
+# ----------------------------------------------------- quality buckets
+def test_quality_buckets_integer_quantile_cuts(spark):
+    # 10 docs in one lang, scores = rank order; head=0.2, middle=0.3
+    rows = [(i, "xx", float(-i)) for i in range(10)]
+    docs = spark.createDataFrame(
+        [(i, "xx") for i, _, _ in rows], "doc_id long, lang string"
+    )
+    scores = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = quality_buckets(
+        docs, scores.select("doc_id", "s"), head=0.2, middle=0.3,
+        score_col="s",
+    ).collect()
+    by_id = {r.doc_id: (r.lang_rank, r.bucket) for r in out}
+    # rank follows score desc: doc 0 (score 0.0) ranks 1
+    assert [by_id[i][0] for i in range(10)] == list(range(1, 11))
+    assert [by_id[i][1] for i in range(10)] == (
+        ["head"] * 2 + ["middle"] * 3 + ["tail"] * 5
+    )
+
+
+def test_quality_buckets_nulls_sink_and_ties_break_on_id(spark):
+    docs = spark.createDataFrame(
+        [(i, "xx") for i in range(4)], "doc_id long, lang string"
+    )
+    scores = spark.createDataFrame(
+        [(0, None), (1, 1.0), (2, 1.0), (3, None)],
+        "doc_id long, s double",
+    )
+    out = {
+        r.doc_id: r.lang_rank
+        for r in quality_buckets(
+            docs, scores, head=0.5, middle=0.5, score_col="s"
+        ).collect()
+    }
+    # tied scores order by doc_id; NULLs last, also by doc_id
+    assert out == {1: 1, 2: 2, 0: 3, 3: 4}
+
+
+def test_quality_buckets_validates_fractions(spark):
+    docs = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    scores = spark.createDataFrame([(1, 0.0)], "doc_id long, lm_score double")
+    with pytest.raises(ValueError):
+        quality_buckets(docs, scores, head=0.7, middle=0.5)
+
+
+# -------------------------------------------------------------- shards
+def test_pack_shards_bucket_count_invariant(docs):
+    """The distributed prefix sum equals the single global window: the
+    bucket count must never change a single (start_tok, shard_id)."""
+    a = sorted(
+        tuple(r) for r in pack_shards(docs, 2000, n_order_buckets=1).collect()
+    )
+    b = sorted(
+        tuple(r) for r in pack_shards(docs, 2000, n_order_buckets=64).collect()
+    )
+    c = sorted(
+        tuple(r) for r in pack_shards(docs, 2000, n_order_buckets=7).collect()
+    )
+    assert a == b == c
+
+
+def test_pack_shards_offsets_tile_the_token_stream(docs):
+    rows = pack_shards(docs, 500).collect()
+    total = sum(r.n_tokens for r in rows)
+    starts = sorted((r.start_tok, r.n_tokens, r.shard_id) for r in rows)
+    pos = 0
+    for start, n, shard in starts:
+        assert start == pos  # exclusive prefix: gapless tiling
+        assert shard == start // 500  # integer division, greedy-by-start
+        pos += n
+    assert pos == total
+
+
+def test_pack_shards_validates_args(docs):
+    with pytest.raises(ValueError):
+        pack_shards(docs, 0)
+    with pytest.raises(ValueError):
+        pack_shards(docs, 10, n_order_buckets=0)
+
+
+def test_pack_shards_window_is_not_single_partition(docs):
+    """The 100-TB property: the cumsum window partitions on the hash
+    bucket — no SinglePartition exchange anywhere in the plan."""
+    df = pack_shards(docs, 2000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
