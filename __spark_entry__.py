@@ -1625,6 +1625,69 @@ def q_text_shards(spark, sf_dir):
     return pack_shards(docs, shard_tokens=SHARD_TOKENS)
 
 
+RECIPE_BUDGETS = {
+    "src0": 200, "src1": 400, "src2": 10**9,
+    "src3": 150, "src4": 350, "src5": 10**9,
+}
+RECIPE_SHARD_TOKENS = 1000
+
+
+def q_text_recipe(spark, sf_dir):
+    """The END-TO-END training-data recipe as ONE composed Spark DAG —
+    exact dedup -> corpus LM quality scoring -> CCNet head/middle keep
+    (tail drops) -> token-budget domain mixture -> deterministic shard
+    export. Every stage is an already-oracled operator; this query pins
+    that they COMPOSE exactly: the DuckDB oracle replays the identical
+    five-stage pipeline (fits re-derived locally over the same
+    intermediate corpus — the fit-is-DATA contract extended through
+    composition via rel_sql fit twins). Output: one row per doc that
+    survives the full recipe, with its quality bucket, token count, and
+    final (start_tok, shard_id) placement."""
+    from pyspark.sql import Window
+
+    from datax_spark.functions.text import (
+        bigram_lm_fit,
+        bigram_lm_scores,
+        fingerprint,
+        mixture_fit,
+        mixture_sample,
+        pack_shards,
+        quality_buckets,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # 1. exact dedup: one representative (min doc_id) per sha256 digest
+    w = Window.partitionBy("_dig").orderBy("doc_id")
+    reps = (
+        docs.withColumn("_dig", fingerprint("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_dig", "_rn")
+    )
+    # 2-3. LM quality + CCNet buckets over the DEDUPED corpus; drop tail
+    qb = quality_buckets(
+        reps, bigram_lm_scores(reps, bigram_lm_fit(reps)),
+        head=QB_HEAD, middle=QB_MIDDLE,
+    )
+    kept = reps.join(
+        qb.filter(F.col("bucket") != "tail").select("doc_id", "bucket"),
+        "doc_id",
+    )
+    # 4. token-budget domain mixture over the survivors
+    mixed = kept.join(
+        mixture_sample(kept, mixture_fit(kept, RECIPE_BUDGETS))
+        .select("doc_id"),
+        "doc_id",
+    )
+    # 5. deterministic shard placement of the final corpus
+    return (
+        mixed.select("doc_id", "lang", "source", "bucket")
+        .join(pack_shards(mixed, RECIPE_SHARD_TOKENS), "doc_id")
+        .select("doc_id", "lang", "source", "bucket",
+                "n_tokens", "start_tok", "shard_id")
+    )
+
+
 def q_text_search_sync(spark, sf_dir):
     """Incrementally-SYNCED posting index (operators/posting_sync): the
     index is a token-bucketed MOR lake table kept exact by replaying the
@@ -2007,17 +2070,17 @@ def _ivfpq_oracle_sql(
     """
 
 
-def _lm_oracle_sql() -> str:
-    """text_lm_score oracle: refit the bigram LM locally over the
-    oracle corpus (bigram_lm_fit_local — bit-identical to the Spark
-    fit, pinned in tests/test_lm_score.py) and embed every (w1, w2,
-    logp) as VALUES literals; the per-doc mean is then the same ordered
-    left fold over the same doubles."""
-    from datax_spark.functions.text import TOKEN_RE, bigram_lm_fit_local
+def _lm_scores_sql(
+    fit: tuple[list[tuple[str, str, float]], float], table_term: str
+) -> str:
+    """The LM-score SELECT for an arbitrary input relation
+    (``table_term`` — a view name or a parenthesized subquery with
+    (doc_id, text) columns) and an already-computed fit. Shared by the
+    text_lm_score oracle (term = ``documents``) and the composed
+    text_recipe oracle (term = the deduped-reps subquery)."""
+    from datax_spark.functions.text import TOKEN_RE
 
-    table, oov = bigram_lm_fit_local(
-        os.path.join(_oracle_sf_dir(), "documents.parquet")
-    )
+    table, oov = fit
     # ::DOUBLE is load-bearing: bare decimal literals parse as DECIMAL
     # in DuckDB (overflow + rounding), not IEEE doubles
     vals = ",\n              ".join(
@@ -2026,7 +2089,7 @@ def _lm_oracle_sql() -> str:
     return f"""
         WITH fit(w1, w2, logp) AS (VALUES {vals}),
         tok AS (SELECT doc_id, regexp_extract_all(lower(text),
-                        '{TOKEN_RE}') AS l FROM documents),
+                        '{TOKEN_RE}') AS l FROM {table_term}),
         pe AS (SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS w
                FROM tok),
         bg AS (SELECT a.doc_id, a.p AS pos, a.w AS w1, b.w AS w2
@@ -2040,8 +2103,22 @@ def _lm_oracle_sql() -> str:
         SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
                floor((a.s / a.n_bigrams) * 1000000.0 + 0.5) / 1000000.0
                  AS lm_score
-        FROM documents d LEFT JOIN agg a USING (doc_id)
+        FROM {table_term} d LEFT JOIN agg a USING (doc_id)
     """
+
+
+def _lm_oracle_sql() -> str:
+    """text_lm_score oracle: refit the bigram LM locally over the
+    oracle corpus (bigram_lm_fit_local — bit-identical to the Spark
+    fit, pinned in tests/test_lm_score.py) and embed every (w1, w2,
+    logp) as VALUES literals; the per-doc mean is then the same ordered
+    left fold over the same doubles."""
+    from datax_spark.functions.text import bigram_lm_fit_local
+
+    fit = bigram_lm_fit_local(
+        os.path.join(_oracle_sf_dir(), "documents.parquet")
+    )
+    return _lm_scores_sql(fit, "documents")
 
 
 def _mixture_oracle_sql() -> str:
@@ -2085,6 +2162,74 @@ def _qb_oracle_sql() -> str:
                     WHEN rn * 1000000 <= n * {m_ppm} THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM r
+    """
+
+
+def _recipe_oracle_sql() -> str:
+    """text_recipe oracle: replay the five-stage recipe in SQL. The two
+    data-dependent fits (bigram LM, mixture ppm) are re-derived locally
+    over the SAME intermediate corpora the Spark query fits on — the
+    deduped reps and the post-bucket keeps — via the fit twins'
+    ``rel_sql`` parameter, then embedded as literals."""
+    from datax_spark.functions.text import (
+        TOKEN_RE,
+        bigram_lm_fit_local,
+        mixture_fit_local,
+    )
+
+    p = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    h_ppm = int(QB_HEAD * 1000000)
+    m_ppm = int((QB_HEAD + QB_MIDDLE) * 1000000)
+
+    def reps_sql(term: str) -> str:
+        return (
+            f"SELECT d.* FROM {term} d JOIN ("
+            f"SELECT min(doc_id) AS m FROM {term} "
+            f"GROUP BY substr(sha256({_NORM}), 1, 16)"
+            f") r ON d.doc_id = r.m"
+        )
+
+    local_term = f"read_parquet('{p}')"
+    fit = bigram_lm_fit_local(p, rel_sql=f"({reps_sql(local_term)})")
+
+    def kept_sql(term: str) -> str:
+        return f"""
+        WITH reps AS ({reps_sql(term)}),
+        lm AS ({_lm_scores_sql(fit, "reps")}),
+        jj AS (SELECT lm.doc_id, r.lang, lm.lm_score
+               FROM lm JOIN reps r USING (doc_id)),
+        rk AS (SELECT doc_id, lang, lm_score,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY lm_score DESC NULLS LAST, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM jj)
+        SELECT rk.doc_id, rk.lang, r.source, r.text,
+               CASE WHEN rn * 1000000 <= n * {h_ppm} THEN 'head'
+                    ELSE 'middle' END AS bucket
+        FROM rk JOIN reps r USING (doc_id)
+        WHERE rn * 1000000 <= n * {m_ppm}
+        """
+
+    ppm = mixture_fit_local(
+        p, RECIPE_BUDGETS, rel_sql=f"({kept_sql(local_term)})"
+    )
+    thr = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(ppm.items()))
+    return f"""
+        WITH keptq AS ({kept_sql("documents")}),
+        mixed AS (SELECT * FROM keptq
+                  WHERE {_h32_sql("doc_id", "mix")} % 1000000 <
+                        (CASE source {thr} ELSE 0 END)),
+        t AS (SELECT doc_id, lang, source, bucket,
+                     {_h32_sql("doc_id", "shard")} % 1000000 AS hm,
+                     len(regexp_extract_all(lower(text),
+                         '{TOKEN_RE}'))::BIGINT AS tl
+              FROM mixed)
+        SELECT doc_id, lang, source, bucket, tl AS n_tokens,
+               (sum(tl) OVER (ORDER BY hm, doc_id) - tl)::BIGINT
+                 AS start_tok,
+               ((sum(tl) OVER (ORDER BY hm, doc_id) - tl)
+                 // {RECIPE_SHARD_TOKENS})::BIGINT AS shard_id
+        FROM t
     """
 
 
@@ -2307,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture": q_text_mixture,
         "text_quality_buckets": q_text_quality_buckets,
         "text_shards": q_text_shards,
+        "text_recipe": q_text_recipe,
     }
 
 
@@ -2556,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         sql["text_lm_score"] = _lm_oracle_sql()
         sql["text_mixture"] = _mixture_oracle_sql()
         sql["text_quality_buckets"] = _qb_oracle_sql()
+        sql["text_recipe"] = _recipe_oracle_sql()
     from datax_spark.functions.text import (
         PII_DIGITRUN_RE,
         PII_EMAIL_RE,

@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "text_lm_score",
     "text_search_bm25",
     "text_dup_scrub",
+    "text_mixture",
+    "text_quality_buckets",
+    "text_shards",
+    "text_recipe",
     "dedup_exact",
     "dedup_incremental",
     "dedup_corpus_quality",

@@ -862,21 +862,35 @@ def bigram_lm_fit(
 
 
 def bigram_lm_fit_local(
-    docs_path: str, text_col: str = "text", alpha: float = LM_ALPHA
+    docs_path: str,
+    text_col: str = "text",
+    alpha: float = LM_ALPHA,
+    rel_sql: str | None = None,
 ) -> tuple[list[tuple[str, str, float]], float]:
     """The engine-neutral local twin of ``bigram_lm_fit`` (DuckDB
     counts + the same driver math) — MUST stay bit-identical; the
-    oracle generator embeds its output as SQL literals."""
+    oracle generator embeds its output as SQL literals. ``rel_sql``
+    replaces the default ``read_parquet(docs_path)`` relation (a
+    parenthesized subquery) so composed oracles can fit over an
+    intermediate corpus (e.g. the deduped reps in text_recipe)."""
     import duckdb
 
+    rel = rel_sql or f"read_parquet('{docs_path}')"
     con = duckdb.connect()
     try:
         rows = con.sql(
             f"""
             WITH tok AS (
-              SELECT row_number() OVER () AS rid,
+              -- rid MUST be a deterministic per-row key: pe is
+              -- referenced twice and DuckDB may evaluate the CTE once
+              -- per reference, so a row_number() OVER () rid (arbitrary
+              -- order, e.g. downstream of a join in rel_sql) can assign
+              -- DIFFERENT rids per evaluation and pair bigrams ACROSS
+              -- documents nondeterministically (found by the composed
+              -- text_recipe oracle flapping 37/39/45 rows).
+              SELECT doc_id AS rid,
                      regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS l
-              FROM read_parquet('{docs_path}')),
+              FROM {rel}),
             pe AS (SELECT rid, generate_subscripts(l, 1) AS p, unnest(l) AS w
                    FROM tok)
             SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
@@ -889,7 +903,7 @@ def bigram_lm_fit_local(
             SELECT count(DISTINCT w) FROM (
               SELECT unnest(regexp_extract_all(lower({text_col}),
                             '{TOKEN_RE}')) AS w
-              FROM read_parquet('{docs_path}'))
+              FROM {rel})
             """
         ).fetchone()[0]
     finally:
@@ -1190,12 +1204,16 @@ def mixture_fit_local(
     budgets: dict[str, int],
     strata_col: str = "source",
     text_col: str = "text",
+    rel_sql: str | None = None,
 ) -> dict[str, int]:
     """Engine-neutral local twin of ``mixture_fit`` (DuckDB counts +
     the same integer driver math) — MUST stay bit-identical; the oracle
-    generator embeds its output as ppm literals."""
+    generator embeds its output as ppm literals. ``rel_sql`` replaces
+    the default ``read_parquet(docs_path)`` relation for composed
+    oracles fitting over an intermediate corpus."""
     import duckdb
 
+    rel = rel_sql or f"read_parquet('{docs_path}')"
     con = duckdb.connect()
     try:
         rows = con.sql(
@@ -1203,7 +1221,7 @@ def mixture_fit_local(
             SELECT {strata_col},
                    sum(len(regexp_extract_all(lower({text_col}),
                            '{TOKEN_RE}')))::BIGINT
-            FROM read_parquet('{docs_path}') GROUP BY 1
+            FROM {rel} GROUP BY 1
             """
         ).fetchall()
     finally:

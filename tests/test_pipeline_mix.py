@@ -164,3 +164,25 @@ def test_pack_shards_window_is_not_single_partition(docs):
     df = pack_shards(docs, 2000)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+# ------------------------------------------------- fit-twin stability
+def test_fit_locals_stable_under_join_shaped_rel():
+    """Regression: the DuckDB fit twins must give identical results on
+    a join-shaped relation (CTE referenced twice + arbitrary join
+    output order). The original row_number() OVER () rid paired bigrams
+    ACROSS documents nondeterministically downstream of a join — the
+    composed text_recipe oracle flapped 37/39/45 rows per process."""
+    from datax_spark.functions.text import bigram_lm_fit_local
+
+    p = DOCS_PQ
+    rel = (
+        f"(SELECT d.* FROM read_parquet('{p}') d JOIN "
+        f"(SELECT DISTINCT doc_id FROM read_parquet('{p}')) r "
+        f"USING (doc_id))"
+    )
+    assert bigram_lm_fit_local("x", rel_sql=rel) == bigram_lm_fit_local(p)
+    budgets = {"src0": 1500, "src1": 10**9}
+    assert mixture_fit_local("x", budgets, rel_sql=rel) == mixture_fit_local(
+        p, budgets
+    )
