@@ -1382,3 +1382,50 @@ def pack_shards(
     ).withColumn(
         "shard_id", F.expr(f"start_tok div {int(shard_tokens)}")
     )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_order_buckets: int = 64,
+    seed: str = "shard",
+) -> list[dict]:
+    """Materialize the packed corpus: one parquet directory per shard
+    (``shard_id=K/``), each row carrying its global token offset — the
+    layout a training job consumes shard-by-shard. Returns per-shard
+    stats (shard_id, docs, tokens), O(shards) driver rows.
+
+    Scale shape: pack_shards' distributed prefix sum assigns, then ONE
+    repartition(shard_id) clusters each shard's rows so partitionBy
+    emits one file per shard per task instead of a file per
+    (task, shard) pair — the small-files guard. Shard token sums are
+    bounded by budget + the one straddling doc (greedy-by-start)."""
+    sh = pack_shards(
+        docs, shard_tokens, text_col=text_col, id_col=id_col,
+        n_order_buckets=n_order_buckets, seed=seed,
+    )
+    out = docs.join(sh, id_col).select(
+        "shard_id", "start_tok", "n_tokens", *docs.columns
+    )
+    (
+        out.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    stats = (
+        out.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    return [
+        {"shard_id": r["shard_id"], "docs": r["docs"], "tokens": r["tokens"]}
+        for r in stats
+    ]

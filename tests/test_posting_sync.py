@@ -238,6 +238,12 @@ def test_index_follows_a_live_stream_via_on_commit(spark, tmp_path):
         m = refresh_posting_index(index, docs, text_col="content")
         refreshed.append((metrics.batch_id, m is not None))
 
+    # timeout_sec must cover the FULL drain (3 micro-batches, each with
+    # an index refresh = a lake commit + change-feed replay): the
+    # default 120 s ran out under full-suite load and query.stop()
+    # interrupted the last refresh mid-write — which the lake protocol
+    # treats as a crash (staged files never publish, index stays at its
+    # previous version), but this test asserts complete sync.
     tail_and_apply(
         spark, docs.path, log_dir, checkpoint_dir=str(tmp_path / "ckpt"),
         schema=event_schema,
@@ -245,6 +251,7 @@ def test_index_follows_a_live_stream_via_on_commit(spark, tmp_path):
             quarantine_dir=str(tmp_path / "quar"), on_commit=[refresh_hook]
         ),
         max_files_per_trigger=1,
+        timeout_sec=600.0,
     )
     assert len(refreshed) >= 2 and all(did for _, did in refreshed)
     got = sorted(
