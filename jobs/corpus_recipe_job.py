@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strata-col", default="source")
     p.add_argument("--skip-dedup", action="store_true")
     p.add_argument("--skip-quality", action="store_true")
+    p.add_argument("--dup-scrub", type=int, metavar="K", default=None,
+                   help="also CUT duplicated substrings (Lee et al. "
+                        "2022): k-gram length for the corpus-wide span "
+                        "detection; runs after exact dedup")
     p.add_argument("--master", default=None,
                    help="override spark master (default: local[all cores])")
     return p
@@ -81,6 +85,29 @@ def main(argv: list[str] | None = None) -> int:
             .drop("_dig", "_rn")
         )
         counts["reps"] = docs.count()
+
+    if args.dup_scrub is not None:
+        from datax_spark.functions.text import scrub_duplicate_spans
+
+        scrubbed = scrub_duplicate_spans(
+            docs, k=args.dup_scrub, text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        docs = (
+            docs.drop(args.text_col)
+            .join(
+                scrubbed.select(
+                    args.id_col,
+                    F.col("clean_text").alias(args.text_col),
+                    "dup_chars",
+                ),
+                args.id_col,
+            )
+        )
+        counts["scrubbed_chars"] = int(
+            docs.agg(F.sum("dup_chars")).first()[0] or 0
+        )
+        docs = docs.drop("dup_chars")
 
     if not args.skip_quality:
         qb = quality_buckets(

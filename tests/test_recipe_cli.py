@@ -93,3 +93,22 @@ def test_recipe_cli_rejects_bad_budgets(tmp_path):
             "--docs", DOCS_PQ, "--out", str(tmp_path / "x"),
             "--shard-tokens", "1000", "--budgets", '{"src0": -5}',
         ])
+
+
+def test_recipe_cli_dup_scrub_stage(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "scrubbed_shards")
+    res = _run(
+        capsys,
+        "--docs", DOCS_PQ, "--out", out_dir, "--shard-tokens", "5000",
+        "--dup-scrub", "30", "--skip-quality",
+    )
+    # the synthetic corpus HAS cross-doc duplicated 30-gram spans
+    assert res["scrubbed_chars"] > 0
+    # scrubbing shrinks the token stream vs the raw export
+    raw = _run(
+        capsys,
+        "--docs", DOCS_PQ, "--out", str(tmp_path / "raw2"),
+        "--shard-tokens", "5000", "--skip-quality",
+    )
+    assert res["tokens_out"] < raw["tokens_out"]
+    assert res["docs_out"] == raw["docs_out"]  # scrub cuts chars, not docs
