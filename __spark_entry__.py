@@ -1643,12 +1643,10 @@ def q_text_recipe(spark, sf_dir):
     composition via rel_sql fit twins). Output: one row per doc that
     survives the full recipe, with its quality bucket, token count, and
     final (start_tok, shard_id) placement."""
-    from pyspark.sql import Window
-
+    from datax_spark.functions.dedup import exact_dedup_reps
     from datax_spark.functions.text import (
         bigram_lm_fit,
         bigram_lm_scores,
-        fingerprint,
         mixture_fit,
         mixture_sample,
         pack_shards,
@@ -1657,13 +1655,7 @@ def q_text_recipe(spark, sf_dir):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     # 1. exact dedup: one representative (min doc_id) per sha256 digest
-    w = Window.partitionBy("_dig").orderBy("doc_id")
-    reps = (
-        docs.withColumn("_dig", fingerprint("text"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_dig", "_rn")
-    )
+    reps = exact_dedup_reps(docs)
     # 2-3. LM quality + CCNet buckets over the DEDUPED corpus; drop tail
     qb = quality_buckets(
         reps, bigram_lm_scores(reps, bigram_lm_fit(reps)),
@@ -2146,8 +2138,9 @@ def _qb_oracle_sql() -> str:
     """text_quality_buckets oracle: the LM-score oracle as a CTE, then
     the identical deterministic rank (score DESC NULLS LAST, doc_id)
     and INTEGER quantile cuts — no float thresholds anywhere."""
-    h_ppm = int(QB_HEAD * 1000000)
-    m_ppm = int((QB_HEAD + QB_MIDDLE) * 1000000)
+    # round, not int(): mirrors quality_buckets (0.3*1e6 truncates)
+    h_ppm = round(QB_HEAD * 1000000)
+    m_ppm = round((QB_HEAD + QB_MIDDLE) * 1000000)
     return f"""
         WITH lm AS ({_lm_oracle_sql()}),
         j AS (SELECT lm.doc_id, d.lang, lm.lm_score
@@ -2178,8 +2171,9 @@ def _recipe_oracle_sql() -> str:
     )
 
     p = os.path.join(_oracle_sf_dir(), "documents.parquet")
-    h_ppm = int(QB_HEAD * 1000000)
-    m_ppm = int((QB_HEAD + QB_MIDDLE) * 1000000)
+    # round, not int(): mirrors quality_buckets (0.3*1e6 truncates)
+    h_ppm = round(QB_HEAD * 1000000)
+    m_ppm = round((QB_HEAD + QB_MIDDLE) * 1000000)
 
     def reps_sql(term: str) -> str:
         return (

@@ -47,6 +47,26 @@ def exact_dup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def exact_dedup_reps(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ONE representative row (the min-id member) per exact
+    duplicate cluster — the first stage of every recipe pipeline.
+    Equivalent to joining ``exact_dup_clusters``'s min_id back, done as
+    one window so the full row survives without a second scan. SQL
+    twin: ``min(doc_id) GROUP BY substr(sha256(normalized), 1, 16)``
+    (the text_recipe oracle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_dig").orderBy(id_col)
+    return (
+        df.withColumn("_dig", fingerprint(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_dig", "_rn")
+    )
+
+
 def minhash_signature(text_col: str = "text", k: int = MINHASH_K, n: int = 3) -> list[Column]:
     """K MinHash values over word-3-gram shingles (null when no shingles).
 

@@ -880,22 +880,25 @@ def bigram_lm_fit_local(
     try:
         rows = con.sql(
             f"""
+            -- bigrams pair WITHIN each row's token list (list_transform
+            -- over positions), exactly like the Spark fit's array
+            -- transform — structurally immune to the self-join pairing
+            -- hazards this query used to have: the original
+            -- row_number() OVER () rid differed between the two
+            -- evaluations of a twice-referenced CTE downstream of a
+            -- join (bigrams paired ACROSS documents, fit flapped per
+            -- process), and a doc_id rid would fan out on duplicate
+            -- ids. No join, no rid, no uniqueness requirement.
             WITH tok AS (
-              -- rid MUST be a deterministic per-row key: pe is
-              -- referenced twice and DuckDB may evaluate the CTE once
-              -- per reference, so a row_number() OVER () rid (arbitrary
-              -- order, e.g. downstream of a join in rel_sql) can assign
-              -- DIFFERENT rids per evaluation and pair bigrams ACROSS
-              -- documents nondeterministically (found by the composed
-              -- text_recipe oracle flapping 37/39/45 rows).
-              SELECT doc_id AS rid,
-                     regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS l
+              SELECT regexp_extract_all(lower({text_col}),
+                     '{TOKEN_RE}') AS l
               FROM {rel}),
-            pe AS (SELECT rid, generate_subscripts(l, 1) AS p, unnest(l) AS w
-                   FROM tok)
-            SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
-            FROM pe a JOIN pe b ON a.rid = b.rid AND b.p = a.p + 1
-            GROUP BY 1, 2
+            bg AS (
+              SELECT unnest(list_transform(range(2, len(l) + 1),
+                     i -> struct_pack(w1 := l[i-1], w2 := l[i]))) AS b
+              FROM tok)
+            SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS c
+            FROM bg GROUP BY 1, 2
             """
         ).fetchall()
         vocab = con.sql(
@@ -1178,7 +1181,10 @@ def _mixture_ppm(
     for s, budget in sorted(budgets.items()):
         if budget < 0:
             raise ValueError(f"budget for {s!r} must be >= 0")
-        t = int(totals.get(s, 0))
+        # `or 0`: a stratum whose every text is NULL sums to NULL in
+        # both engines — treat it as 0 tokens (vacuously keep-all),
+        # not a driver TypeError.
+        t = int(totals.get(s, 0) or 0)
         out[s] = MIX_PPM if budget >= t else budget * MIX_PPM // t
     return out
 
@@ -1226,7 +1232,9 @@ def mixture_fit_local(
         ).fetchall()
     finally:
         con.close()
-    return _mixture_ppm({s: int(t) for s, t in rows}, budgets)
+    return _mixture_ppm(
+        {s: int(t) if t is not None else 0 for s, t in rows}, budgets
+    )
 
 
 def mixture_sample(
@@ -1291,13 +1299,18 @@ def quality_buckets(
 
     if not (0 <= head <= 1 and 0 <= middle <= 1 and head + middle <= 1):
         raise ValueError("require 0 <= head, middle, head+middle <= 1")
-    h_ppm = int(head * MIX_PPM)
-    m_ppm = int((head + middle) * MIX_PPM)
+    # round, not int(): 0.3 * 1e6 = 299999.99..., truncation would cut
+    # every such quantile one ppm short of the documented fraction.
+    h_ppm = round(head * MIX_PPM)
+    m_ppm = round((head + middle) * MIX_PPM)
     j = docs.select(id_col, lang_col).join(scores, id_col)
     w = Window.partitionBy(lang_col).orderBy(
         F.col(score_col).desc_nulls_last(), F.col(id_col)
     )
-    rn = F.row_number().over(w)
+    # row_number() is INT; rn * 1e6 overflows int32 at rank 2148 (ANSI
+    # mode throws, non-ANSI silently misbuckets) — widen BEFORE the
+    # multiply. count() is already long.
+    rn = F.row_number().over(w).cast("long")
     n = F.count(F.lit(1)).over(Window.partitionBy(lang_col))
     bucket = (
         F.when(rn * MIX_PPM <= n * h_ppm, F.lit("head"))
@@ -1416,8 +1429,13 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+    # Stats from the WRITTEN files, not the lineage: re-aggregating
+    # `out` would re-execute the whole upstream DAG (join + prefix-sum
+    # windows) a second time, and a non-deterministic upstream could
+    # make the report disagree with what actually shipped.
     stats = (
-        out.groupBy("shard_id")
+        out.sparkSession.read.parquet(path)
+        .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").alias("tokens"),

@@ -58,14 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from datax_spark.config import get_spark
+    from datax_spark.functions.dedup import exact_dedup_reps
     from datax_spark.functions.text import (
         bigram_lm_fit,
         bigram_lm_scores,
-        fingerprint,
         mixture_fit,
         mixture_sample,
         quality_buckets,
@@ -76,14 +75,15 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.docs)
     counts: dict[str, object] = {"docs_in": docs.count()}
 
+    # Each materializing stage persists: the stage counts, the two fit
+    # collects, and the shard write would otherwise re-execute the whole
+    # upstream DAG (dedup window, scrub joins, LM-score joins) once per
+    # action — ~6x the job at scale. Job-scoped caches; the process
+    # exits after the write.
     if not args.skip_dedup:
-        w = Window.partitionBy("_dig").orderBy(args.id_col)
-        docs = (
-            docs.withColumn("_dig", fingerprint(args.text_col))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_dig", "_rn")
-        )
+        docs = exact_dedup_reps(
+            docs, text_col=args.text_col, id_col=args.id_col
+        ).persist()
         counts["reps"] = docs.count()
 
     if args.dup_scrub is not None:
@@ -104,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.id_col,
             )
         )
+        docs = docs.persist()
         counts["scrubbed_chars"] = int(
             docs.agg(F.sum("dup_chars")).first()[0] or 0
         )
@@ -122,11 +123,18 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.join(
             qb.filter(F.col("bucket") != "tail").select(args.id_col),
             args.id_col,
-        )
+        ).persist()
         counts["kept"] = docs.count()
 
     if args.budgets:
         budgets = {k: int(v) for k, v in json.loads(args.budgets).items()}
+        if not budgets:
+            # an empty whitelist would silently drop the WHOLE corpus
+            raise ValueError(
+                "--budgets is an empty map: every domain would get ppm 0 "
+                "and zero documents would ship; omit the flag to skip "
+                "mixing, or list the domains to keep"
+            )
         ppm = mixture_fit(
             docs, budgets, strata_col=args.strata_col,
             text_col=args.text_col,
@@ -137,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col, id_col=args.id_col,
             ).select(args.id_col),
             args.id_col,
-        )
+        ).persist()
         counts["mixture_ppm"] = ppm
         counts["mixed"] = docs.count()
 

@@ -186,3 +186,69 @@ def test_fit_locals_stable_under_join_shaped_rel():
     assert mixture_fit_local("x", budgets, rel_sql=rel) == mixture_fit_local(
         p, budgets
     )
+
+
+def test_quality_buckets_no_int32_overflow_past_2147_docs(spark):
+    """row_number() is INT; rank * 1e6 overflowed int32 at rank 2148
+    (ANSI throws, non-ANSI silently misbuckets) until the rank widened
+    to long BEFORE the multiply."""
+    n = 3000
+    docs = spark.createDataFrame(
+        [(i, "xx") for i in range(n)], "doc_id long, lang string"
+    )
+    scores = spark.createDataFrame(
+        [(i, float(-i)) for i in range(n)], "doc_id long, s double"
+    )
+    out = quality_buckets(
+        docs, scores, head=0.1, middle=0.4, score_col="s"
+    ).groupBy("bucket").count().collect()
+    by = {r["bucket"]: r["count"] for r in out}
+    assert by == {"head": 300, "middle": 1200, "tail": 1500}
+
+
+def test_quality_buckets_rounds_nonrepresentable_fractions(spark):
+    """0.3 * 1e6 = 299999.99...: int() truncation put the 30% boundary
+    doc in 'middle'; round() honors the documented fraction."""
+    docs = spark.createDataFrame(
+        [(i, "xx") for i in range(10)], "doc_id long, lang string"
+    )
+    scores = spark.createDataFrame(
+        [(i, float(-i)) for i in range(10)], "doc_id long, s double"
+    )
+    out = {
+        r.doc_id: r.bucket
+        for r in quality_buckets(
+            docs, scores, head=0.3, middle=0.3, score_col="s"
+        ).collect()
+    }
+    assert out[2] == "head"    # rank 3 of 10 IS the 30% head boundary
+    assert out[5] == "middle"  # rank 6 of 10 IS the 60% cumulative cut
+
+
+def test_mixture_fit_all_null_text_stratum(spark):
+    """A stratum whose every text is NULL sums to NULL in both engines;
+    the fit must treat it as 0 tokens, not TypeError on the driver."""
+    docs = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "three real tokens")],
+        "doc_id long, source string, text string",
+    )
+    ppm = mixture_fit(docs, {"a": 10, "b": 1})
+    assert ppm["a"] == MIX_PPM  # 10-token budget over 0 tokens: keep all
+    assert 0 < ppm["b"] < MIX_PPM
+
+
+def test_lm_fit_local_no_doc_id_and_duplicate_rows(spark):
+    """The fit twin pairs bigrams WITHIN each row (list_transform, no
+    self-join) — so it needs no doc_id column, and duplicate rows count
+    double exactly like the Spark fit over the same duplicated frame."""
+    from datax_spark.functions.text import bigram_lm_fit, bigram_lm_fit_local
+
+    rel = (
+        "(SELECT * FROM (VALUES ('the cat sat'), ('the cat sat'), "
+        "('dog ran')) v(text))"
+    )
+    local = bigram_lm_fit_local("unused", rel_sql=rel)
+    sdf = spark.createDataFrame(
+        [("the cat sat",), ("the cat sat",), ("dog ran",)], "text string"
+    )
+    assert local == bigram_lm_fit(sdf)

@@ -112,3 +112,13 @@ def test_recipe_cli_dup_scrub_stage(spark, tmp_path, capsys):
     )
     assert res["tokens_out"] < raw["tokens_out"]
     assert res["docs_out"] == raw["docs_out"]  # scrub cuts chars, not docs
+
+
+def test_recipe_cli_rejects_empty_budgets(tmp_path):
+    """--budgets '{}' would give every domain ppm 0 and silently ship
+    zero documents; the CLI must refuse instead."""
+    with pytest.raises(ValueError, match="empty map"):
+        corpus_recipe_job.main([
+            "--docs", DOCS_PQ, "--out", str(tmp_path / "x"),
+            "--shard-tokens", "1000", "--budgets", "{}",
+        ])
