@@ -1609,6 +1609,27 @@ def q_text_quality_buckets(spark, sf_dir):
     return quality_buckets(docs, scores, head=QB_HEAD, middle=QB_MIDDLE)
 
 
+def q_text_quality_scalable(spark, sf_dir):
+    """The same CCNet bucketing computed WITHOUT sorting any language's
+    corpus: per-language cutoffs derived as a distributed order
+    statistic (histogram pass + exact rank inside ONLY the cutoff
+    buckets), then one scan-fused comparison per row against broadcast
+    cutoff literals. The driver oracle is the window-form SQL (minus
+    the rank column) — proving the two forms assign identical buckets;
+    the exact-equality pytest covers ties/NULLs/degenerate scores."""
+    from datax_spark.functions.text import (
+        bigram_lm_fit,
+        bigram_lm_scores,
+        quality_buckets_threshold,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    scores = bigram_lm_scores(docs, bigram_lm_fit(docs))
+    return quality_buckets_threshold(
+        docs, scores, head=QB_HEAD, middle=QB_MIDDLE
+    )
+
+
 def q_text_shards(spark, sf_dir):
     """Deterministic corpus shard export: every doc placed at a global
     token offset in hash-of-id order and assigned to the fixed-budget
@@ -2134,13 +2155,17 @@ def _mixture_oracle_sql() -> str:
     """
 
 
-def _qb_oracle_sql() -> str:
+def _qb_oracle_sql(with_rank: bool = True) -> str:
     """text_quality_buckets oracle: the LM-score oracle as a CTE, then
     the identical deterministic rank (score DESC NULLS LAST, doc_id)
-    and INTEGER quantile cuts — no float thresholds anywhere."""
+    and INTEGER quantile cuts — no float thresholds anywhere.
+    ``with_rank=False`` drops the lang_rank column: the scalable
+    threshold variant assigns the SAME buckets without materializing
+    per-row ranks (that global sort is what it exists to avoid)."""
     # round, not int(): mirrors quality_buckets (0.3*1e6 truncates)
     h_ppm = round(QB_HEAD * 1000000)
     m_ppm = round((QB_HEAD + QB_MIDDLE) * 1000000)
+    rank_col = "rn::BIGINT AS lang_rank," if with_rank else ""
     return f"""
         WITH lm AS ({_lm_oracle_sql()}),
         j AS (SELECT lm.doc_id, d.lang, lm.lm_score
@@ -2150,7 +2175,7 @@ def _qb_oracle_sql() -> str:
                        ORDER BY lm_score DESC NULLS LAST, doc_id) AS rn,
                      count(*) OVER (PARTITION BY lang) AS n
               FROM j)
-        SELECT doc_id, lang, lm_score, rn::BIGINT AS lang_rank,
+        SELECT doc_id, lang, lm_score, {rank_col}
                CASE WHEN rn * 1000000 <= n * {h_ppm} THEN 'head'
                     WHEN rn * 1000000 <= n * {m_ppm} THEN 'middle'
                     ELSE 'tail' END AS bucket
@@ -2447,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_buckets": q_text_quality_buckets,
         "text_shards": q_text_shards,
         "text_recipe": q_text_recipe,
+        "text_quality_scalable": q_text_quality_scalable,
     }
 
 
@@ -2696,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
         sql["text_lm_score"] = _lm_oracle_sql()
         sql["text_mixture"] = _mixture_oracle_sql()
         sql["text_quality_buckets"] = _qb_oracle_sql()
+        sql["text_quality_scalable"] = _qb_oracle_sql(with_rank=False)
         sql["text_recipe"] = _recipe_oracle_sql()
     from datax_spark.functions.text import (
         PII_DIGITRUN_RE,

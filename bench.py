@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "text_mixture",
     "text_quality_buckets",
     "text_shards",
+    "text_quality_scalable",
     "text_recipe",
     "dedup_exact",
     "dedup_incremental",

@@ -1447,3 +1447,217 @@ def write_shards(
         {"shard_id": r["shard_id"], "docs": r["docs"], "tokens": r["tokens"]}
         for r in stats
     ]
+
+
+def quality_buckets_threshold(
+    docs: DataFrame,
+    scores: DataFrame,
+    head: float = 0.1,
+    middle: float = 0.4,
+    lang_col: str = "lang",
+    score_col: str = "lm_score",
+    id_col: str = "doc_id",
+    n_hist_buckets: int = 1024,
+) -> DataFrame:
+    """The 100-TB form of ``quality_buckets`` — EXACTLY the same bucket
+    assignment (equality pytest-pinned, ties and NULLs included), but
+    no per-language sort of the corpus. A dominant language (en at ~40%
+    of a crawl) makes the window form's sort partition the straggler;
+    this form computes each language's head/middle cutoffs as a
+    distributed ORDER STATISTIC and assigns buckets with a scan-side
+    comparison against broadcast cutoff literals:
+
+    1. per-language counts + score range — one small aggregation;
+    2. histogram pass: non-null scores bucketize by value (equal scores
+       can never split across buckets), counts per (lang, bucket) —
+       one aggregation, O(langs x n_hist_buckets) driver rows;
+    3. the driver prefix-sums each language's histogram to locate the
+       bucket containing cutoff rank k = n*ppm div 1e6 (the window
+       form's exact head/middle sizes);
+    4. targeted second pass: ONLY the cutoff buckets' rows (~n/B per
+       language, or that language's NULL-score rows when k lands past
+       the non-null region) get an exact (score DESC, id) rank to
+       produce the cutoff PAIR (score_k, id_k) — the pair makes the
+       boundary exact under ties;
+    5. assignment = one scan-fused comparison per row against its
+       language's two cutoff pairs, compiled as a per-language literal
+       when-chain (switch to a broadcast join at thousands of
+       languages).
+
+    Degenerate case: a language whose every score is equal collapses to
+    one histogram bucket, so pass 4 ranks that whole language — the
+    window form's cost, correctness unchanged. Returns (id, lang,
+    score, bucket) — no lang_rank column: materializing every row's
+    rank is exactly the global sort this form exists to avoid."""
+    from pyspark.sql import Window
+
+    if not (0 <= head <= 1 and 0 <= middle <= 1 and head + middle <= 1):
+        raise ValueError("require 0 <= head, middle, head+middle <= 1")
+    if n_hist_buckets < 1:
+        raise ValueError("n_hist_buckets must be >= 1")
+    h_ppm = round(head * MIX_PPM)
+    m_ppm = round((head + middle) * MIX_PPM)
+    spark = docs.sparkSession
+    j = docs.select(id_col, lang_col).join(scores, id_col)
+
+    # pass 1: per-language counts + non-null score range
+    stats = {
+        r["lang"]: r
+        for r in j.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(score_col).alias("n_scored"),
+            F.min(score_col).alias("smin"),
+            F.max(score_col).alias("smax"),
+        )
+        .collect()
+    }
+
+    # pass 2: histogram of non-null scores by VALUE (desc order: bucket
+    # 0 holds the highest scores). Equal scores share a bucket by
+    # construction, so a tie never straddles the cutoff bucket.
+    def bucket_expr(smin: float, smax: float):
+        if smax == smin:
+            return F.lit(0)
+        b = F.floor(
+            (F.lit(smax) - F.col(score_col))
+            * F.lit(float(n_hist_buckets))
+            / (F.lit(smax) - F.lit(smin))
+        ).cast("int")
+        return F.least(b, F.lit(n_hist_buckets - 1))
+
+    bexpr = F.lit(None).cast("int")
+    for lang, r in stats.items():
+        if r["n_scored"]:
+            bexpr = F.when(
+                F.col(lang_col) == F.lit(lang),
+                bucket_expr(float(r["smin"]), float(r["smax"])),
+            ).otherwise(bexpr)
+    hist: dict[tuple[str, int], int] = {
+        (r["lang"], r["b"]): r["c"]
+        for r in j.filter(F.col(score_col).isNotNull())
+        .select(F.col(lang_col).alias("lang"), bexpr.alias("b"))
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+    # pass 3 (driver): locate each (lang, k) cutoff — either a histogram
+    # bucket + the rank offset within it, or the NULL region.
+    need: list[tuple[str, str, int, int | None, int]] = []
+    trivial: dict[tuple[str, str], str] = {}
+    for lang, r in stats.items():
+        n, n_scored = r["n"], r["n_scored"]
+        for lvl, ppm in (("h", h_ppm), ("m", m_ppm)):
+            k = n * ppm // MIX_PPM
+            if k == 0:
+                trivial[(lang, lvl)] = "none"
+            elif k >= n:
+                trivial[(lang, lvl)] = "all"
+            elif k > n_scored:
+                # cutoff falls among NULL-score rows (ordered by id)
+                need.append((lang, lvl, k - n_scored, None, 0))
+            else:
+                cum = 0
+                for b in range(n_hist_buckets):
+                    c = hist.get((lang, b), 0)
+                    if cum + c >= k:
+                        need.append((lang, lvl, k - cum, b, 1))
+                        break
+                    cum += c
+
+    # pass 4: exact rank ONLY inside the cutoff buckets / NULL regions
+    cutoffs: dict[tuple[str, str], tuple[float | None, object]] = {}
+    if need:
+        langs_b = [(lang, b) for lang, _, _, b, scored in need if scored]
+        langs_null = [lang for lang, _, _, b, scored in need if not scored]
+        pred = F.lit(False)
+        for lang, b in langs_b:
+            pred = pred | (
+                (F.col(lang_col) == F.lit(lang)) & (bexpr == F.lit(b))
+            )
+        rows = []
+        if langs_b:
+            w = Window.partitionBy(lang_col, "_b").orderBy(
+                F.col(score_col).desc(), F.col(id_col)
+            )
+            want_r = F.lit(False)
+            for lang, _lvl, rk, b, scored in need:
+                if scored:
+                    want_r = want_r | (
+                        (F.col(lang_col) == F.lit(lang))
+                        & (F.col("_b") == F.lit(b))
+                        & (F.col("_r") == F.lit(rk))
+                    )
+            rows += (
+                j.filter(F.col(score_col).isNotNull())
+                .withColumn("_b", bexpr)
+                .filter(pred)
+                .withColumn("_r", F.row_number().over(w))
+                .filter(want_r)  # collect ONLY the cutoff rows
+                .select(lang_col, "_b", "_r", score_col, id_col)
+                .collect()
+            )
+        nrows = []
+        if langs_null:
+            wn = Window.partitionBy(lang_col).orderBy(id_col)
+            want_n = F.lit(False)
+            for lang, _lvl, rk, b, scored in need:
+                if not scored:
+                    want_n = want_n | (
+                        (F.col(lang_col) == F.lit(lang))
+                        & (F.col("_r") == F.lit(rk))
+                    )
+            nrows = (
+                j.filter(
+                    F.col(score_col).isNull()
+                    & F.col(lang_col).isin(langs_null)
+                )
+                .withColumn("_r", F.row_number().over(wn))
+                .filter(want_n)
+                .select(lang_col, "_r", id_col)
+                .collect()
+            )
+        by_scored = {
+            (r[lang_col], r["_b"], r["_r"]): (r[score_col], r[id_col])
+            for r in rows
+        }
+        by_null = {(r[lang_col], r["_r"]): r[id_col] for r in nrows}
+        for lang, lvl, rk, b, scored in need:
+            if scored:
+                cutoffs[(lang, lvl)] = by_scored[(lang, b, rk)]
+            else:
+                cutoffs[(lang, lvl)] = (None, by_null[(lang, rk)])
+
+    # pass 5: broadcast cutoff literals, one scan-fused comparison/row.
+    # rank <= k  <=>  (score, id) <= cutoff pair in (DESC NULLS LAST,
+    # ASC) order; NULL-region cutoffs admit every scored row.
+    def within(lvl: str, lang: str) -> Column:
+        t = trivial.get((lang, lvl))
+        if t == "none":
+            return F.lit(False)
+        if t == "all":
+            return F.lit(True)
+        s_k, id_k = cutoffs[(lang, lvl)]
+        sc, i = F.col(score_col), F.col(id_col)
+        if s_k is None:
+            return sc.isNotNull() | (sc.isNull() & (i <= F.lit(id_k)))
+        return sc.isNotNull() & (
+            (sc > F.lit(float(s_k)))
+            | ((sc == F.lit(float(s_k))) & (i <= F.lit(id_k)))
+        )
+
+    in_h = F.lit(False)
+    in_m = F.lit(False)
+    for lang in stats:
+        is_l = F.col(lang_col) == F.lit(lang)
+        in_h = F.when(is_l, within("h", lang)).otherwise(in_h)
+        in_m = F.when(is_l, within("m", lang)).otherwise(in_m)
+    bucket = (
+        F.when(in_h, F.lit("head"))
+        .when(in_m, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select(
+        id_col, lang_col, F.col(score_col), bucket.alias("bucket")
+    )

@@ -252,3 +252,79 @@ def test_lm_fit_local_no_doc_id_and_duplicate_rows(spark):
         [("the cat sat",), ("the cat sat",), ("dog ran",)], "text string"
     )
     assert local == bigram_lm_fit(sdf)
+
+
+# ----------------------------- threshold variant == window-exact form
+def _qb_pair(spark, rows, head, middle, B=1024):
+    from datax_spark.functions.text import quality_buckets_threshold
+
+    docs = spark.createDataFrame(
+        [(i, l) for i, l, _ in rows], "doc_id long, lang string"
+    )
+    scores = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "doc_id long, s double"
+    )
+    exact = {
+        (r.doc_id): (r.lang, r.bucket)
+        for r in quality_buckets(
+            docs, scores, head=head, middle=middle, score_col="s"
+        ).collect()
+    }
+    thr = {
+        (r.doc_id): (r.lang, r.bucket)
+        for r in quality_buckets_threshold(
+            docs, scores, head=head, middle=middle, score_col="s",
+            n_hist_buckets=B,
+        ).collect()
+    }
+    return exact, thr
+
+
+def test_threshold_variant_equals_window_form_randomized(spark):
+    """The order-statistic form must reproduce the window form's EXACT
+    assignment — ties, NULL scores, and tiny languages included."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(600):
+        lang = rng.choice(["en", "de", "fr", "tiny"])
+        if lang == "tiny" and i % 3:
+            lang = "en"  # skew one language
+        # coarse grid -> heavy ties; 10% NULLs
+        s = None if rng.random() < 0.1 else float(rng.randint(0, 20)) / 4
+        rows.append((i, lang, s))
+    for head, middle in [(0.1, 0.4), (0.3, 0.3), (0.0, 0.5), (1.0, 0.0)]:
+        exact, thr = _qb_pair(spark, rows, head, middle)
+        assert thr == exact, (head, middle)
+
+
+def test_threshold_variant_degenerate_and_bucket_count(spark):
+    # all-equal scores (one histogram bucket) and B=1 (everything in
+    # the cutoff bucket) both stay exact
+    rows = [(i, "xx", 1.5) for i in range(50)] + [
+        (100 + i, "yy", float(i % 2)) for i in range(7)
+    ]
+    exact, thr = _qb_pair(spark, rows, 0.2, 0.3)
+    assert thr == exact
+    exact1, thr1 = _qb_pair(spark, rows, 0.2, 0.3, B=1)
+    assert thr1 == exact1 == exact
+
+
+def test_threshold_variant_all_null_language(spark):
+    rows = [(i, "nn", None) for i in range(9)] + [
+        (50 + i, "en", float(i)) for i in range(10)
+    ]
+    exact, thr = _qb_pair(spark, rows, 0.4, 0.3)
+    assert thr == exact
+
+
+def test_threshold_variant_validates(spark):
+    from datax_spark.functions.text import quality_buckets_threshold
+
+    docs = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    scores = spark.createDataFrame([(1, 0.0)], "doc_id long, lm_score double")
+    with pytest.raises(ValueError):
+        quality_buckets_threshold(docs, scores, head=0.9, middle=0.2)
+    with pytest.raises(ValueError):
+        quality_buckets_threshold(docs, scores, n_hist_buckets=0)
