@@ -1128,6 +1128,46 @@ def q_cdc_lake_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_rename_evolution(spark, sf_dir):
+    """Mid-stream DDL: Iceberg-style metadata-only column rename + drop
+    (lake/table.py rename_column/drop_column) between two CDC batches.
+
+    Batch 0 lands under payload columns (lang, content); the table then
+    renames content->body and drops lang (zero rewrites — the manifest
+    records the retired physical names and reads coalesce forward);
+    batch 1 arrives already under the NEW schema, updating keys whose
+    rows physically live in old-name files. Final state must equal the
+    plain one-schema replay oracle — proving the rename is invisible to
+    query results and the cross-era merge reads old files correctly.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_rename_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(quarantine_dir=os.path.join(root, "q"))
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
+    table.rename_column("content", "body")
+    table.drop_column("lang")
+    batch2 = (
+        chg.filter(F.col("seq") > mid)
+        .withColumnRenamed("content", "body")
+        .drop("lang")
+    )
+    apply_batch(table, batch2, 1, cfg)
+    return table.read().select("repo", "path", "commit", "body")
+
+
 def q_cdc_scan_prune(spark, sf_dir):
     """Manifest-level file skipping (LakeTable.scan, lake/stats.py).
 
@@ -2473,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_shards": q_text_shards,
         "text_recipe": q_text_recipe,
         "text_quality_scalable": q_text_quality_scalable,
+        "cdc_rename_evolution": q_cdc_rename_evolution,
     }
 
 
@@ -2919,6 +2960,17 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final
+    # mid-stream rename content->body + drop lang is METADATA-ONLY and
+    # must be invisible to results: same replay, new output names
+    sql["cdc_rename_evolution"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
+               content AS body
+        FROM ded WHERE rn = 1 AND op != 'delete'
+    """
     # rollup: replay with the varying path key, then aggregate per repo —
     # the incrementally-maintained table must equal the from-scratch agg
     sql["cdc_rollup_incremental"] = f"""

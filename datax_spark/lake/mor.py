@@ -143,7 +143,9 @@ class MorTable(LakeTable):
         files = self._abs_files(snap, buckets, "base") + self._abs_files(
             snap, buckets, "delta"
         )
-        return self._read_files(files, snap.schema)
+        return self._read_files(
+            files, snap.schema, snap.properties.get("renames")
+        )
 
     def _delta_bytes(self, files: list[str]) -> int:
         return sum(os.path.getsize(f) for f in files if os.path.exists(f))
@@ -312,9 +314,14 @@ class MorTable(LakeTable):
             f.name for f in snap.schema.fields if f.name not in META_COLS
         ]
         not_tombstone = F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
-        base = self._read_files(self._abs_files(snap, buckets, "base"), snap.schema)
+        base = self._read_files(
+            self._abs_files(snap, buckets, "base"), snap.schema,
+            snap.properties.get("renames"),
+        )
         delta_files = self._abs_files(snap, buckets, "delta")
-        delta = self._read_files(delta_files, snap.schema) if delta_files else None
+        delta = self._read_files(
+            delta_files, snap.schema, snap.properties.get("renames")
+        ) if delta_files else None
         resolved = self._resolve_any(
             snap, base, delta, self._delta_bytes(delta_files), buckets
         )
@@ -355,9 +362,13 @@ class MorTable(LakeTable):
             f.name for f in snap.schema.fields if f.name not in META_COLS
         ]
         not_tombstone = F.coalesce(F.col(OP_META) != DELETE_OP, F.lit(True))
-        base = self._read_files(plan["files"], snap.schema)
+        base = self._read_files(
+            plan["files"], snap.schema, snap.properties.get("renames")
+        )
         delta_files = self._abs_files(snap, plan["buckets"], "delta")
-        delta = self._read_files(delta_files, snap.schema) if delta_files else None
+        delta = self._read_files(
+            delta_files, snap.schema, snap.properties.get("renames")
+        ) if delta_files else None
         # eq-delete filtering only removes rows, so base file pruning
         # stays sound in whole-row mode exactly as without it
         resolved = self._resolve_any(
@@ -570,10 +581,13 @@ class MorTable(LakeTable):
             self._bucket_file_count(snap, str(b)) for b in fragmented
         )
         base = self._read_files(
-            self._abs_files(snap, fragmented, "base"), snap.schema
+            self._abs_files(snap, fragmented, "base"), snap.schema,
+            snap.properties.get("renames"),
         )
         delta_files = self._abs_files(snap, fragmented, "delta")
-        delta = self._read_files(delta_files, snap.schema) if delta_files else None
+        delta = self._read_files(
+            delta_files, snap.schema, snap.properties.get("renames")
+        ) if delta_files else None
         resolved = self._resolve_any(
             snap, base, delta, self._delta_bytes(delta_files), fragmented
         )
@@ -618,10 +632,13 @@ class MorTable(LakeTable):
         replace commit clears the buckets' delta lists), just re-laid as
         sorted bounded files instead of one file per bucket."""
         base = self._read_files(
-            self._abs_files(snap, buckets, "base"), snap.schema
+            self._abs_files(snap, buckets, "base"), snap.schema,
+            snap.properties.get("renames"),
         )
         delta_files = self._abs_files(snap, buckets, "delta")
-        delta = self._read_files(delta_files, snap.schema) if delta_files else None
+        delta = self._read_files(
+            delta_files, snap.schema, snap.properties.get("renames")
+        ) if delta_files else None
         out = self._resolve_any(
             snap, base, delta, self._delta_bytes(delta_files), buckets
         )

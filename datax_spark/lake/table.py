@@ -154,6 +154,11 @@ def _conform_payload(df: DataFrame, payload: list[str], schema: StructType) -> D
     return df.select(*cols)
 
 
+class SchemaEvolutionError(ValueError):
+    """Schema change is unsafe: non-widening type drift, a retired name
+    re-added, or DDL against a key/constraint column."""
+
+
 # Safe numeric promotions (Iceberg type-evolution rules): widening only,
 # so old files read up-cast and nothing rewrites. Shared by the commit
 # paths here and the apply-side check in operators/merge._evolve_schema.
@@ -522,6 +527,15 @@ class LakeTable:
         for untouched buckets), keeping the versioned snapshot JSON at
         O(num_buckets) regardless of total file count.
         """
+        ghosts = {f.name for f in snap.schema.fields} & set(
+            snap.properties.get("retired_cols", [])
+        )
+        if ghosts:
+            raise SchemaEvolutionError(
+                f"schema re-introduces retired column name(s) {sorted(ghosts)}"
+                " — old data files still hold values under them; pick fresh"
+                " names (rename_column/drop_column burn the physical name)"
+            )
         doc: dict[str, Any] = {
             "version": snap.version,
             "schema": snap.schema_json,
@@ -583,10 +597,54 @@ class LakeTable:
         )
         return [os.path.join(self.path, rel) for _, files in sel for rel in files]
 
-    def _read_files(self, files: list[str], schema: StructType) -> DataFrame:
+    def _read_files(
+        self,
+        files: list[str],
+        schema: StructType,
+        renames: dict[str, list[str]] | None = None,
+    ) -> DataFrame:
+        """One multi-file parquet scan with ``schema``'s names resolved.
+
+        ``renames`` (snapshot property, ``rename_column``) maps a current
+        column name to its RETIRED physical predecessors, oldest first.
+        Files written before a rename store the value under the old
+        physical name; parquet read-with-schema is name-based, so the
+        scan requests BOTH names (typed as the current — possibly
+        widened — type) and forwards with ``coalesce(current, newest
+        retired, ..., oldest)``. Exactly one of the names exists
+        physically in any given file (retired names can never be
+        re-added — enforced at commit), so the coalesce is a pure
+        rename, never a value merge. This is the name-based stand-in
+        for Iceberg's field-id resolution: metadata-only rename with
+        zero rewrite, at the documented cost that a retired physical
+        name is burned forever on this table.
+        """
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        live = {f.name for f in schema.fields}
+        renames = {
+            k: v for k, v in (renames or {}).items() if v and k in live
+        }
+        if not renames:
+            return self.spark.read.schema(schema).parquet(*files)
+        phys_fields: list[StructField] = []
+        for f in schema.fields:
+            phys_fields.append(f)
+            for old in renames.get(f.name, []):
+                phys_fields.append(StructField(old, f.dataType, True))
+        df = self.spark.read.schema(StructType(phys_fields)).parquet(*files)
+        cols = []
+        for f in schema.fields:
+            chain = renames.get(f.name)
+            if chain:
+                cols.append(
+                    F.coalesce(
+                        F.col(f.name), *[F.col(o) for o in reversed(chain)]
+                    ).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
 
     def read(
         self,
@@ -608,7 +666,10 @@ class LakeTable:
                 raise ValueError("pass version OR tag, not both")
             version = self.resolve_tag(tag)
         snap = self.snapshot(version)
-        return self._read_files(self._abs_files(snap, buckets), snap.schema)
+        return self._read_files(
+            self._abs_files(snap, buckets), snap.schema,
+            snap.properties.get("renames"),
+        )
 
     # ---------------------------------------------------------- pruned scans
     def _bucket_id_of(self, snap: Snapshot, value: Any) -> int:
@@ -778,7 +839,9 @@ class LakeTable:
 
         plan = self.plan_scan(filters, buckets, version, tag)
         snap = self.snapshot(plan["version"])
-        df = self._read_files(plan["files"], snap.schema)
+        df = self._read_files(
+            plan["files"], snap.schema, snap.properties.get("renames")
+        )
         expr = filters_to_expr(filters)
         return df.filter(expr) if expr is not None else df
 
@@ -1373,8 +1436,26 @@ class LakeTable:
         )
         if to_version < from_version:
             raise ValueError("to_version must be >= from_version")
-        props = self.snapshot(to_version).properties
+        to_snap = self.snapshot(to_version)
+        props = to_snap.properties
         key_cols: list[str] = props["key_cols"]
+        # The feed is emitted under to_version's column NAMES. A version
+        # read from before a rename_column commit returns that era's
+        # names; map them forward through the rename chains so every
+        # era's frame unions cleanly and diffs compare value-to-value.
+        chains = props.get("renames", {})
+
+        def _forward(df: DataFrame) -> DataFrame:
+            have = set(df.columns)
+            for cur, chain in chains.items():
+                if cur in have:
+                    continue
+                for old in reversed(chain):
+                    if old in have:
+                        df = df.withColumnRenamed(old, cur)
+                        break
+            return df
+
         parts: list[DataFrame] = []
         for v in range(from_version, to_version):
             old_snap, new_snap = self.snapshot(v), self.snapshot(v + 1)
@@ -1390,15 +1471,16 @@ class LakeTable:
             if not changed:
                 continue
             payload = [
-                f.name for f in new_snap.schema.fields
+                f.name for f in to_snap.schema.fields
                 if not f.name.startswith("_")
             ]
             old_df = _conform_payload(
-                self.read(buckets=changed, version=v), payload, new_snap.schema
+                _forward(self.read(buckets=changed, version=v)), payload,
+                to_snap.schema,
             )
             new_df = _conform_payload(
-                self.read(buckets=changed, version=v + 1), payload,
-                new_snap.schema,
+                _forward(self.read(buckets=changed, version=v + 1)), payload,
+                to_snap.schema,
             )
             pre = old_df.exceptAll(new_df)
             post = new_df.exceptAll(old_df)
@@ -1433,6 +1515,151 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # ------------------------------------------------- schema evolution (DDL)
+    def _schema_ddl_guard(self, snap: Snapshot, name: str, verb: str) -> None:
+        """Shared preconditions for rename_column / drop_column."""
+        props = snap.properties
+        if name.startswith("_"):
+            raise SchemaEvolutionError(
+                f"cannot {verb} meta column {name!r}"
+            )
+        if name not in {f.name for f in snap.schema.fields}:
+            raise SchemaEvolutionError(
+                f"cannot {verb} {name!r}: no such column"
+            )
+        if name in props["key_cols"] or name == props["bucket_key"]:
+            raise SchemaEvolutionError(
+                f"cannot {verb} {name!r}: key / bucket columns are the "
+                "table's physical identity (bucket hashing, dedup, "
+                "eq-delete files all address rows by these names); "
+                "recreate the table to change them"
+            )
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        for cname, expr in (props.get("constraints") or {}).items():
+            if pat.search(expr):
+                raise SchemaEvolutionError(
+                    f"cannot {verb} {name!r}: referenced by CHECK "
+                    f"constraint {cname!r} ({expr!r})"
+                )
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 3
+    ) -> Snapshot:
+        """Metadata-only column rename (Iceberg ALTER TABLE RENAME COLUMN
+        semantics, `iceberg` spec's field-id resolution re-expressed for
+        name-based parquet reads): no data file rewrites. The manifest
+        records the retired physical name; every read requests both
+        names and coalesces forward (_read_files), so files from before
+        the rename keep resolving. Costs of the name-based stand-in,
+        enforced loudly rather than silently corrupting:
+
+        - a RETIRED name can never be (re-)added to this table — old
+          files still carry values under it, and a name-based read
+          could not tell the new column from the ghost (_write_manifest
+          guard + operators.merge._evolve_schema);
+        - key/bucket columns are not renamable (physical identity).
+
+        Old files' min/max + bloom stats stay keyed under the retired
+        name, so pruning on the new name FAILS OPEN for them (sound,
+        unpruned) and tightens again as compaction/clustering rewrites
+        files under the current name.
+        """
+        orig = self.snapshot()
+        self._schema_ddl_guard(orig, old, "rename")
+        if not new or new.startswith("_"):
+            raise SchemaEvolutionError(f"invalid new column name {new!r}")
+
+        def build(base: Snapshot) -> Snapshot:
+            names = {f.name for f in base.schema.fields}
+            if old not in names:
+                raise SchemaEvolutionError(
+                    f"column {old!r} disappeared under a concurrent commit"
+                )
+            props = json.loads(json.dumps(base.properties))
+            retired = set(props.get("retired_cols", []))
+            if new in names or new in retired:
+                raise SchemaEvolutionError(
+                    f"cannot rename to {new!r}: name already "
+                    + ("retired on" if new in retired else "present in")
+                    + " this table"
+                )
+            renames = props.setdefault("renames", {})
+            chain = renames.pop(old, []) + [old]
+            renames[new] = chain
+            retired.add(old)
+            props["retired_cols"] = sorted(retired)
+            for key in ("stats_cols", "bloom_cols"):
+                props[key] = [
+                    new if c == old else c for c in props.get(key, [])
+                ]
+            if old in props.get("bloom_ndv", {}):
+                props["bloom_ndv"][new] = props["bloom_ndv"].pop(old)
+            fields = [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in base.schema.fields
+            ]
+            return Snapshot(
+                version=base.version + 1,
+                schema_json=StructType(fields).jsonValue(),
+                buckets=base.buckets,
+                properties=props,
+                lineage=base.lineage,
+                deltas=base.deltas,
+                file_stats=base.file_stats,
+                eq_deletes=base.eq_deletes,
+            )
+
+        def check(cur: Snapshot) -> None:
+            pass  # metadata-only; build() re-validates against any base
+
+        return self._commit_loop(orig, build, check, True, max_retries)
+
+    def drop_column(self, name: str, max_retries: int = 3) -> Snapshot:
+        """Metadata-only column drop (Iceberg DROP COLUMN semantics): the
+        data files keep the bytes, reads stop requesting the column. The
+        name — and every retired name in its rename chain — is burned
+        forever on this table (re-adding it would RESURRECT the old
+        files' values under name-based reads; Iceberg avoids that with a
+        fresh field id, we refuse instead). Columns referenced by CHECK
+        constraints, keys, or the bucket key are not droppable.
+        """
+        orig = self.snapshot()
+        self._schema_ddl_guard(orig, name, "drop")
+
+        def build(base: Snapshot) -> Snapshot:
+            names = {f.name for f in base.schema.fields}
+            if name not in names:
+                raise SchemaEvolutionError(
+                    f"column {name!r} disappeared under a concurrent commit"
+                )
+            props = json.loads(json.dumps(base.properties))
+            retired = set(props.get("retired_cols", []))
+            renames = props.setdefault("renames", {})
+            retired.update(renames.pop(name, []))
+            retired.add(name)
+            props["retired_cols"] = sorted(retired)
+            for key in ("stats_cols", "bloom_cols"):
+                props[key] = [c for c in props.get(key, []) if c != name]
+            props.get("bloom_ndv", {}).pop(name, None)
+            fields = [f for f in base.schema.fields if f.name != name]
+            return Snapshot(
+                version=base.version + 1,
+                schema_json=StructType(fields).jsonValue(),
+                buckets=base.buckets,
+                properties=props,
+                lineage=base.lineage,
+                deltas=base.deltas,
+                file_stats=base.file_stats,
+                eq_deletes=base.eq_deletes,
+            )
+
+        def check(cur: Snapshot) -> None:
+            pass  # metadata-only; build() re-validates against any base
+
+        return self._commit_loop(orig, build, check, True, max_retries)
 
     # ------------------------------------------------------------ properties
     def last_batch_id(self, stream_id: str) -> int | None:
@@ -1771,7 +1998,10 @@ class LakeTable:
         """Rows a clustering rewrite must carry for ``buckets`` — the raw
         base files on COW; MorTable overrides to fold live deltas in
         (the replace commit clears their lists)."""
-        return self._read_files(self._abs_files(snap, buckets), snap.schema)
+        return self._read_files(
+            self._abs_files(snap, buckets), snap.schema,
+            snap.properties.get("renames"),
+        )
 
     def overwrite_where(
         self,

@@ -40,6 +40,7 @@ from datax_spark.lake.table import (
     BUCKET_COL,
     WIDENS_TO as _WIDENS_TO,
     LakeTable,
+    SchemaEvolutionError,
     bucket_expr,
     snap_bucket_dtype,
 )
@@ -250,10 +251,6 @@ def merge_apply(
             changes.unpersist()
 
 
-class SchemaEvolutionError(ValueError):
-    """Batch column type is incompatible with the table's (non-widening)."""
-
-
 def _evolve_schema(table_schema, batch_schema, props=None):
     """Table schema + new batch columns (additive) + numeric widening.
 
@@ -305,8 +302,16 @@ def _evolve_schema(table_schema, batch_schema, props=None):
                 f"column {f.name!r}: table {t_name} vs batch {b_name} — "
                 "not a widening; transform the batch first"
             )
+    retired = set((props or {}).get("retired_cols", []))
     for f in batch_schema.fields:
         if f.name not in existing and f.name not in CDC_META_COLS:
+            if f.name in retired:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r} is a RETIRED physical name on this "
+                    "table (renamed or dropped): old data files still "
+                    "carry values under it, so re-adding it would "
+                    "resurrect them on read. Pick a fresh name"
+                )
             fields.append(f)
     return StructType(fields)
 
