@@ -611,6 +611,40 @@ def q_cdc_mor_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_delete_where(spark, sf_dir):
+    """MOR-native predicate DELETE (lake/mor.py delete_where,
+    mode='append'): after the 2-batch replay, every row with
+    repo >= '5' is erased by appending NARROW equality-delete
+    tombstones — zero base-file rewrites (the snapshot's bucket lists
+    are unchanged; only eq_deletes grow). The driver oracle is the
+    replay final state minus the predicate slice, proving the
+    tombstone encoding equals a logical DELETE FROM. The scalable
+    GDPR/correction path: O(matching keys) write vs the COW rewrite of
+    every candidate bucket.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_delw_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = MorTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    before = table.snapshot()
+    after = table.delete_where([("repo", ">=", "5")])
+    assert after.buckets == before.buckets, "delete_where rewrote base files"
+    return table.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_eq_delete_apply(spark, sf_dir):
     """Merge-on-read apply with EQUALITY-DELETE files (Iceberg v2 delete-
     file analog): deletes land as narrow (key, _seq) files committed
@@ -2514,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_recipe": q_text_recipe,
         "text_quality_scalable": q_text_quality_scalable,
         "cdc_rename_evolution": q_cdc_rename_evolution,
+        "cdc_delete_where": q_cdc_delete_where,
     }
 
 
@@ -2960,6 +2995,16 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final
+    # append-mode predicate delete == logical DELETE FROM the replayed state
+    sql["cdc_delete_where"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit", content
+        FROM ded WHERE rn = 1 AND op != 'delete'
+          AND NOT (user_id::VARCHAR >= '5')
+    """
     # mid-stream rename content->body + drop lang is METADATA-ONLY and
     # must be invisible to results: same replay, new output names
     sql["cdc_rename_evolution"] = f"""

@@ -520,6 +520,68 @@ class MorTable(LakeTable):
             deletes=deletes,
         )
 
+    # ------------------------------------------------------ predicate delete
+    def delete_where(
+        self, filters: list, mode: str = "append", max_retries: int = 3
+    ) -> Snapshot:
+        """Row-level DELETE by predicate, MOR-native.
+
+        ``mode='append'`` (default) never rewrites base files: the
+        predicate's matching keys (a PRUNED resolved scan —
+        plan_scan-bounded buckets/files) are appended as NARROW
+        equality-delete tombstones (key_cols, _seq) in one atomic
+        commit, out-sequencing every live row in the affected buckets.
+        Cost is O(matching keys) write + the usual eq-delete broadcast
+        at read, vs the inherited COW rewrite of every bucket that may
+        hold a match — the difference between a GDPR erasure touching
+        kilobytes and rewriting terabytes. Compaction folds the
+        tombstones away as usual. A later CDC event for a deleted key
+        resurrects it (latest-wins, same contract as a delete op in the
+        stream).
+
+        ``mode='rewrite'`` keeps LakeTable semantics (physical removal
+        path for vacuum-driven erasure: rewrite, then expire snapshots).
+        """
+        if mode == "rewrite":
+            return super().delete_where(filters, max_retries=max_retries)
+        if mode != "append":
+            raise ValueError(f"unknown delete_where mode {mode!r}")
+        snap = self.snapshot()
+        props = snap.properties
+        key_cols = props["key_cols"]
+        plan = self.plan_scan(filters, prune_files=False)
+        matched = self.scan(filters, version=snap.version).select(*key_cols)
+        affected = plan["buckets"]
+        if not affected:
+            return snap
+        # tombstones must out-seq every live row a matched key could
+        # have; one narrow _seq max over the affected buckets only.
+        # None = no streamed rows there yet (COW-merged / bulk-loaded
+        # base rows carry NULL _seq and die to ANY delete seq).
+        mx = (
+            self.read_raw(buckets=affected, version=snap.version)
+            .agg(F.max(SEQ_META))
+            .first()[0]
+        )
+        chg = matched.select(
+            *key_cols,
+            F.lit("delete").alias("op"),
+            F.lit(int(mx or 0) + 1).alias("seq"),
+        )
+        if not chg.take(1):
+            return snap  # predicate matched nothing
+        res = self.apply_deduped(
+            chg,
+            batch_id=snap.version,
+            stream_id="_delete_where",
+            delete_encoding="eq",
+        )
+        if not res.applied:
+            raise CommitConflict(
+                "concurrent delete_where fenced this one; retry"
+            )
+        return self.snapshot(res.version)
+
     # ----------------------------------------------------------- maintenance
     def _bucket_file_count(self, snap: Snapshot, b: str) -> int:
         return (
