@@ -645,6 +645,40 @@ def q_cdc_delete_where(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_update_where(spark, sf_dir):
+    """MOR-native predicate UPDATE (lake/mor.py update_where,
+    mode='append'): matching rows re-emit as full-width update images
+    with the SET expressions applied — one O(matching rows) delta
+    append, zero base rewrites (asserted). Oracle: the replay final
+    state with the same CASE-WHEN transformation, proving the appended
+    images equal a logical UPDATE ... SET.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_updw_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = MorTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    before = table.snapshot()
+    after = table.update_where(
+        [("repo", ">=", "5")],
+        {"content": F.concat(F.lit("UPD:"), F.col("content"))},
+    )
+    assert after.buckets == before.buckets, "update_where rewrote base files"
+    return table.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_eq_delete_apply(spark, sf_dir):
     """Merge-on-read apply with EQUALITY-DELETE files (Iceberg v2 delete-
     file analog): deletes land as narrow (key, _seq) files committed
@@ -2549,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scalable": q_text_quality_scalable,
         "cdc_rename_evolution": q_cdc_rename_evolution,
         "cdc_delete_where": q_cdc_delete_where,
+        "cdc_update_where": q_cdc_update_where,
     }
 
 
@@ -2995,6 +3030,17 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final
+    # append-mode predicate update == logical UPDATE ... SET on the state
+    sql["cdc_update_where"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
+               CASE WHEN user_id::VARCHAR >= '5'
+                    THEN 'UPD:' || content ELSE content END AS content
+        FROM ded WHERE rn = 1 AND op != 'delete'
+    """
     # append-mode predicate delete == logical DELETE FROM the replayed state
     sql["cdc_delete_where"] = f"""
         WITH chg AS ({_CHG_SQL}),

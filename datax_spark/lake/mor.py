@@ -582,6 +582,92 @@ class MorTable(LakeTable):
             )
         return self.snapshot(res.version)
 
+    def update_where(
+        self,
+        filters: list,
+        set_exprs: dict[str, "Any"],
+        mode: str = "append",
+        max_retries: int = 3,
+    ) -> Snapshot:
+        """Row-level UPDATE by predicate (Delta ``UPDATE ... SET``
+        analog), MOR-native.
+
+        ``mode='append'`` (default) never rewrites base files: the
+        matching rows (pruned resolved scan) are re-emitted as
+        full-width ``update`` images with the set expressions applied —
+        one atomic delta append, O(matching rows) write. Full images
+        (not partial patches) so ``SET col = NULL`` really nulls the
+        column and the table needs no ``_patch`` support. A later CDC
+        event for the key supersedes the update (latest-wins, same as
+        any stream race).
+
+        ``set_exprs`` maps payload column name -> Column or SQL string,
+        evaluated over the CURRENT resolved row (so
+        ``{"n": F.col("n") + 1}`` increments). Key and bucket columns
+        refuse (row identity).
+
+        ``mode='rewrite'`` routes through ``overwrite_where`` (COW): the
+        physical path when the old values must leave disk after vacuum.
+        """
+        from datax_spark.lake.stats import validate_filters
+
+        if mode not in ("append", "rewrite"):
+            raise ValueError(f"unknown update_where mode {mode!r}")
+        validate_filters(filters)
+        snap = self.snapshot()
+        props = snap.properties
+        key_cols = props["key_cols"]
+        payload = [
+            f.name for f in snap.schema.fields if f.name not in META_COLS
+        ]
+        for c in set_exprs:
+            if c in key_cols or c == props["bucket_key"]:
+                raise ValueError(
+                    f"cannot SET key/bucket column {c!r} (row identity); "
+                    "delete + insert instead"
+                )
+            if c not in payload:
+                raise ValueError(f"cannot SET unknown column {c!r}")
+        plan = self.plan_scan(filters, prune_files=False)
+        if not plan["buckets"]:
+            return snap
+        matched = self.scan(filters, version=snap.version)
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_exprs.items()
+        }
+        updated = matched.select(
+            *[
+                (sets[c].cast(matched.schema[c].dataType) if c in sets
+                 else F.col(c)).alias(c)
+                for c in payload
+            ]
+        )
+        if mode == "rewrite":
+            return self.overwrite_where(
+                filters, updated, validate=False, max_retries=max_retries
+            )
+        mx = (
+            self.read_raw(buckets=plan["buckets"], version=snap.version)
+            .agg(F.max(SEQ_META))
+            .first()[0]
+        )
+        chg = updated.select(
+            *payload,
+            F.lit("update").alias("op"),
+            F.lit(int(mx or 0) + 1).alias("seq"),
+        )
+        if not chg.take(1):
+            return snap
+        res = self.apply_deduped(
+            chg, batch_id=snap.version, stream_id="_update_where"
+        )
+        if not res.applied:
+            raise CommitConflict(
+                "concurrent update_where fenced this one; retry"
+            )
+        return self.snapshot(res.version)
+
     # ----------------------------------------------------------- maintenance
     def _bucket_file_count(self, snap: Snapshot, b: str) -> int:
         return (

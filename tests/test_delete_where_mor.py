@@ -110,3 +110,71 @@ def test_unknown_mode_raises(spark, tmp_path):
     t = _table(spark, tmp_path)
     with pytest.raises(ValueError, match="mode"):
         t.delete_where([("k", "=", "a")], mode="bogus")
+
+
+# --------------------------------------------------------------- update_where
+def test_update_where_append_no_rewrite(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    before = t.snapshot()
+    t.update_where([("n", ">=", 10)], {"v": F.concat(F.col("v"), F.lit("!"))})
+    after = t.snapshot()
+    assert after.buckets == before.buckets  # no base rewrite
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": "va", "b": "vb!", "c": "vc!", "d": "vd"}
+
+
+def test_update_where_sql_string_and_self_reference(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.update_where([("k", "=", "b")], {"n": "n + 100"})
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 120, "c": 30, "d": 2}
+
+
+def test_update_where_can_set_null(spark, tmp_path):
+    # full replace images (not patches): SET col = NULL really nulls
+    t = _table(spark, tmp_path)
+    t.update_where([("k", "=", "c")], {"v": F.lit(None)})
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["c"] is None and got["a"] == "va"
+
+
+def test_update_where_rewrite_mode_matches_append(spark, tmp_path):
+    ta = _table(spark, tmp_path, "ua")
+    tr = _table(spark, tmp_path, "ur")
+    ta.update_where([("n", ">=", 10)], {"v": "upper(v)"}, mode="append")
+    tr.update_where([("n", ">=", 10)], {"v": "upper(v)"}, mode="rewrite")
+    assert sorted(map(tuple, ta.read().collect())) == sorted(
+        map(tuple, tr.read().collect())
+    )
+
+
+def test_update_where_guards(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="key/bucket"):
+        t.update_where([("n", ">=", 10)], {"k": F.lit("z")})
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where([("n", ">=", 10)], {"zzz": F.lit(1)})
+    with pytest.raises(ValueError, match="mode"):
+        t.update_where([("n", ">=", 10)], {"v": F.lit("x")}, mode="bogus")
+
+
+def test_update_then_later_cdc_event_wins(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.update_where([("k", "=", "b")], {"v": F.lit("patched")})
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [("b", "update", 999, "stream-wins", 21)],
+            "k string, op string, seq long, v string, n int",
+        ),
+        1,
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["b"] == "stream-wins"
+
+
+def test_update_where_no_match_noop(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v = t.current_version()
+    t.update_where([("n", ">=", 10**6)], {"v": F.lit("x")})
+    assert t.current_version() == v
