@@ -2056,6 +2056,49 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
+    def update_where(
+        self,
+        filters: list,
+        set_exprs: dict[str, Any],
+        max_retries: int = 3,
+    ) -> Snapshot:
+        """Row-level UPDATE by predicate (Delta ``UPDATE ... SET``): the
+        matching slice rewrites with the SET expressions applied — one
+        atomic ``overwrite_where`` commit, pruned to the buckets that
+        may hold matches. ``set_exprs`` maps payload column -> Column or
+        SQL string evaluated over the current row. Key/bucket columns
+        refuse (row identity). MorTable overrides with an O(matching
+        rows) delta append; this COW form is the physical-rewrite path.
+        """
+        snap = self.snapshot()
+        props = snap.properties
+        payload = [
+            f.name for f in snap.schema.fields if not f.name.startswith("_")
+        ]
+        for c in set_exprs:
+            if c in props["key_cols"] or c == props["bucket_key"]:
+                raise ValueError(
+                    f"cannot SET key/bucket column {c!r} (row identity); "
+                    "delete + insert instead"
+                )
+            if c not in payload:
+                raise ValueError(f"cannot SET unknown column {c!r}")
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_exprs.items()
+        }
+        matched = self.scan(filters, version=snap.version)
+        updated = matched.select(
+            *[
+                (sets[c].cast(matched.schema[c].dataType) if c in sets
+                 else F.col(c)).alias(c)
+                for c in matched.columns
+            ]
+        )
+        return self.overwrite_where(
+            filters, updated, validate=False, max_retries=max_retries
+        )
+
     def delete_where(
         self, filters: list, max_retries: int = 3
     ) -> Snapshot:

@@ -117,3 +117,28 @@ def test_validate_rejects_null_predicate_rows(spark, tmp_path):
     bad = spark.createDataFrame([("r9", None, "x")], SCHEMA)
     with pytest.raises(ValueError, match="NOT matching"):
         t.overwrite_where([("lang", "=", "py")], bad)
+
+
+# --------------------------------------------------- COW update_where (DML)
+def test_cow_update_where_applies_set_exprs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _cow(spark, tmp_path, "upd")
+    t.update_where(
+        [("lang", "=", "py")],
+        {"content": F.concat(F.col("content"), F.lit("!")), "lang": "upper(lang)"},
+    )
+    assert _state(t) == [
+        ("r1", "PY", "a!"), ("r2", "PY", "b!"), ("r3", "go", "c"),
+        ("r4", None, "d"),
+    ]
+
+
+def test_cow_update_where_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _cow(spark, tmp_path, "updg")
+    with pytest.raises(ValueError, match="key/bucket"):
+        t.update_where([("lang", "=", "py")], {"repo": F.lit("x")})
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where([("lang", "=", "py")], {"zzz": F.lit("x")})
