@@ -225,3 +225,84 @@ def test_rename_plan_stays_one_scan(spark, tmp_path):
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
     assert "Exchange" not in plan
+
+
+def test_streaming_apply_across_rename(spark, tmp_path):
+    """tail_and_apply keeps working after a mid-stream rename: batches
+    already written under the OLD upstream name fail LOUDLY (retired
+    name), while a renamed upstream applies cleanly — schema evolution
+    under streaming is explicit, never silent corruption."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    from datax_spark.sources.changelog import generate_changelog, write_segments
+    from datax_spark.streaming.pipeline import PipelineConfig, tail_and_apply
+
+    schema = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("commit", StringType()),
+            StructField("lang", StringType()),
+            StructField("content", StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=4,
+    )
+    log = generate_changelog(
+        spark, n_events=800, n_keys=100, events_per_segment=400
+    )
+    logdir = os.path.join(str(tmp_path), "log")
+    write_segments(log, logdir)
+    cfg = PipelineConfig(quarantine_dir=os.path.join(str(tmp_path), "q"))
+    tail_and_apply(
+        spark, t.path, logdir, os.path.join(str(tmp_path), "ck1"),
+        log.schema, config=cfg, max_files_per_trigger=10,
+    )
+    n_before = t.count()
+    assert n_before > 0
+    t.rename_column("content", "body")
+    # a renamed upstream (new segments carry `body`) applies cleanly
+    log2 = (
+        generate_changelog(
+            spark, n_events=400, n_keys=100, events_per_segment=400, seed=7
+        )
+        .withColumn("seq", F.col("seq") + 800)
+        .withColumnRenamed("content", "body")
+    )
+    logdir2 = os.path.join(str(tmp_path), "log2")
+    write_segments(log2, logdir2)
+    cfg2 = PipelineConfig(
+        quarantine_dir=os.path.join(str(tmp_path), "q"), stream_id="s2"
+    )
+    tail_and_apply(
+        spark, t.path, logdir2, os.path.join(str(tmp_path), "ck2"),
+        log2.schema, config=cfg2, max_files_per_trigger=10,
+    )
+    out = t.read()
+    assert "body" in out.columns and out.count() > n_before
+    # an upstream STILL sending the retired name fails loudly
+    logdir3 = os.path.join(str(tmp_path), "log3")
+    write_segments(
+        generate_changelog(
+            spark, n_events=100, n_keys=50, events_per_segment=100, seed=9
+        ),
+        logdir3,
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datax_spark.lake.table import SchemaEvolutionError as SEE
+
+    cfg3 = PipelineConfig(
+        quarantine_dir=os.path.join(str(tmp_path), "q"), stream_id="s3"
+    )
+    with pytest.raises((SEE, StreamingQueryException, Py4JJavaError)) as ei:
+        tail_and_apply(
+            spark, t.path, logdir3, os.path.join(str(tmp_path), "ck3"),
+            log.schema, config=cfg3, max_files_per_trigger=10,
+        )
+    assert "RETIRED" in str(ei.value)
+    # and the failed stream changed nothing
+    assert "body" in t.read().columns
