@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "cdc_scd2_apply",
     "cdc_overwrite_where",
     "cdc_asof_join",
+    "cdc_delete_where",
+    "cdc_update_where",
     "cdc_envelope_emit",
     "text_search",
     "text_search_sync",

@@ -1497,8 +1497,20 @@ def quality_buckets_threshold(
         raise ValueError("n_hist_buckets must be >= 1")
     h_ppm = round(head * MIX_PPM)
     m_ppm = round((head + middle) * MIX_PPM)
-    spark = docs.sparkSession
     j = docs.select(id_col, lang_col).join(scores, id_col)
+
+    def _is_lang(lang) -> Column:
+        # NULL is a language group of its own (matching the window
+        # form's partitionBy, where NULLs group together); == never
+        # matches NULL, so spell the comparison null-safely.
+        if lang is None:
+            return F.col(lang_col).isNull()
+        return F.col(lang_col) == F.lit(lang)
+
+    # The driver passes (stats, histogram, two cutoff-rank collects) all
+    # re-derive j; cache it for their duration, then drop the cache so
+    # the RETURNED assignment plan stays the scan-fused single pass.
+    j = j.persist()
 
     # pass 1: per-language counts + non-null score range
     stats = {
@@ -1530,7 +1542,7 @@ def quality_buckets_threshold(
     for lang, r in stats.items():
         if r["n_scored"]:
             bexpr = F.when(
-                F.col(lang_col) == F.lit(lang),
+                _is_lang(lang),
                 bucket_expr(float(r["smin"]), float(r["smax"])),
             ).otherwise(bexpr)
     hist: dict[tuple[str, int], int] = {
@@ -1571,11 +1583,12 @@ def quality_buckets_threshold(
     if need:
         langs_b = [(lang, b) for lang, _, _, b, scored in need if scored]
         langs_null = [lang for lang, _, _, b, scored in need if not scored]
+        # compare against the MATERIALIZED _b column, never re-inline
+        # the per-language bexpr when-chain (the CollapseProject
+        # expression-blowup edge, NOTES.md)
         pred = F.lit(False)
         for lang, b in langs_b:
-            pred = pred | (
-                (F.col(lang_col) == F.lit(lang)) & (bexpr == F.lit(b))
-            )
+            pred = pred | (_is_lang(lang) & (F.col("_b") == F.lit(b)))
         rows = []
         if langs_b:
             w = Window.partitionBy(lang_col, "_b").orderBy(
@@ -1585,7 +1598,7 @@ def quality_buckets_threshold(
             for lang, _lvl, rk, b, scored in need:
                 if scored:
                     want_r = want_r | (
-                        (F.col(lang_col) == F.lit(lang))
+                        _is_lang(lang)
                         & (F.col("_b") == F.lit(b))
                         & (F.col("_r") == F.lit(rk))
                     )
@@ -1605,14 +1618,13 @@ def quality_buckets_threshold(
             for lang, _lvl, rk, b, scored in need:
                 if not scored:
                     want_n = want_n | (
-                        (F.col(lang_col) == F.lit(lang))
-                        & (F.col("_r") == F.lit(rk))
+                        _is_lang(lang) & (F.col("_r") == F.lit(rk))
                     )
+            null_lang_pred = F.lit(False)
+            for lang in langs_null:
+                null_lang_pred = null_lang_pred | _is_lang(lang)
             nrows = (
-                j.filter(
-                    F.col(score_col).isNull()
-                    & F.col(lang_col).isin(langs_null)
-                )
+                j.filter(F.col(score_col).isNull() & null_lang_pred)
                 .withColumn("_r", F.row_number().over(wn))
                 .filter(want_n)
                 .select(lang_col, "_r", id_col)
@@ -1647,10 +1659,11 @@ def quality_buckets_threshold(
             | ((sc == F.lit(float(s_k))) & (i <= F.lit(id_k)))
         )
 
+    j.unpersist()  # the returned plan recomputes the join scan-fused
     in_h = F.lit(False)
     in_m = F.lit(False)
     for lang in stats:
-        is_l = F.col(lang_col) == F.lit(lang)
+        is_l = _is_lang(lang)
         in_h = F.when(is_l, within("h", lang)).otherwise(in_h)
         in_m = F.when(is_l, within("m", lang)).otherwise(in_m)
     bucket = (

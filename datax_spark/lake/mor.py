@@ -530,7 +530,9 @@ class MorTable(LakeTable):
         predicate's matching keys (a PRUNED resolved scan —
         plan_scan-bounded buckets/files) are appended as NARROW
         equality-delete tombstones (key_cols, _seq) in one atomic
-        commit, out-sequencing every live row in the affected buckets.
+        commit at the affected buckets' current max _seq — killing
+        every live matched row while ANY strictly-later stream event
+        resurrects the key (no collision with the stream's next seq).
         Cost is O(matching keys) write + the usual eq-delete broadcast
         at read, vs the inherited COW rewrite of every bucket that may
         hold a match — the difference between a GDPR erasure touching
@@ -547,35 +549,45 @@ class MorTable(LakeTable):
         if mode != "append":
             raise ValueError(f"unknown delete_where mode {mode!r}")
         snap = self.snapshot()
-        props = snap.properties
-        key_cols = props["key_cols"]
-        plan = self.plan_scan(filters, prune_files=False)
-        matched = self.scan(filters, version=snap.version).select(*key_cols)
-        affected = plan["buckets"]
-        if not affected:
+        key_cols = snap.properties["key_cols"]
+        # every pass pins snap.version: a concurrent commit (rebucket
+        # especially) must not desynchronize buckets / matches / max-seq
+        plan = self.plan_scan(
+            filters, version=snap.version, prune_files=False
+        )
+        if not plan["buckets"]:
             return snap
-        # tombstones must out-seq every live row a matched key could
-        # have; one narrow _seq max over the affected buckets only.
-        # None = no streamed rows there yet (COW-merged / bulk-loaded
-        # base rows carry NULL _seq and die to ANY delete seq).
-        mx = (
-            self.read_raw(buckets=affected, version=snap.version)
-            .agg(F.max(SEQ_META))
-            .first()[0]
+        matched = (
+            self.scan(filters, version=snap.version)
+            .select(*key_cols)
+            .persist()
         )
-        chg = matched.select(
-            *key_cols,
-            F.lit("delete").alias("op"),
-            F.lit(int(mx or 0) + 1).alias("seq"),
-        )
-        if not chg.take(1):
-            return snap  # predicate matched nothing
-        res = self.apply_deduped(
-            chg,
-            batch_id=snap.version,
-            stream_id="_delete_where",
-            delete_encoding="eq",
-        )
+        try:
+            if not matched.take(1):
+                return snap  # predicate matched nothing
+            # Tombstone seq = the affected buckets' CURRENT max _seq: it
+            # kills every live row (eq filter is row_seq <= delete_seq;
+            # NULL row seq = bulk/COW-loaded rows, dead to any delete)
+            # while any strictly-later stream event resurrects the key —
+            # no collision with the stream's next seq, unlike max+1.
+            mx = (
+                self.read_raw(buckets=plan["buckets"], version=snap.version)
+                .agg(F.max(SEQ_META))
+                .first()[0]
+            )
+            chg = matched.select(
+                *key_cols,
+                F.lit("delete").alias("op"),
+                F.lit(int(mx or 0)).alias("seq"),
+            )
+            res = self.apply_deduped(
+                chg,
+                batch_id=snap.version,
+                stream_id="_delete_where",
+                delete_encoding="eq",
+            )
+        finally:
+            matched.unpersist()
         if not res.applied:
             raise CommitConflict(
                 "concurrent delete_where fenced this one; retry"
@@ -609,59 +621,53 @@ class MorTable(LakeTable):
         ``mode='rewrite'`` routes through ``overwrite_where`` (COW): the
         physical path when the old values must leave disk after vacuum.
         """
-        from datax_spark.lake.stats import validate_filters
-
         if mode not in ("append", "rewrite"):
             raise ValueError(f"unknown update_where mode {mode!r}")
-        validate_filters(filters)
         snap = self.snapshot()
-        props = snap.properties
-        key_cols = props["key_cols"]
         payload = [
             f.name for f in snap.schema.fields if f.name not in META_COLS
         ]
-        for c in set_exprs:
-            if c in key_cols or c == props["bucket_key"]:
-                raise ValueError(
-                    f"cannot SET key/bucket column {c!r} (row identity); "
-                    "delete + insert instead"
-                )
-            if c not in payload:
-                raise ValueError(f"cannot SET unknown column {c!r}")
-        plan = self.plan_scan(filters, prune_files=False)
+        plan = self.plan_scan(
+            filters, version=snap.version, prune_files=False
+        )
         if not plan["buckets"]:
+            self._apply_set_exprs(  # still validate the SET spec
+                snap, self.spark.createDataFrame([], snap.schema), set_exprs
+            )
             return snap
         matched = self.scan(filters, version=snap.version)
-        sets = {
-            c: (F.expr(e) if isinstance(e, str) else e)
-            for c, e in set_exprs.items()
-        }
-        updated = matched.select(
-            *[
-                (sets[c].cast(matched.schema[c].dataType) if c in sets
-                 else F.col(c)).alias(c)
-                for c in payload
-            ]
-        )
+        updated = self._apply_set_exprs(snap, matched, set_exprs)
         if mode == "rewrite":
             return self.overwrite_where(
                 filters, updated, validate=False, max_retries=max_retries
             )
-        mx = (
-            self.read_raw(buckets=plan["buckets"], version=snap.version)
-            .agg(F.max(SEQ_META))
-            .first()[0]
-        )
-        chg = updated.select(
-            *payload,
-            F.lit("update").alias("op"),
-            F.lit(int(mx or 0) + 1).alias("seq"),
-        )
-        if not chg.take(1):
-            return snap
-        res = self.apply_deduped(
-            chg, batch_id=snap.version, stream_id="_update_where"
-        )
+        updated = updated.persist()
+        try:
+            if not updated.take(1):
+                return snap
+            # Update images must STRICTLY out-seq every live row, so
+            # max+1 is unavoidable here (unlike delete_where's max): a
+            # tie with an existing row would make latest-wins dedup
+            # nondeterministic. The documented cost: a future stream
+            # event at EXACTLY max+1 ties with the update image. Real
+            # seq domains are sparse (binlog file*2^42+pos, LSNs), so
+            # max+1 falls in the gap below the next event; dense
+            # synthetic seq domains should prefer mode='rewrite'.
+            mx = (
+                self.read_raw(buckets=plan["buckets"], version=snap.version)
+                .agg(F.max(SEQ_META))
+                .first()[0]
+            )
+            chg = updated.select(
+                *payload,
+                F.lit("update").alias("op"),
+                F.lit(int(mx or 0) + 1).alias("seq"),
+            )
+            res = self.apply_deduped(
+                chg, batch_id=snap.version, stream_id="_update_where"
+            )
+        finally:
+            updated.unpersist()
         if not res.applied:
             raise CommitConflict(
                 "concurrent update_where fenced this one; retry"

@@ -1543,6 +1543,12 @@ class LakeTable:
                     f"constraint {cname!r} ({expr!r})"
                 )
 
+    # Names the change-apply paths claim for CDC markers (kept in sync
+    # with operators.merge.CDC_META_COLS, which builds from this set):
+    # a payload column renamed TO one of these would be silently
+    # overwritten with marker values on the next apply.
+    CDC_RESERVED_NAMES = frozenset({"op", "seq", "ts", "batch_file"})
+
     def rename_column(
         self, old: str, new: str, max_retries: int = 3
     ) -> Snapshot:
@@ -1569,6 +1575,12 @@ class LakeTable:
         self._schema_ddl_guard(orig, old, "rename")
         if not new or new.startswith("_"):
             raise SchemaEvolutionError(f"invalid new column name {new!r}")
+        if new in self.CDC_RESERVED_NAMES:
+            raise SchemaEvolutionError(
+                f"invalid new column name {new!r}: reserved for CDC "
+                "change markers — the next apply would overwrite the "
+                "column with marker values"
+            )
 
         def build(base: Snapshot) -> Snapshot:
             names = {f.name for f in base.schema.fields}
@@ -2056,6 +2068,36 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
+    def _apply_set_exprs(
+        self, snap: Snapshot, matched: DataFrame, set_exprs: dict[str, Any]
+    ) -> DataFrame:
+        """Validate SET expressions and project ``matched`` (resolved
+        payload rows) with them applied — shared by the COW and MOR
+        ``update_where`` paths so the DML guards cannot drift."""
+        props = snap.properties
+        payload = [
+            f.name for f in snap.schema.fields if not f.name.startswith("_")
+        ]
+        for c in set_exprs:
+            if c in props["key_cols"] or c == props["bucket_key"]:
+                raise ValueError(
+                    f"cannot SET key/bucket column {c!r} (row identity); "
+                    "delete + insert instead"
+                )
+            if c not in payload:
+                raise ValueError(f"cannot SET unknown column {c!r}")
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_exprs.items()
+        }
+        return matched.select(
+            *[
+                (sets[c].cast(types[c]) if c in sets else F.col(c)).alias(c)
+                for c in payload
+            ]
+        )
+
     def update_where(
         self,
         filters: list,
@@ -2071,30 +2113,8 @@ class LakeTable:
         rows) delta append; this COW form is the physical-rewrite path.
         """
         snap = self.snapshot()
-        props = snap.properties
-        payload = [
-            f.name for f in snap.schema.fields if not f.name.startswith("_")
-        ]
-        for c in set_exprs:
-            if c in props["key_cols"] or c == props["bucket_key"]:
-                raise ValueError(
-                    f"cannot SET key/bucket column {c!r} (row identity); "
-                    "delete + insert instead"
-                )
-            if c not in payload:
-                raise ValueError(f"cannot SET unknown column {c!r}")
-        sets = {
-            c: (F.expr(e) if isinstance(e, str) else e)
-            for c, e in set_exprs.items()
-        }
         matched = self.scan(filters, version=snap.version)
-        updated = matched.select(
-            *[
-                (sets[c].cast(matched.schema[c].dataType) if c in sets
-                 else F.col(c)).alias(c)
-                for c in matched.columns
-            ]
-        )
+        updated = self._apply_set_exprs(snap, matched, set_exprs)
         return self.overwrite_where(
             filters, updated, validate=False, max_retries=max_retries
         )

@@ -48,7 +48,9 @@ from datax_spark.lake.table import (
 OP_COL = "op"
 DELETE_OP = "delete"
 # Change-log bookkeeping columns that never enter the target table.
-CDC_META_COLS = {OP_COL, "seq", "ts", "batch_file", BUCKET_COL}
+# change-marker names, built from the table-side reserved set so the
+# rename_column guard and this conform/evolve skip-list cannot drift
+CDC_META_COLS = set(LakeTable.CDC_RESERVED_NAMES) | {OP_COL, BUCKET_COL}
 
 
 @dataclass

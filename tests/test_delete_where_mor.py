@@ -178,3 +178,22 @@ def test_update_where_no_match_noop(spark, tmp_path):
     v = t.current_version()
     t.update_where([("n", ">=", 10**6)], {"v": F.lit("x")})
     assert t.current_version() == v
+
+
+def test_delete_then_immediately_next_seq_resurrects(spark, tmp_path):
+    """Review fix: the tombstone seq equals the current max _seq, so the
+    stream's very NEXT event (max+1) already resurrects the key — no
+    silent swallow at the collision seq."""
+    t = _table(spark, tmp_path)  # seqs 1..4 applied
+    t.delete_where([("k", "=", "d")])
+    assert {r["k"] for r in t.read().collect()} == {"a", "b", "c"}
+    merge_apply(
+        t,
+        spark.createDataFrame(
+            [("d", "insert", 5, "vd2", 2)],  # exactly max+1
+            "k string, op string, seq long, v string, n int",
+        ),
+        1,
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["d"] == "vd2"

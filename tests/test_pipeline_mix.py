@@ -328,3 +328,19 @@ def test_threshold_variant_validates(spark):
         quality_buckets_threshold(docs, scores, head=0.9, middle=0.2)
     with pytest.raises(ValueError):
         quality_buckets_threshold(docs, scores, n_hist_buckets=0)
+
+
+def test_threshold_variant_null_language_group(spark):
+    """NULL lang is a language group of its own (review fix): both forms
+    bucket it identically instead of the threshold form crashing."""
+    rows = (
+        [(i, None, float(i % 5)) for i in range(40)]
+        + [(100 + i, "en", float(i)) for i in range(15)]
+        + [(200 + i, None, None) for i in range(6)]  # NULL lang + NULL score
+    )
+    exact, thr = _qb_pair(spark, rows, 0.1, 0.4)
+    assert thr == exact
+    # all-NULL-score NULL-lang-only corpus (the by_null arm)
+    rows2 = [(i, None, None) for i in range(12)]
+    exact2, thr2 = _qb_pair(spark, rows2, 0.4, 0.3)
+    assert thr2 == exact2

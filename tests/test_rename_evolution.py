@@ -306,3 +306,13 @@ def test_streaming_apply_across_rename(spark, tmp_path):
     assert "RETIRED" in str(ei.value)
     # and the failed stream changed nothing
     assert "body" in t.read().columns
+
+
+def test_rename_to_cdc_reserved_name_refused(spark, tmp_path):
+    """Review fix: 'op'/'seq'/'ts'/'batch_file' are claimed by the
+    change-apply conform step — a payload column renamed onto them would
+    be silently overwritten with marker values on the next apply."""
+    t = _table(spark, tmp_path)
+    for bad in ("op", "seq", "ts", "batch_file"):
+        with pytest.raises(SchemaEvolutionError, match="reserved"):
+            t.rename_column("v", bad)
