@@ -260,3 +260,50 @@ def test_compact_cannot_fold_away_concurrent_delta(spark, tmp_path):
     table.compact(max_files_per_bucket=0)
     assert not any(table.snapshot().deltas.values())
     assert fingerprint(table) == want
+
+
+def test_dml_during_stream_apply(spark, two_logs, tmp_path):
+    """delete_where / update_where racing a live apply stream: every
+    commit either lands (CAS rebase) or raises CommitConflict — never a
+    silent loss — and the final state has no duplicate keys and no rows
+    the DML + stream combination cannot explain."""
+    a, _ = two_logs
+    t = make_mor(spark, str(tmp_path / "dmlrace"))
+    _apply_log(t, a, "a", n_segments=2)  # seed state
+
+    errs: list[Exception] = []
+
+    def apply_rest():
+        try:
+            cfg = PipelineConfig(stream_id="a")
+            for i in range(2, 4):
+                seg = a.filter(F.col("batch_file") == i)
+                apply_batch(t, seg, i, cfg)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    def dml():
+        try:
+            t.update_where(
+                [("lang", "=", "python")], {"content": "upper(content)"}
+            )
+            t.delete_where([("lang", "=", "go")])
+        except CommitConflict:
+            pass  # legitimate loser outcome
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th1 = threading.Thread(target=apply_rest)
+    th2 = threading.Thread(target=dml)
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+    out = t.read()
+    # invariant 1: latest-wins left exactly one row per key
+    assert out.count() == out.select(*KEYS).distinct().count()
+    # invariant 2: the table still applies cleanly after the race
+    more = a.filter(F.col("batch_file") == 3).withColumn(
+        "seq", F.col("seq") + F.lit(10_000_000)
+    )
+    apply_batch(t, more, 4, PipelineConfig(stream_id="a"))
+    out2 = t.read()
+    assert out2.count() == out2.select(*KEYS).distinct().count()
