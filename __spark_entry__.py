@@ -376,6 +376,25 @@ def q_dedup_embedding_corpus(spark, sf_dir):
     return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings with the
+    deterministic trained codebook (same fit as ann_ivf_trained), then
+    inside each cluster drop every vector that near-duplicates
+    (cosine >= threshold) a farther-from-centroid one — the paper's
+    keep-the-most-diverse rule. Differs from dedup_embedding_corpus
+    (label-blocked pairs -> CC -> representatives) in both the blocking
+    (trained cells, no prior labels needed) and the decision (the
+    published precedence screen, no transitive closure). Fully
+    oracle-checked: the fit is DATA (kmeans_fit_local refits
+    bit-identically), distances/cosines are the proven sequential-fold
+    forms, so DuckDB replays assignment + screen exactly."""
+    from datax_spark.functions.dedup import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    return semantic_dedup(emb, centroids, NEARDUP_THRESHOLD)
+
+
 def _query_vec(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -1102,6 +1121,37 @@ def q_cdc_session_windows(spark, sf_dir):
     )
 
 
+def q_cdc_sliding_counts(spark, sf_dir):
+    """SLIDING event-time window aggregate — the third member of the
+    window family (tumbling: cdc_window_counts, session:
+    cdc_session_windows): 1-hour windows advancing every 15 minutes, so
+    each event lands in exactly 4 overlapping windows. Spark's F.window
+    with a slideDuration materializes the per-event window list inside
+    the scan (a Generate, shuffle only on the groupBy keys — same
+    physical shape as the tumbling form at 4x rows); the DuckDB oracle
+    derives the same 4 aligned starts arithmetically per event
+    (bucket15(ts) - k*15min, k in 0..3) and aggregates. Micro-unit
+    integer sums keep the float total order-independent, as in the
+    tumbling twin."""
+    ev = _read(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(micro) / F.lit(1_000_000.0)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_cdc_change_feed(spark, sf_dir):
     """Row-level change feed between snapshots (Delta CDF analog): apply
     the 2-batch events changelog, then emit what batch 2 CHANGED —
@@ -1193,6 +1243,59 @@ def q_cdc_lake_apply(spark, sf_dir):
     cfg = PipelineConfig(quarantine_dir=os.path.join(root, "q"))
     apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
     apply_batch(table, chg.filter(F.col("seq") > mid), 1, cfg)
+    return table.read().select("repo", "path", "commit", "content")
+
+
+def q_cdc_snapshot_sync(spark, sf_dir):
+    """Captureless CDC — snapshot-diff change capture
+    (operators/snapshot_sync.py): the table holds the first half of the
+    log; a FULL DUMP of the source's final state arrives (DataX's
+    daily-full-sync reality for binlog-less sources); snapshot_diff
+    computes the minimal insert/update/delete set against the live
+    table in ONE full-outer join and apply_snapshot feeds it through
+    the normal fenced path. Final state must equal the straight replay
+    oracle — proving dump-diff ingest converges to exactly what tailing
+    the log would have produced, deletes included (the WHERE-over-
+    modified-time recipe in mysqlreader's docs misses those)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.operators.snapshot_sync import apply_snapshot
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    agg = chg.agg(
+        F.floor(F.max("seq") / 2).alias("mid"), F.max("seq").alias("mx")
+    ).first()
+    mid, mx = agg["mid"], agg["mx"]
+    root = _tmproot("dx_snapsync_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(quarantine_dir=os.path.join(root, "q"))
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
+    # the "full dump": the source's latest-wins clean state over the
+    # WHOLE log (what a full reader scan would return today)
+    clean = chg.filter(
+        F.col("op").isin("insert", "update", "delete")
+        & F.col("repo").isNotNull()
+        & (
+            (F.col("op") == "delete")
+            | (F.col("content").isNotNull() & (F.col("content") != F.lit("\\N")))
+        )
+    )
+    last = clean.groupBy("repo", "path", "commit").agg(
+        F.max_by(F.struct("op", "lang", "content"), "seq").alias("s")
+    )
+    dump = last.filter(F.col("s.op") != "delete").select(
+        "repo", "path", "commit",
+        F.col("s.lang").alias("lang"), F.col("s.content").alias("content"),
+    )
+    apply_snapshot(table, dump, batch_id=1, config=cfg, new_seq=int(mx) + 1)
     return table.read().select("repo", "path", "commit", "content")
 
 
@@ -2472,6 +2575,47 @@ def _ivf_trained_oracle_sql() -> str:
     """
 
 
+def _semantic_oracle_sql() -> str:
+    """DuckDB oracle for dedup_semantic (SemDeDup). The codebook is
+    deterministic DATA (kmeans_fit_local refits it bit-identically —
+    same contract as _ivf_trained_oracle_sql); squared distances expand
+    to the left-associative '+' chains that match Spark's sequential
+    fold, the assigned-cell distance is least(d0..dk) (== the strict-<
+    argmin fold's d), and the pair cosine is the proven _COS form, so
+    the keep/drop screen replays exactly."""
+    from datax_spark.functions.similarity import kmeans_fit_local
+
+    emb_path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
+    cents = kmeans_fit_local(emb_path, k=8, iters=3)
+
+    def sq(c: list[float]) -> str:
+        return " + ".join(
+            f"(vec[{i + 1}]-({c[i]!r}))*(vec[{i + 1}]-({c[i]!r}))"
+            for i in range(len(c))
+        )
+
+    d_cols = ",\n               ".join(
+        f"({sq(c)}) AS d{j}" for j, c in enumerate(cents)
+    )
+    d_list = ", ".join(f"d{j}" for j in range(len(cents)))
+    return f"""
+        WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        d AS (SELECT vec_id, vec,
+               {d_cols}
+              FROM s),
+        a AS (SELECT vec_id, vec,
+                     CAST(list_position([{d_list}], least({d_list})) - 1 AS INTEGER) AS cell,
+                     least({d_list}) AS dc
+              FROM d)
+        SELECT x.vec_id, x.cell FROM a x
+        WHERE NOT EXISTS (
+          SELECT 1 FROM a y
+          WHERE y.cell = x.cell AND y.vec_id != x.vec_id
+            AND floor((SELECT {_COS} FROM (SELECT x.vec AS v1, y.vec AS v2)) * 1000000.0 + 0.5) / 1000000.0 >= {NEARDUP_THRESHOLD}
+            AND (y.dc > x.dc OR (y.dc = x.dc AND y.vec_id < x.vec_id)))
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2584,6 +2728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rename_evolution": q_cdc_rename_evolution,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_update_where": q_cdc_update_where,
+        "dedup_semantic": q_dedup_semantic,
+        "cdc_sliding_counts": q_cdc_sliding_counts,
+        "cdc_snapshot_sync": q_cdc_snapshot_sync,
     }
 
 
@@ -2826,6 +2973,7 @@ def oracle_sql() -> dict[str, str]:
         sql["ann_ivf_index"] = trained_ivf
         sql["ann_pq_topk"] = _pq_oracle_sql()
         sql["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
+        sql["dedup_semantic"] = _semantic_oracle_sql()
     if os.path.exists(os.path.join(_oracle_sf_dir(), "documents.parquet")):
         # Data-dependent like the trained-IVF family: the idf weights are
         # integers -> math.log literals derived from the oracle corpus.
@@ -3030,6 +3178,8 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final
+    # dump-diff ingest converges to the straight-replay state
+    sql["cdc_snapshot_sync"] = _lake_final
     # append-mode predicate update == logical UPDATE ... SET on the state
     sql["cdc_update_where"] = f"""
         WITH chg AS ({_CHG_SQL}),
@@ -3168,6 +3318,21 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_events,
                sum(micro)::BIGINT / 1000000.0 AS sum_value
         FROM g GROUP BY user_id, sess_id
+    """
+    # sliding windows: each event belongs to exactly window/slide = 4
+    # aligned starts — bucket15(ts) - k*15min for k in 0..3 (the largest
+    # aligned start <= ts, walked back one slide at a time). Spark's
+    # F.window(slide) generates the identical window set.
+    sql["cdc_sliding_counts"] = """
+        SELECT window_start, event_type,
+               count(*)::BIGINT AS n_events,
+               sum(floor("value" * 1000000.0))::BIGINT / 1000000.0 AS sum_value
+        FROM (
+          SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k)
+                   AS window_start,
+                 event_type, "value"
+          FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+        GROUP BY 1, 2
     """
     # change feed = diff of the two replayed states; a key changed by
     # batch 2 with a different full row emits pre+post images, same-row

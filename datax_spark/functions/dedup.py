@@ -552,3 +552,75 @@ def select_representatives(
         .filter(F.col(id_col) == F.col("_rep_id"))
         .drop("_rep_id")
     )
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic deduplication — cluster the corpus with a trained codebook,
+    then within each cluster drop every vector that is a near-duplicate
+    (cosine >= threshold) of a *more diverse* one.
+
+    The published algorithm: k-means the embeddings, and inside each
+    cluster keep, from every duplicate group, the example with the LOWEST
+    cosine similarity to the centroid (the most diverse member). Their
+    screening order is exactly "drop x iff some same-cluster y with
+    sim(x, y) >= t precedes it", with precedence = farther-from-centroid
+    first. Reproduced here with squared L2 distance to the assigned
+    centroid as the precedence scalar (equivalent ordering for the keep
+    rule; ties break to the smaller id so the decision is total):
+    y beats x iff  d(y) > d(x)  or  (d(y) == d(x) and y.id < x.id).
+
+    Physical shape (the 100 TB story): assignment is scan-fused literal
+    arithmetic (centroid_best — no broadcast, no shuffle); the duplicate
+    screen is a renamed-column equi-join on the cell id, so the
+    all-pairs work is per-cluster, never global — the paper's own
+    tractability argument (k grows with the corpus, keeping clusters
+    small). One distinct + one broadcast-able anti-join finish it.
+    No windows, no per-row Python.
+
+    Oracle exactness: the fit is deterministic DATA (kmeans_fit /
+    kmeans_fit_local, pinned bit-identical); distances are sequential
+    folds over centroid literals and the assigned-cell distance is
+    exactly least(d_0..d_k) (see centroid_best), so DuckDB reproduces
+    assignment, precedence, and the rounded pair cosine bit-for-bit.
+
+    Returns the KEPT rows as (id_col, cell).
+    """
+    from datax_spark.functions.similarity import centroid_best
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = centroid_best(v, centroids)
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        v.alias("v"),
+        best["i"].cast("int").alias("cell"),
+        best["d"].alias("dc"),
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+        "cell", F.col("dc").alias("da"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+        "cell", F.col("dc").alias("db"),
+    )
+    beaten = (F.col("db") > F.col("da")) | (
+        (F.col("db") == F.col("da")) & (F.col("vec_b") < F.col("vec_a"))
+    )
+    drops = (
+        a.join(b, on=["cell"])
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .filter(round6(cosine(F.col("va"), F.col("vb"))) >= F.lit(threshold))
+        .filter(beaten)
+        .select("vec_a")
+        .distinct()
+    )
+    return (
+        base.join(drops, base["vid"] == drops["vec_a"], "left_anti")
+        .select(F.col("vid").alias(id_col), "cell")
+    )

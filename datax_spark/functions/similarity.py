@@ -108,19 +108,22 @@ def _sq_dist(v: Column, centroid: list[float]) -> Column:
     )
 
 
-def centroid_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id as a pure Column expression (centroids are
-    literals baked into the plan — the broadcast-free codebook).
+def centroid_best(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest centroid as a struct<d: double, i: int> Column (centroids
+    are literals baked into the plan — the broadcast-free codebook).
 
     Argmin is a single ordered fold over (dist, idx) structs — the
     array_position(dists, array_min(dists)) form references the dists
     array twice and CollapseProject inlines the k sq-dist expressions
     per reference (2x eval; compounding with pq_encode's m subspaces it
     was part of the measured 13 s PQ scan). Strict `<` keeps the same
-    first-index-wins tie rule, so assignments are bit-identical."""
+    first-index-wins tie rule, so assignments are bit-identical.
+    ``best.d`` is exactly the min over the per-centroid sequential-fold
+    squared distances (== DuckDB's ``least(d0, .., dk)`` over the same
+    expanded expressions), which semantic_dedup's keep rule relies on."""
     dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
     idx = F.array(*[F.lit(i) for i in range(len(centroids))])
-    best = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             dists, idx,
             lambda d, i: F.struct(d.alias("d"), i.alias("i")),
@@ -130,7 +133,12 @@ def centroid_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
         ),
         lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
     )
-    return best["i"].cast("int")
+
+
+def centroid_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as a pure Column expression (see
+    centroid_best for the fold's tie/exactness contract)."""
+    return centroid_best(vec_col, centroids)["i"].cast("int")
 
 
 def kmeans_fit(

@@ -631,3 +631,59 @@ def test_decontaminate_flags_overlap_not_self(spark):
     assert out[0]["contaminated"] == 0
     assert out[97]["contaminated"] == 0
     assert len(out) == 5  # every input doc reported
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """SemDeDup keep rule vs a pure-python replay: per cell, drop x iff
+    a same-cell y with rounded cosine >= t is FARTHER from the centroid
+    (d_y > d_x; ties to the smaller id). Centroids passed explicitly —
+    the fit is pinned elsewhere (test_local_fit_matches_spark_fit)."""
+    import math
+
+    from datax_spark.functions.dedup import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    vecs = {
+        1: [1.0, 0.0, 0.0],      # cell 0, at the centroid
+        2: [0.99, 0.01, 0.0],    # near-dup of 1, farther out -> beats 1
+        3: [0.5, 0.0, 0.86],     # cell 0 but dissimilar -> kept
+        4: [0.0, 1.0, 0.0],      # cell 1, at the centroid
+        5: [0.0, 0.98, 0.05],    # near-dup of 4, farther out -> beats 4
+        6: [0.0, -1.0, 0.01],    # cell 0 (closer to c0), dissimilar
+    }
+    thr = 0.9
+
+    def sqd(v, c):
+        return sum((x - y) * (x - y) for x, y in zip(v, c))
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
+
+    assign = {}
+    for vid, v in vecs.items():
+        ds = [sqd(v, c) for c in cents]
+        dc = min(ds)
+        assign[vid] = (ds.index(dc), dc)
+    want_kept = set()
+    for x, vx in vecs.items():
+        cx, dx = assign[x]
+        beaten = any(
+            assign[y][0] == cx
+            and y != x
+            and cos6(vx, vy) >= thr
+            and (assign[y][1] > dx or (assign[y][1] == dx and y < x))
+            for y, vy in vecs.items()
+        )
+        if not beaten:
+            want_kept.add(x)
+    assert want_kept == {2, 3, 5, 6}  # the dups collapse to the farther member
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    rows = semantic_dedup(df, cents, threshold=thr).collect()
+    assert {r["vec_id"] for r in rows} == want_kept
+    assert all(r["cell"] == assign[r["vec_id"]][0] for r in rows)
