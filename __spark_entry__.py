@@ -1692,6 +1692,56 @@ def q_text_chunks(spark, sf_dir):
     return pack_chunks(docs, chunk_tokens=64, overlap=8)
 
 
+def q_text_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with >= 5 words and no 'javascript';
+    drop pages containing '{' / 'lorem ipsum' or with < 3 surviving
+    lines. The synthetic corpus has no newlines or punctuation, so —
+    exactly like text_pii's enrichment contract — the query first
+    BUILDS deterministic multi-line pages from the token stream (6-token
+    lines, '.' on two of every three, a javascript line every 5th doc,
+    a lorem-ipsum line every 11th, a '{' line every 13th) with the
+    IDENTICAL expression on both engines, making every rule arm
+    non-vacuous. The operator itself (functions/text.c4_clean) is
+    generic over real multi-line text. Pure Column HOFs, zero shuffle."""
+    from datax_spark.functions.text import c4_clean
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    d = docs.select(F.col("doc_id"), toks.alias("toks"))
+    nl = F.floor((F.size("toks") + F.lit(5)) / F.lit(6)).cast("int")
+
+    def line(i):
+        return F.concat(
+            F.array_join(F.slice(F.col("toks"), i * 6 + 1, 6), " "),
+            F.when((i % 3) != F.lit(2), F.lit(".")).otherwise(F.lit("")),
+        )
+
+    base_lines = F.when(
+        F.size("toks") >= 1,
+        F.transform(F.sequence(F.lit(0), nl - 1), line),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+    def extra(mod, text):
+        return F.when(
+            (F.col("doc_id") % mod) == 0, F.array(F.lit(text))
+        ).otherwise(F.expr("array()").cast("array<string>"))
+
+    built = d.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                base_lines,
+                extra(5, "please enable javascript and cookies today."),
+                extra(11, "lorem ipsum dolor sit amet today."),
+                extra(13, 'var config = { "a": 1 }.'),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return c4_clean(built)
+
+
 SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 SAMPLE_DEFAULT = 0.1
 
@@ -2731,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "cdc_sliding_counts": q_cdc_sliding_counts,
         "cdc_snapshot_sync": q_cdc_snapshot_sync,
+        "text_c4_clean": q_text_c4_clean,
     }
 
 
@@ -3069,6 +3120,52 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))::BIGINT AS bpe_tokens
         FROM documents
+    """
+    # C4 cleaning over the same deterministically-built multi-line pages
+    # the Spark query constructs (6-token lines, '.' on 2 of 3, the three
+    # rule-triggering extra lines) — both sides move together, exactly
+    # the text_pii enrichment contract.
+    sql["text_c4_clean"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, toks, (len(toks) + 5) // 6 AS nl FROM t),
+        built AS (
+          SELECT doc_id,
+            (CASE WHEN len(toks) >= 1 THEN
+               list_transform(generate_series(0, CAST(nl - 1 AS BIGINT)),
+                 i -> array_to_string(toks[i*6 + 1 : i*6 + 6], ' ') ||
+                      CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END)
+             ELSE []::VARCHAR[] END)
+            || (CASE WHEN doc_id % 5 = 0
+                  THEN ['please enable javascript and cookies today.']
+                  ELSE []::VARCHAR[] END)
+            || (CASE WHEN doc_id % 11 = 0
+                  THEN ['lorem ipsum dolor sit amet today.']
+                  ELSE []::VARCHAR[] END)
+            || (CASE WHEN doc_id % 13 = 0
+                  THEN ['var config = { "a": 1 }.']
+                  ELSE []::VARCHAR[] END) AS ls
+          FROM n),
+        pages AS (
+          SELECT doc_id,
+                 array_to_string(ls, chr(10)) AS raw,
+                 len(ls) AS n_lines,
+                 list_filter(ls,
+                   l -> regexp_matches(trim(l), '[.!?]$')
+                        AND len(list_filter(string_split(trim(l), ' '),
+                                            w -> w <> '')) >= 5
+                        AND strpos(lower(trim(l)), 'javascript') = 0) AS kept
+          FROM built)
+        SELECT doc_id,
+               array_to_string(kept, chr(10)) AS clean_text,
+               n_lines::INT AS n_lines,
+               len(kept)::INT AS n_kept
+        FROM pages
+        WHERE strpos(raw, '{') = 0
+          AND strpos(lower(raw), 'lorem ipsum') = 0
+          AND len(kept) >= 3
     """
     _R6 = "floor(({}) * 1000000.0 + 0.5) / 1000000.0"
     sql["text_repetition"] = f"""

@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "dedup_corpus",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_semantic",
+    "cdc_sliding_counts",
+    "cdc_snapshot_sync",
     "ann_topk",
     "ann_ivf_topk",
     "ann_ivf_multiprobe",

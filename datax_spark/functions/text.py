@@ -1674,3 +1674,62 @@ def quality_buckets_threshold(
     return j.select(
         id_col, lang_col, F.col(score_col), bucket.alias("bucket")
     )
+
+
+def c4_clean(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2 — the published
+    heuristics every web-corpus pipeline starts from):
+
+    line KEEP rules (applied to each '\\n'-separated, trimmed line):
+      - ends with a terminal punctuation mark ([.!?]);
+      - has at least ``min_words`` whitespace words;
+      - does not mention 'javascript' (case-insensitive).
+    page DROP rules (whole document):
+      - raw text contains '{' (code) or 'lorem ipsum' (placeholder);
+      - fewer than ``min_kept_lines`` lines survive.
+
+    Output: kept docs as (id_col, clean_text = surviving lines re-joined
+    by '\\n', n_lines, n_kept). Omitted C4 rules, by design: the
+    bad-words list (external resource) and the three-sentence-span dedup
+    (duplicate_spans/scrub_duplicate_spans cover it corpus-wide, which
+    is strictly stronger than C4's within-page version).
+
+    Physical shape: pure Column HOFs fused into the scan — zero
+    shuffle, zero UDFs, same class as pack_chunks. DuckDB reproduces
+    every rule exactly (string_split/list_filter/array_to_string), so
+    the query carries a full value oracle.
+    """
+    lines = F.split(_c(text_col), "\n")
+
+    def _keep(line: Column) -> Column:
+        lt = F.trim(line)
+        words = F.size(F.filter(F.split(lt, " "), lambda w: w != F.lit("")))
+        return (
+            lt.rlike("[.!?]$")
+            & (words >= F.lit(min_words))
+            & (F.instr(F.lower(lt), "javascript") == F.lit(0))
+        )
+
+    kept = F.filter(lines, _keep)
+    raw = _c(text_col)
+    page_ok = (
+        (F.instr(raw, "{") == F.lit(0))
+        & (F.instr(F.lower(raw), "lorem ipsum") == F.lit(0))
+        & (F.size(kept) >= F.lit(min_kept_lines))
+    )
+    return (
+        df.withColumn("_kept", kept)
+        .filter(page_ok)
+        .select(
+            F.col(id_col),
+            F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+            F.size(lines).alias("n_lines"),
+            F.size(F.col("_kept")).alias("n_kept"),
+        )
+    )

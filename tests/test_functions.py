@@ -687,3 +687,38 @@ def test_semantic_dedup_matches_bruteforce(spark):
     rows = semantic_dedup(df, cents, threshold=thr).collect()
     assert {r["vec_id"] for r in rows} == want_kept
     assert all(r["cell"] == assign[r["vec_id"]][0] for r in rows)
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """C4 cleaning on real multi-line pages: line rules (terminal punct,
+    >=5 words, no javascript) and page rules ('{', lorem ipsum,
+    >=3 surviving lines) each exercised."""
+    from datax_spark.functions.text import c4_clean
+
+    good = (
+        "This is a good long sentence.\n"
+        "short one.\n"                              # < 5 words
+        "Another proper line with enough words!\n"
+        "no punct line here at all\n"               # no terminal punct
+        "Final good line has many words?"
+    )
+    js_page = (
+        "Enable javascript to view this page.\n"    # javascript -> dropped
+        "Only one good line stays here.\n"
+        "And a second decent line remains."         # no punct? it has '.'
+    )
+    rows = [
+        (1, good),
+        (2, js_page),  # only 2 lines survive -> page dropped
+        (3, "lorem ipsum filler page with words.\nA perfectly fine sentence sits here.\nAnother good one sits right here.\nYet another complete sentence ends here."),
+        (4, "code { sample } page stays not.\nA perfectly fine sentence sits here.\nAnother good one sits right here.\nYet another complete sentence ends here."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = c4_clean(df).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1
+    assert out[0]["clean_text"] == (
+        "This is a good long sentence.\n"
+        "Another proper line with enough words!\n"
+        "Final good line has many words?"
+    )
+    assert out[0]["n_lines"] == 5 and out[0]["n_kept"] == 3
