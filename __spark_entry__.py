@@ -698,6 +698,60 @@ def q_cdc_update_where(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_merge_into(spark, sf_dir):
+    """Declarative three-clause MERGE INTO (lake/table.py merge_into —
+    the Delta/Iceberg MERGE analog, generalizing the rdbms writers'
+    replace/update writeModes): after the 2-batch replay, a source of
+    (matched rows with repo >= '6', re-labeled + suffixed content) ∪
+    (brand-new 'z'-prefixed keys) merges in ONE atomic commit —
+    matched rows whose CURRENT content length is divisible by 3 delete,
+    the rest update to 'MRG:' + s.content with s.lang, and unmatched
+    source rows insert. MOR-native: O(changes) delta append, base
+    bucket lists unchanged (asserted). The oracle reproduces every arm
+    from the replay final state in SQL.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_mrg_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = MorTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    fin = table.read()
+    src = fin.filter(F.col("repo") >= "6").select(
+        "repo", "path", "commit",
+        F.lit("merged").alias("lang"),
+        F.concat(F.col("content"), F.lit(":S")).alias("content"),
+    ).unionByName(
+        fin.filter(F.col("repo") < "2").select(
+            F.concat(F.lit("z"), F.col("repo")).alias("repo"),
+            F.lit("p").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("new").alias("lang"),
+            F.concat(F.lit("NEW:"), F.col("repo")).alias("content"),
+        )
+    )
+    before = table.snapshot()
+    after = table.merge_into(
+        src,
+        when_matched_update={"content": "concat('MRG:', s.content)", "lang": "s.lang"},
+        when_matched_delete="length(t.content) % 3 = 0",
+        when_not_matched_insert="*",
+    )
+    assert after.buckets == before.buckets, "merge_into rewrote MOR base files"
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
 def q_cdc_eq_delete_apply(spark, sf_dir):
     """Merge-on-read apply with EQUALITY-DELETE files (Iceberg v2 delete-
     file analog): deletes land as narrow (key, _seq) files committed
@@ -2778,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rename_evolution": q_cdc_rename_evolution,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_update_where": q_cdc_update_where,
+        "cdc_merge_into": q_cdc_merge_into,
         "dedup_semantic": q_dedup_semantic,
         "cdc_sliding_counts": q_cdc_sliding_counts,
         "cdc_snapshot_sync": q_cdc_snapshot_sync,
@@ -3297,6 +3352,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit", content
         FROM ded WHERE rn = 1 AND op != 'delete'
           AND NOT (user_id::VARCHAR >= '5')
+    """
+    # three-clause MERGE INTO == the same arms expressed over the replay
+    # final state: matched repo>='6' rows delete when length(content)%3=0,
+    # else update to 'MRG:'||(content||':S') with lang='merged'; unmatched
+    # 'z'-prefixed source keys insert; everything else is untouched.
+    sql["cdc_merge_into"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean),
+        fin AS (
+          SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
+                 'na' AS lang, content
+          FROM ded WHERE rn = 1 AND op != 'delete')
+        SELECT repo, path, "commit", lang, content
+        FROM fin WHERE repo < '6'
+        UNION ALL
+        SELECT repo, path, "commit", 'merged' AS lang,
+               'MRG:' || content || ':S' AS content
+        FROM fin WHERE repo >= '6' AND length(content) % 3 <> 0
+        UNION ALL
+        SELECT 'z' || repo AS repo, 'p' AS path, 'c' AS "commit",
+               'new' AS lang, 'NEW:' || repo AS content
+        FROM fin WHERE repo < '2'
     """
     # mid-stream rename content->body + drop lang is METADATA-ONLY and
     # must be invisible to results: same replay, new output names

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "cdc_sliding_counts",
     "cdc_snapshot_sync",
+    "cdc_merge_into",
     "ann_topk",
     "ann_ivf_topk",
     "ann_ivf_multiprobe",

@@ -674,6 +674,28 @@ class MorTable(LakeTable):
             )
         return self.snapshot(res.version)
 
+    # ------------------------------------------------------------ MERGE INTO
+    def _merge_seq_base(self, snap: Snapshot, buckets: list[int]) -> int:
+        """MOR merge images land as delta rows under latest-wins
+        resolution, so they must STRICTLY out-seq every live row in the
+        affected buckets — max+1, the same contract (and the same
+        documented dense-seq-domain caveat) as ``update_where``."""
+        mx = (
+            self.read_raw(buckets=buckets, version=snap.version)
+            .agg(F.max(SEQ_META))
+            .first()[0]
+        )
+        return int(mx or 0)
+
+    def _merge_apply_changes(self, chg, batch_id: int):
+        """MOR arm of merge_into: one O(changes) delta append — update/
+        insert images plus inline delete tombstones in a single atomic
+        commit; base files never rewrite (merge_into's bucket-list
+        assertion in the driver query pins this)."""
+        return self.apply_deduped(
+            chg, batch_id=batch_id, stream_id="_merge_into"
+        )
+
     # ----------------------------------------------------------- maintenance
     def _bucket_file_count(self, snap: Snapshot, b: str) -> int:
         return (

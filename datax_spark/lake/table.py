@@ -1757,6 +1757,31 @@ class LakeTable:
         self.read(version=version).createOrReplaceTempView(name)
 
     # ------------------------------------------------------------ bulk load
+    def _conform_to_stored(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Cast ``df`` to the stored schema for a bulk/insert-only write.
+
+        Payload columns must arrive with the frame (a missing one is a
+        caller error and surfaces as Spark's unresolved-column); meta
+        columns the frame doesn't carry (MOR stored schema: _seq/_op/
+        _patch) fill NULL — the designed encoding for bulk/pre-stream
+        base rows: no op, no patch marker, and a NULL seq that any
+        delete out-seqs and any delta image supersedes (lake/mor.py
+        resolution + eq-delete contracts).
+        """
+        have = set(df.columns)
+        return df.select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in have or not f.name.startswith("_")
+                    else F.lit(None)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in snap.schema.fields
+            ]
+        )
+
     def bulk_load(self, df: DataFrame, mode: str = "truncate") -> Snapshot:
         """Initial snapshot load — the DataX full-sync (reader->writer bulk
         move) path, one parallel write + one commit.
@@ -1774,9 +1799,7 @@ class LakeTable:
             raise FileExistsError(f"table {self.path} is not empty")
         if mode not in ("truncate", "nonConflict"):
             raise ValueError(f"unknown bulk_load mode {mode!r}")
-        conformed = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
-        )
+        conformed = self._conform_to_stored(df, snap)
         commit_rel = self.write_bucket_data(
             conformed, props["num_buckets"], props["bucket_key"]
         )
@@ -1889,9 +1912,7 @@ class LakeTable:
             )
             if last is not None and batch_id <= last:
                 return snap
-        conformed = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
-        )
+        conformed = self._conform_to_stored(df, snap)
         commit_rel = self.write_bucket_data(
             conformed, props["num_buckets"], props["bucket_key"]
         )
@@ -2132,6 +2153,246 @@ class LakeTable:
         return self.overwrite_where(
             filters, empty, validate=False, max_retries=max_retries
         )
+
+    # ------------------------------------------------------------ MERGE INTO
+    def _merge_seq_base(self, snap: Snapshot, buckets: list[int]) -> int:
+        """Base seq for merge_into's synthesized change rows. COW tables
+        store no per-row seq (the rewrite replaces matched keys
+        unconditionally), so 0 works; MorTable overrides with the
+        affected buckets' live max so merge images out-seq every stored
+        row under latest-wins resolution."""
+        return 0
+
+    def _merge_apply_changes(self, chg: DataFrame, batch_id: int):
+        """Apply merge_into's deduped change batch through the layout's
+        exactly-once path (COW fenced MERGE here; MOR delta append in
+        the override)."""
+        from datax_spark.operators.merge import merge_apply
+
+        return merge_apply(
+            self, chg, batch_id=batch_id, stream_id="_merge_into"
+        )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched_update: "dict[str, Any] | str | None" = None,
+        when_matched_delete: "Any | None" = None,
+        when_not_matched_insert: "dict[str, Any] | str | None" = None,
+        update_condition: "Any | None" = None,
+    ) -> Snapshot:
+        """Declarative three-clause MERGE (Delta/Iceberg ``MERGE INTO``
+        analog; the set-based generalization of the rdbms writers'
+        replace/update writeModes, CommonRdbmsWriter.java:88-169): join
+        ``source`` to the live table ON the table's key columns and, per
+        source row, delete / update / insert in ONE atomic fenced
+        commit.
+
+        Clauses (any subset, at least one):
+        - ``when_matched_delete``: condition (SQL string or Column over
+          ``t.*``/``s.*`` aliases, or ``True``) — matched rows
+          satisfying it are deleted. Evaluated FIRST among matched rows.
+        - ``when_matched_update``: ``"*"`` (every non-key payload column
+          := ``s.<col>``; source must carry them all) or a dict of
+          payload column -> expression over ``t.*``/``s.*``. Applies to
+          matched rows not claimed by the delete clause, optionally
+          gated by ``update_condition``. Key/bucket columns refuse (row
+          identity — delete + insert instead).
+        - ``when_not_matched_insert``: ``"*"`` (insert the source row)
+          or a dict of payload column -> expression over ``s.*``
+          (unspecified columns NULL; key columns always come from the
+          source row and refuse overrides). Without this clause,
+          unmatched source rows are IGNORED — the behavior that an
+          upsert cannot express and the reason MERGE needs the join.
+
+        Contract: ``source`` must be key-unique (one row per table key;
+        duplicates raise, the Delta multiple-source-rows error — pre-
+        dedup with ``dedup_latest`` if the source can carry several).
+        NULL conditions count as non-matching (three-valued safety).
+
+        Physical shape (the 100-TB story): source keys hash to their
+        buckets in one column-pruned pass (O(distinct buckets) driver
+        rows); ONLY those buckets' resolved rows join the source — an
+        equi-join on the key columns that AQE broadcasts whenever the
+        source is small, so a 1k-row merge into a 10^10-row table reads
+        a handful of buckets and shuffles nothing else. The synthesized
+        change batch then rides the exactly-once apply path: COW
+        rewrites only affected buckets; MOR appends O(changes) delta
+        rows and never touches base files. Cites: Delta MERGE semantics
+        (public protocol), odpswriter block-commit atomicity analog.
+        """
+        if (
+            when_matched_update is None
+            and when_matched_delete is None
+            and when_not_matched_insert is None
+        ):
+            raise ValueError("merge_into: at least one clause is required")
+        snap = self.snapshot()
+        props = snap.properties
+        keys: list[str] = props["key_cols"]
+        bkey: str = props["bucket_key"]
+        nb: int = props["num_buckets"]
+        payload = [
+            f.name for f in snap.schema.fields if not f.name.startswith("_")
+        ]
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge_into: source lacks key columns {missing}")
+
+        def _cond(c):
+            if c is None:
+                return None
+            if c is True:
+                return F.lit(True)
+            return F.expr(c) if isinstance(c, str) else c
+
+        def _exprs(spec, kind: str):
+            if spec is None:
+                return None
+            if spec == "*":
+                cols = (
+                    payload
+                    if kind == "insert"
+                    else [c for c in payload if c not in keys and c != bkey]
+                )
+                lack = [c for c in cols if c not in source.columns]
+                if lack:
+                    raise ValueError(
+                        f"merge_into: {kind} '*' needs source columns {lack}"
+                    )
+                return {c: F.col(f"s.{c}") for c in cols}
+            out = {}
+            for c, e in spec.items():
+                if c in keys or c == bkey:
+                    raise ValueError(
+                        f"merge_into: cannot {kind} key/bucket column {c!r} "
+                        "(row identity)"
+                    )
+                if c not in payload:
+                    raise ValueError(
+                        f"merge_into: unknown {kind} column {c!r}"
+                    )
+                out[c] = F.expr(e) if isinstance(e, str) else e
+            return out
+
+        upd = _exprs(when_matched_update, "update")
+        ins = _exprs(when_not_matched_insert, "insert")
+        del_c = _cond(when_matched_delete)
+        upd_c = _cond(update_condition)
+        if upd is None and upd_c is not None:
+            raise ValueError(
+                "merge_into: update_condition without when_matched_update"
+            )
+
+        src = source.select(
+            *[
+                F.col(c).cast(types[c]).alias(c) if c in keys else F.col(c)
+                for c in source.columns
+            ]
+        )
+        dup = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_into: source has multiple rows per key (the Delta "
+                "multiple-source-rows error) — dedup the source first"
+            )
+        buckets = sorted(
+            int(r["b"])
+            for r in src.select(
+                bucket_expr(bkey, nb, snap_bucket_dtype(snap)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not buckets:  # empty source: nothing to merge, no commit
+            return snap
+        # INNER join, not the textbook right-outer: an outer join can
+        # only hash-broadcast its NON-preserved side, so a small source
+        # preserved by a right-outer forces a sort-merge shuffle of the
+        # full-width target buckets. Inner joins broadcast EITHER side
+        # (AQE picks the source at runtime when it's small), the target
+        # streams unshuffled, and the matched frame — bounded by the
+        # source size — persists so the three arms don't rescan it. The
+        # insert arm then anti-joins the source against the matched KEY
+        # set (≤ source rows, broadcastable by construction).
+        tgt = self.read(buckets=buckets, version=snap.version).select(*payload)
+        m = tgt.alias("t").join(
+            src.alias("s"),
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+            "inner",
+        ).persist()
+
+        def _safe(c):
+            return F.coalesce(c, F.lit(False))
+
+        try:
+            parts = []
+            if del_c is not None:
+                parts.append(
+                    m.filter(_safe(del_c)).select(
+                        *[F.col(f"t.{c}").alias(c) for c in payload],
+                        F.lit("delete").alias("op"),
+                    )
+                )
+            if upd is not None:
+                keep = ~_safe(del_c) if del_c is not None else F.lit(True)
+                if upd_c is not None:
+                    keep = keep & _safe(upd_c)
+                parts.append(
+                    m.filter(keep).select(
+                        *[
+                            (
+                                upd[c].cast(types[c])
+                                if c in upd
+                                else F.col(f"t.{c}")
+                            ).alias(c)
+                            for c in payload
+                        ],
+                        F.lit("update").alias("op"),
+                    )
+                )
+            if ins is not None:
+                mkeys = m.select(
+                    *[F.col(f"s.{k}").alias(k) for k in keys]
+                )
+                unmatched = src.alias("s").join(mkeys, on=keys, how="left_anti")
+                parts.append(
+                    unmatched.select(
+                        *[
+                            (
+                                F.col(f"s.{c}")
+                                if c in keys
+                                else (
+                                    ins[c].cast(types[c])
+                                    if c in ins
+                                    else F.lit(None).cast(types[c])
+                                )
+                            ).alias(c)
+                            for c in payload
+                        ],
+                        F.lit("insert").alias("op"),
+                    )
+                )
+            chg = parts[0]
+            for p in parts[1:]:
+                chg = chg.unionByName(p)
+            seq0 = self._merge_seq_base(snap, buckets)
+            chg = chg.withColumn("seq", F.lit(seq0 + 1))
+            res = self._merge_apply_changes(chg, batch_id=snap.version)
+        finally:
+            m.unpersist()
+        if not res.applied:
+            raise CommitConflict(
+                "concurrent merge_into fenced this one; retry"
+            )
+        return self.snapshot(res.version)
 
     def _overwrite_once(self, filters: list, pred, df: DataFrame) -> Snapshot:
         snap = self.snapshot()
