@@ -71,6 +71,7 @@ def debezium_envelope_schema(payload_schema: StructType) -> StructType:
                         StructField("pos", LongType()),
                         StructField("row", LongType()),
                         StructField("ts_ms", LongType()),
+                        StructField("table", StringType()),
                     ]
                 ),
             ),
@@ -83,6 +84,7 @@ def from_debezium(
     payload_schema: StructType,
     value_col: str = "value",
     seq_expr: Column | None = None,
+    table_col: str | None = None,
 ) -> DataFrame:
     """Parse Debezium JSON envelopes into the canonical changelog.
 
@@ -139,11 +141,20 @@ def from_debezium(
     image = F.when(F.col("env.op") == "d", F.col("env.before")).otherwise(
         F.col("env.after")
     )
+    # table_col: keep the envelope's source table name (Debezium routes
+    # every captured table through one topic-per-table OR one fat topic;
+    # the fat-topic deployment needs the discriminator for
+    # streaming/router.apply_batch_routed)
+    extra = (
+        [F.col("env.source.table").alias(table_col)] if table_col else []
+    )
     parsed = parsed.select(
-        image.alias("_img"), op.alias("op"), seq_expr.cast("long").alias("seq")
+        image.alias("_img"), op.alias("op"),
+        seq_expr.cast("long").alias("seq"), *extra,
     )
     return parsed.select(
-        *_payload_cols(payload_schema, "_img"), "op", "seq"
+        *_payload_cols(payload_schema, "_img"), "op", "seq",
+        *([table_col] if table_col else []),
     )
 
 
@@ -159,6 +170,7 @@ def canal_envelope_schema() -> StructType:
         [
             StructField("data", ArrayType(MapType(StringType(), StringType()))),
             StructField("old", ArrayType(MapType(StringType(), StringType()))),
+            StructField("table", StringType()),
             StructField("type", StringType()),
             StructField("es", LongType()),  # binlog event ts (ms)
             StructField("ts", LongType()),  # delivery ts (ms)
@@ -173,6 +185,7 @@ def from_canal(
     payload_schema: StructType,
     value_col: str = "value",
     seq_expr: Column | None = None,
+    table_col: str | None = None,
 ) -> DataFrame:
     """Parse Canal flat-message JSON into the canonical changelog.
 
@@ -206,8 +219,9 @@ def from_canal(
         F.col("_row").getItem(f.name).cast(f.dataType).alias(f.name)
         for f in payload_schema.fields
     ]
+    extra = [F.col("env.table").alias(table_col)] if table_col else []
     return exploded.select(
-        *typed, op.alias("op"), seq_expr.cast("long").alias("seq")
+        *typed, op.alias("op"), seq_expr.cast("long").alias("seq"), *extra
     )
 
 
@@ -235,6 +249,7 @@ def from_maxwell(
     payload_schema: StructType,
     value_col: str = "value",
     seq_expr: Column | None = None,
+    table_col: str | None = None,
 ) -> DataFrame:
     """Parse Maxwell JSON envelopes into the canonical changelog.
 
@@ -272,11 +287,15 @@ def from_maxwell(
         .when(F.col("env.type") == "delete", F.lit("delete"))
         .otherwise(F.coalesce(F.col("env.type"), F.lit("null")))
     )
+    extra = [F.col("env.table").alias(table_col)] if table_col else []
     parsed = parsed.select(
         F.col("env.data").alias("_img"), op.alias("op"),
-        seq_expr.cast("long").alias("seq"),
+        seq_expr.cast("long").alias("seq"), *extra,
     )
-    return parsed.select(*_payload_cols(payload_schema, "_img"), "op", "seq")
+    return parsed.select(
+        *_payload_cols(payload_schema, "_img"), "op", "seq",
+        *([table_col] if table_col else []),
+    )
 
 
 def to_debezium(

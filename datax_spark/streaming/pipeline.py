@@ -355,9 +355,13 @@ def apply_batch(
     return m
 
 
-def parse_envelope(raw: DataFrame, envelope: str, payload_schema) -> DataFrame:
+def parse_envelope(
+    raw: DataFrame, envelope: str, payload_schema, table_col: str | None = None
+) -> DataFrame:
     """Dispatch a raw ``value``-column frame through one of the CDC
-    envelope parsers (sources/envelope.py) -> canonical changelog."""
+    envelope parsers (sources/envelope.py) -> canonical changelog.
+    ``table_col`` keeps the envelope's source-table name (fat-topic
+    deployments routing several tables through one stream)."""
     from datax_spark.sources import envelope as env_mod
 
     parsers = {
@@ -367,7 +371,7 @@ def parse_envelope(raw: DataFrame, envelope: str, payload_schema) -> DataFrame:
     }
     if envelope not in parsers:
         raise ValueError(f"unknown envelope {envelope!r}; one of {sorted(parsers)}")
-    return parsers[envelope](raw, payload_schema)
+    return parsers[envelope](raw, payload_schema, table_col=table_col)
 
 
 def default_payload_schema(table: LakeTable):
@@ -471,6 +475,7 @@ def tail_and_apply(
     dedup_id_cols: list[str] | None = None,
     sink=None,
     envelope: str | None = None,
+    envelope_table_col: str | None = None,
 ):
     """Structured Streaming tail of the change log -> fenced MERGE apply.
 
@@ -521,7 +526,10 @@ def tail_and_apply(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     reader = reader.option("latestFirst", "false")
     if envelope is not None:
-        stream = parse_envelope(reader.text(log_dir + "/seg=*"), envelope, schema)
+        stream = parse_envelope(
+            reader.text(log_dir + "/seg=*"), envelope, schema,
+            table_col=envelope_table_col,
+        )
     else:
         stream = reader.parquet(log_dir + "/seg=*")
     if dedup_within is not None:
