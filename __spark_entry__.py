@@ -16,6 +16,7 @@ machinery is additionally covered by pytest sha256-state equality.
 from __future__ import annotations
 
 import atexit
+import json
 import os
 import shutil
 import sys
@@ -1012,6 +1013,82 @@ def q_cdc_routed_apply(spark, sf_dir):
         for n in ("even", "odd")
     ]
     return reads[0].unionByName(reads[1])
+
+
+def q_cdc_ddl_apply(spark, sf_dir):
+    """Mid-stream binlog DDL: at the seq midpoint the source table gains
+    a ``stars bigint`` column (a Maxwell ``table-alter`` message carrying
+    the full post-alter column list); the DDL driver
+    (streaming/ddl.apply_batch_ddl) consumes the control message into an
+    additive metadata-only schema commit, parses the batch against the
+    WIDENED payload schema, and post-alter images carry
+    ``stars = seq % 97``. Final state: latest-wins over the full log,
+    with stars NULL for keys whose last image predates the alter — the
+    upstream database's own semantics for never-updated rows. Without
+    the DDL driver the fixed from_json schema would silently drop every
+    stars value (the gap pinned by tests/test_ddl_evolution.py).
+
+    Reference contrast: DataX pins the column list at job.json compile
+    time (JobContainer schema handshake) — a mid-run source ALTER means
+    a new job config; here the stream keeps flowing.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.ddl import apply_batch_ddl
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    pcols = ["repo", "path", "commit", "lang", "content"]
+    mx_type = (
+        F.when(F.col("op") == "insert", F.lit("insert"))
+        .when(F.col("op") == "update", F.lit("update"))
+        .when(F.col("op") == "delete", F.lit("delete"))
+        .otherwise(F.col("op"))
+    )
+
+    def envelopes(df, with_stars):
+        img_cols = [F.col(c) for c in pcols]
+        if with_stars:
+            img_cols.append((F.col("seq") % 97).cast("long").alias("stars"))
+        env = F.to_json(
+            F.struct(
+                F.lit("db").alias("database"),
+                F.lit("repos").alias("table"),
+                mx_type.alias("type"),
+                F.lit(1).cast("long").alias("ts"),
+                F.col("seq").alias("xid"),
+                F.concat(F.lit("bin.000001:"), F.col("seq")).alias("position"),
+                F.struct(*img_cols).alias("data"),
+            )
+        )
+        return df.select(env.alias("value"))
+
+    alter_json = json.dumps(
+        {
+            "type": "table-alter", "database": "db", "table": "repos",
+            "ts": 2, "sql": "alter table repos add column stars bigint",
+            "def": {
+                "database": "db", "table": "repos",
+                "columns": [{"type": "varchar", "name": c} for c in pcols]
+                + [{"type": "bigint", "name": "stars", "signed": True}],
+                "primary-key": ["repo", "path", "commit"],
+            },
+        }
+    )
+    mid = int(chg.agg(F.floor(F.max("seq") / 2)).first()[0])
+    pre = envelopes(chg.filter(F.col("seq") <= mid), with_stars=False)
+    post = spark.createDataFrame([(alter_json,)], "value string").unionByName(
+        envelopes(chg.filter(F.col("seq") > mid), with_stars=True)
+    )
+    root = _tmproot("dx_ddl_q_")
+    schema = StructType([StructField(c, StringType()) for c in pcols])
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch_ddl(table, pre, 0)
+    apply_batch_ddl(table, post, 1)
+    return table.read().select("repo", "path", "commit", "content", "stars")
 
 
 def q_cdc_rebucket_apply(spark, sf_dir):
@@ -2908,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_sync": q_cdc_snapshot_sync,
         "text_c4_clean": q_text_c4_clean,
         "cdc_routed_apply": q_cdc_routed_apply,
+        "cdc_ddl_apply": q_cdc_ddl_apply,
     }
 
 
@@ -3413,6 +3491,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tbl,
                user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
                content
+        FROM ded WHERE rn = 1 AND op != 'delete'
+    """
+    # mid-stream DDL: post-alter images carry stars = seq % 97; a key
+    # whose LAST image predates the alter reads NULL (additive-nullable
+    # evolution == the upstream database's never-updated-row semantics)
+    sql["cdc_ddl_apply"] = f"""
+        WITH chg AS ({_CHG_SQL}),
+        clean AS (SELECT * FROM chg WHERE {_CLEAN_PRED}),
+        ded AS (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY seq DESC) AS rn FROM clean)
+        SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit",
+               content,
+               (CASE WHEN seq > (SELECT floor(max(seq) / 2) FROM chg)
+                     THEN seq % 97 END)::BIGINT AS stars
         FROM ded WHERE rn = 1 AND op != 'delete'
     """
     # append-mode predicate update == logical UPDATE ... SET on the state

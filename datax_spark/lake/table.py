@@ -159,6 +159,14 @@ class SchemaEvolutionError(ValueError):
     re-added, or DDL against a key/constraint column."""
 
 
+class _AddColumnsNoOp(Exception):
+    """Internal control flow for add_columns: every requested field is
+    already present on the base snapshot — publish nothing."""
+
+    def __init__(self, snapshot: "Snapshot"):
+        self.snapshot = snapshot
+
+
 # Safe numeric promotions (Iceberg type-evolution rules): widening only,
 # so old files read up-cast and nothing rewrites. Shared by the commit
 # paths here and the apply-side check in operators/merge._evolve_schema.
@@ -1672,6 +1680,88 @@ class LakeTable:
             pass  # metadata-only; build() re-validates against any base
 
         return self._commit_loop(orig, build, check, True, max_retries)
+
+    def add_columns(self, fields, max_retries: int = 3) -> Snapshot:
+        """Metadata-only ADDITIVE column evolution (Iceberg ADD COLUMN):
+        append nullable payload columns to the schema; no data files
+        rewrite, old files read the new columns as null. This is the
+        commit half of mid-stream binlog DDL (streaming/ddl.py) and the
+        declared-type twin of the apply path's data-driven evolution
+        (operators/merge._evolve_schema, which can only see the types a
+        batch happens to carry).
+
+        IDEMPOTENT under replay: a field already present with the SAME
+        type is skipped; all-skipped means NO new version is committed
+        (re-applied DDL batches stay no-ops). A present field with a
+        DIFFERENT type raises — type changes must flow through the
+        widening rules on the data path, never a DDL side door. RETIRED
+        names (renamed/dropped) raise per the name-based-read contract.
+
+        ``fields``: a StructType or list of StructField.
+        """
+        if isinstance(fields, StructType):
+            fields = list(fields.fields)
+        for f in fields:
+            if not f.name or f.name.startswith("_"):
+                raise SchemaEvolutionError(
+                    f"invalid new column name {f.name!r}"
+                )
+            if f.name in self.CDC_RESERVED_NAMES:
+                raise SchemaEvolutionError(
+                    f"invalid new column name {f.name!r}: reserved for "
+                    "CDC change markers"
+                )
+        orig = self.snapshot()
+
+        def build(base: Snapshot) -> Snapshot:
+            existing = {f.name: f for f in base.schema.fields}
+            retired = set(base.properties.get("retired_cols", []))
+            new_fields, seen = [], set()
+            for f in fields:
+                if f.name in seen:
+                    continue
+                seen.add(f.name)
+                cur = existing.get(f.name)
+                if cur is not None:
+                    if cur.dataType != f.dataType:
+                        raise SchemaEvolutionError(
+                            f"column {f.name!r} exists as "
+                            f"{cur.dataType.simpleString()}, DDL declares "
+                            f"{f.dataType.simpleString()}; type changes "
+                            "must go through the data-path widening rules"
+                        )
+                    continue  # replayed DDL: already added
+                if f.name in retired:
+                    raise SchemaEvolutionError(
+                        f"column {f.name!r} is a RETIRED physical name on "
+                        "this table (renamed or dropped): old data files "
+                        "still carry values under it. Pick a fresh name"
+                    )
+                new_fields.append(StructField(f.name, f.dataType, True))
+            if not new_fields:
+                raise _AddColumnsNoOp(base)  # commit nothing
+            schema = StructType(list(base.schema.fields) + new_fields)
+            return Snapshot(
+                version=base.version + 1,
+                schema_json=schema.jsonValue(),
+                buckets=base.buckets,
+                properties=base.properties,
+                lineage=base.lineage,
+                deltas=base.deltas,
+                file_stats=base.file_stats,
+                eq_deletes=base.eq_deletes,
+            )
+
+        def check(cur: Snapshot) -> None:
+            pass  # metadata-only; build() re-validates against any base
+
+        # No-op = every field already present (a replayed DDL batch, or
+        # a concurrent writer won the race mid-loop): return the base
+        # unchanged instead of publishing an empty version.
+        try:
+            return self._commit_loop(orig, build, check, True, max_retries)
+        except _AddColumnsNoOp as e:
+            return e.snapshot
 
     # ------------------------------------------------------------ properties
     def last_batch_id(self, stream_id: str) -> int | None:

@@ -386,3 +386,136 @@ def to_debezium(
     return env.select(
         key.alias("key"), value.alias("value"), F.col("_commit_version")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mid-stream DDL: Maxwell schema-change messages -> typed Spark columns.
+# ---------------------------------------------------------------------------
+
+#: Maxwell message types that DEFINE schema (carry a full ``def`` column
+#: list). ``table-drop`` and the database-level types carry no columns.
+MAXWELL_DDL_TYPES = ("table-create", "table-alter")
+
+#: Every Maxwell control-plane message type: consumed by the DDL path (or
+#: deliberately ignored), never row data — the data parser must filter
+#: these out instead of quarantining them as invalid ops.
+MAXWELL_CONTROL_TYPES = MAXWELL_DDL_TYPES + (
+    "table-drop",
+    "database-create",
+    "database-alter",
+    "database-drop",
+    "bootstrap-start",
+    "bootstrap-complete",
+)
+
+# MySQL column type -> Spark type, following the reference's declared
+# rdbms type map (mysqlreader/doc/mysqlreader.md §3.3: int family -> Long,
+# float/double/decimal -> Double, char/text family -> String,
+# date/datetime/timestamp -> Date, bit/bool -> Boolean, blob -> Bytes)
+# adapted to JSON transport: Maxwell emits date/datetime as ISO strings
+# (which Spark casts to Date/Timestamp) and binary as encoded TEXT, so the
+# binary family maps to String here — decoding the encoding Maxwell was
+# configured with (base64/hex) is a payload transform, not a type.
+_MYSQL_INT_TYPES = frozenset(
+    {"tinyint", "smallint", "mediumint", "int", "integer", "bigint", "year"}
+)
+_MYSQL_FLOAT_TYPES = frozenset({"float", "double", "real", "decimal", "numeric"})
+_MYSQL_STRING_TYPES = frozenset(
+    {
+        "varchar", "char", "text", "tinytext", "mediumtext", "longtext",
+        "enum", "set", "json", "time",
+        "binary", "varbinary", "blob", "tinyblob", "mediumblob", "longblob",
+    }
+)
+_MYSQL_BOOL_TYPES = frozenset({"bit", "bool", "boolean"})
+
+
+def mysql_type_to_spark(mysql_type: str):
+    """Map a MySQL column type name (as Maxwell's ``def.columns[].type``
+    reports it — lowercase, no length suffix) to the Spark type the
+    engine stores it as. Unknown types raise: a DDL event is control
+    plane, silently guessing a type would corrupt every later row."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        LongType,
+        TimestampType,
+    )
+
+    t = (mysql_type or "").strip().lower()
+    if t in _MYSQL_INT_TYPES:
+        return LongType()
+    if t in _MYSQL_FLOAT_TYPES:
+        return DoubleType()
+    if t in _MYSQL_STRING_TYPES:
+        return StringType()
+    if t in _MYSQL_BOOL_TYPES:
+        return BooleanType()
+    if t == "date":
+        return DateType()
+    if t in ("datetime", "timestamp"):
+        return TimestampType()
+    raise ValueError(
+        f"unmapped MySQL type {mysql_type!r} in a DDL event; extend "
+        "mysql_type_to_spark or evolve the table out-of-band"
+    )
+
+
+def maxwell_ddl_schema() -> StructType:
+    """The subset of Maxwell's schema-change JSON (``output_ddl=true``)
+    the DDL consumer reads: ``def`` carries the FULL post-change column
+    list, so additive evolution needs no SQL parsing."""
+    from pyspark.sql.types import BooleanType
+
+    col = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("type", StringType()),
+            StructField("signed", BooleanType()),
+        ]
+    )
+    table_def = StructType(
+        [
+            StructField("database", StringType()),
+            StructField("table", StringType()),
+            StructField("columns", ArrayType(col)),
+            StructField("primary-key", ArrayType(StringType())),
+        ]
+    )
+    return StructType(
+        [
+            StructField("type", StringType()),
+            StructField("database", StringType()),
+            StructField("table", StringType()),
+            StructField("def", table_def),
+            StructField("ts", LongType()),
+            StructField("sql", StringType()),
+            StructField("position", StringType()),
+        ]
+    )
+
+
+def ddl_from_maxwell(
+    raw: DataFrame, value_col: str = "value", table: str | None = None
+) -> DataFrame:
+    """Extract the schema-DEFINING Maxwell messages (table-create /
+    table-alter) from a raw JSON-lines frame: one row per DDL event with
+    the full post-change column list. Pure Column exprs like the data
+    parsers; the caller collects the (rare, control-plane) result.
+
+    ``table``: keep only events for that source table — a fat-topic dump
+    interleaves several tables' DDL."""
+    env = F.from_json(F.col(value_col), maxwell_ddl_schema())
+    out = raw.select(env.alias("env")).filter(
+        F.col("env.type").isin(*MAXWELL_DDL_TYPES)
+    )
+    if table is not None:
+        out = out.filter(F.col("env.table") == table)
+    return out.select(
+        F.col("env.table").alias("table"),
+        F.col("env.type").alias("ddl_type"),
+        F.col("env.def.columns").alias("columns"),
+        F.col("env.ts").alias("ts"),
+        F.col("env.sql").alias("sql"),
+    )

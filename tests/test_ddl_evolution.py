@@ -1,0 +1,285 @@
+"""Mid-stream binlog DDL -> additive schema evolution (streaming/ddl.py,
+LakeTable.add_columns, sources/envelope.ddl_from_maxwell)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from datax_spark.lake.mor import MorTable
+from datax_spark.lake.table import LakeTable, SchemaEvolutionError
+from datax_spark.sources.envelope import (
+    MAXWELL_CONTROL_TYPES,
+    ddl_from_maxwell,
+    mysql_type_to_spark,
+)
+from datax_spark.streaming.ddl import (
+    apply_batch_ddl,
+    apply_segments_ddl,
+    ddl_new_fields,
+    tail_and_apply_ddl,
+)
+from datax_spark.streaming.pipeline import PipelineConfig, apply_segments
+
+PCOLS = ["repo", "path", "commit", "lang", "content"]
+KEYS = ["repo", "path", "commit"]
+SCHEMA = StructType([StructField(c, StringType()) for c in PCOLS])
+
+
+def _mx(typ, data, pos):
+    return json.dumps(
+        {"database": "db", "table": "repos", "type": typ, "ts": 1,
+         "xid": pos, "position": f"bin.000001:{pos}", "data": data}
+    )
+
+
+def _row(repo, content, **extra):
+    d = {"repo": repo, "path": "p", "commit": "c", "lang": "na",
+         "content": content}
+    d.update(extra)
+    return d
+
+
+def _alter(new_cols, table="repos"):
+    """A Maxwell table-alter whose def carries the FULL post-alter
+    column list (the base payload plus new_cols)."""
+    cols = [{"type": "varchar", "name": c} for c in PCOLS] + [
+        {"type": t, "name": n, "signed": True} for n, t in new_cols
+    ]
+    return json.dumps(
+        {"type": "table-alter", "database": "db", "table": table,
+         "ts": 2, "sql": "alter table ...",
+         "def": {"database": "db", "table": table, "columns": cols,
+                 "primary-key": KEYS}}
+    )
+
+
+def _write_segments(root, segments):
+    logdir = os.path.join(root, "log")
+    for i, lines in enumerate(segments):
+        d = os.path.join(logdir, f"seg={i}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part.json"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return logdir
+
+
+def _create(spark, root, name="t", mor=False):
+    cls = MorTable if mor else LakeTable
+    return cls.create(
+        spark, os.path.join(root, name), SCHEMA, KEYS, "repo", num_buckets=4
+    )
+
+
+# ------------------------------------------------------------ type map
+
+
+def test_mysql_type_map():
+    assert mysql_type_to_spark("bigint") == LongType()
+    assert mysql_type_to_spark("int") == LongType()
+    assert mysql_type_to_spark("tinyint") == LongType()
+    assert mysql_type_to_spark("decimal") == DoubleType()
+    assert mysql_type_to_spark("varchar") == StringType()
+    assert mysql_type_to_spark("longtext") == StringType()
+    assert mysql_type_to_spark("blob") == StringType()  # JSON transport
+    assert mysql_type_to_spark("bool") == BooleanType()
+    assert mysql_type_to_spark("date") == DateType()
+    assert mysql_type_to_spark("DATETIME ") == TimestampType()  # normalized
+    with pytest.raises(ValueError, match="unmapped MySQL type"):
+        mysql_type_to_spark("geometry")
+
+
+def test_ddl_from_maxwell_parses_and_filters(spark):
+    raw = spark.createDataFrame(
+        [(_alter([("stars", "bigint")]),),
+         (_alter([("other", "int")], table="elsewhere"),),
+         (_mx("insert", _row("r1", "a"), 1),),
+         (json.dumps({"type": "bootstrap-start", "table": "repos"}),)],
+        "value string",
+    )
+    rows = ddl_from_maxwell(raw, table="repos").collect()
+    assert len(rows) == 1
+    cols = {c["name"]: c["type"] for c in rows[0]["columns"]}
+    assert cols["stars"] == "bigint" and cols["repo"] == "varchar"
+    # no table filter: both alters surface
+    assert ddl_from_maxwell(raw).count() == 2
+
+
+# ------------------------------------------------------------ add_columns
+
+
+def test_add_columns_metadata_only_idempotent(spark, tmp_path):
+    table = _create(spark, str(tmp_path))
+    v0 = table.current_version()
+    snap = table.add_columns([StructField("stars", LongType())])
+    assert snap.version == v0 + 1
+    assert "stars" in [f.name for f in table.snapshot().schema.fields]
+    # replay: same field -> NO new version published
+    snap2 = table.add_columns([StructField("stars", LongType())])
+    assert snap2.version == snap.version
+    # type conflict with an existing column raises
+    with pytest.raises(SchemaEvolutionError, match="type changes"):
+        table.add_columns([StructField("stars", StringType())])
+
+
+def test_add_columns_guards(spark, tmp_path):
+    table = _create(spark, str(tmp_path))
+    with pytest.raises(SchemaEvolutionError, match="invalid"):
+        table.add_columns([StructField("_hidden", LongType())])
+    with pytest.raises(SchemaEvolutionError, match="reserved"):
+        table.add_columns([StructField("seq", LongType())])
+    table.add_columns([StructField("tmp", LongType())])
+    table.drop_column("tmp")
+    with pytest.raises(SchemaEvolutionError, match="RETIRED"):
+        table.add_columns([StructField("tmp", LongType())])
+
+
+def test_add_columns_old_rows_read_null(spark, tmp_path):
+    table = _create(spark, str(tmp_path))
+    logdir = _write_segments(
+        str(tmp_path), [[_mx("insert", _row("r1", "a"), 1)]]
+    )
+    apply_segments(spark, table, logdir, envelope="maxwell")
+    table.add_columns([StructField("stars", LongType())])
+    row = table.read().select("repo", "stars").first()
+    assert row["repo"] == "r1" and row["stars"] is None
+
+
+# ------------------------------------------------------------ apply drivers
+
+
+def _ddl_segments():
+    """seg0: 2 inserts (pre-alter). seg1: alter + update/insert carrying
+    the new column + a delete. Final latest-wins state:
+    r1 -> ('a2', 7), r3 -> ('x', 9); r2 deleted; r4 never altered-in."""
+    seg0 = [_mx("insert", _row("r1", "a"), 1),
+            _mx("insert", _row("r2", "b"), 2),
+            _mx("insert", _row("r4", "keep"), 3)]
+    seg1 = [_alter([("stars", "bigint")]),
+            _mx("update", _row("r1", "a2", stars=7), 4),
+            _mx("insert", _row("r3", "x", stars=9), 5),
+            _mx("delete", _row("r2", "b"), 6)]
+    return [seg0, seg1]
+
+
+EXPECT = [("r1", "a2", 7), ("r3", "x", 9), ("r4", "keep", None)]
+
+
+def _final(table):
+    return [
+        (r["repo"], r["content"], r["stars"])
+        for r in table.read().orderBy("repo")
+        .select("repo", "content", "stars").collect()
+    ]
+
+
+@pytest.mark.parametrize("mor", [False, True], ids=["cow", "mor"])
+def test_mid_stream_alter_batch_driver(spark, tmp_path, mor):
+    table = _create(spark, str(tmp_path), mor=mor)
+    logdir = _write_segments(str(tmp_path), _ddl_segments())
+    ms = apply_segments_ddl(spark, table, logdir)
+    assert [m.applied for m in ms] == [True, True]
+    assert _final(table) == EXPECT
+    # pre-alter row (r4, never touched after the DDL) reads null — the
+    # upstream database's own semantics for rows never updated since.
+    v = table.current_version()
+    ms2 = apply_segments_ddl(spark, table, logdir, start_after_batch=-1)
+    assert all(not m.applied for m in ms2)
+    assert table.current_version() == v  # replay: no empty DDL commits
+
+
+def test_without_ddl_driver_column_is_dropped(spark, tmp_path):
+    """Documents the gap the feature closes: the fixed-schema envelope
+    mode silently loses post-alter column values."""
+    table = _create(spark, str(tmp_path))
+    logdir = _write_segments(str(tmp_path), _ddl_segments())
+    apply_segments(spark, table, logdir, envelope="maxwell")
+    assert "stars" not in table.read().columns
+
+
+def test_control_types_not_quarantined(spark, tmp_path):
+    """DDL/control messages are CONSUMED, not dirty; a genuinely unknown
+    op still quarantines."""
+    qdir = str(tmp_path / "q")
+    table = _create(spark, str(tmp_path))
+    seg = [_alter([("stars", "bigint")]),
+           json.dumps({"type": "bootstrap-start", "table": "repos"}),
+           _mx("insert", _row("r1", "a"), 1),
+           _mx("mystery-op", _row("r9", "z"), 2)]
+    logdir = _write_segments(str(tmp_path), [seg])
+    cfg = PipelineConfig(quarantine_dir=qdir)
+    ms = apply_segments_ddl(spark, table, logdir, config=cfg)
+    assert ms[0].dirty_records == 1  # only mystery-op
+    reasons = {
+        r["_dirty_reason"]
+        for r in spark.read.parquet(qdir).select("_dirty_reason").collect()
+    }
+    assert reasons == {"invalid_op"}
+    assert set(MAXWELL_CONTROL_TYPES) >= {"table-alter", "bootstrap-start"}
+
+
+def test_fat_topic_source_table_filter(spark, tmp_path):
+    """source_table scopes BOTH planes: another table's alter must not
+    evolve this table, and its rows must not apply."""
+    table = _create(spark, str(tmp_path))
+    seg = [_alter([("noise", "bigint")], table="elsewhere"),
+           json.dumps({"database": "db", "table": "elsewhere",
+                       "type": "insert", "ts": 1, "xid": 1,
+                       "position": "bin.000001:1",
+                       "data": _row("rX", "nope")}),
+           _mx("insert", _row("r1", "a"), 2)]
+    logdir = _write_segments(str(tmp_path), [seg])
+    apply_segments_ddl(spark, table, logdir, source_table="repos")
+    cols = table.read().columns
+    assert "noise" not in cols
+    assert _final_repos(table) == [("r1", "a")]
+
+
+def _final_repos(table):
+    return [
+        (r["repo"], r["content"])
+        for r in table.read().orderBy("repo").select("repo", "content").collect()
+    ]
+
+
+def test_ddl_new_fields_rejects_non_maxwell(spark, tmp_path):
+    table = _create(spark, str(tmp_path))
+    raw = spark.createDataFrame([("{}",)], "value string")
+    with pytest.raises(ValueError, match="only 'maxwell'"):
+        ddl_new_fields(table, raw, envelope="debezium")
+
+
+def test_streaming_tail_ddl(spark, tmp_path):
+    """Structured Streaming twin: per-micro-batch dynamic schema, then a
+    RESTART with more post-alter segments resumes from checkpoint."""
+    table = _create(spark, str(tmp_path))
+    logdir = _write_segments(str(tmp_path), _ddl_segments())
+    ckpt = str(tmp_path / "ckpt")
+    tail_and_apply_ddl(
+        spark, table.path, logdir, ckpt, timeout_sec=180.0
+    )
+    assert _final(table) == EXPECT
+    # new post-alter segment after restart: schema already evolved,
+    # fence resumes past applied batches
+    d = os.path.join(logdir, "seg=2")
+    os.makedirs(d)
+    with open(os.path.join(d, "part.json"), "w") as f:
+        f.write(_mx("update", _row("r4", "keep2", stars=11), 7) + "\n")
+    tail_and_apply_ddl(
+        spark, table.path, logdir, ckpt, timeout_sec=180.0
+    )
+    assert _final(table) == [("r1", "a2", 7), ("r3", "x", 9),
+                             ("r4", "keep2", 11)]
