@@ -205,3 +205,152 @@ def tail_and_apply_ddl(
     if query.isActive:
         query.stop()
     return query
+
+
+# ---------------------------------------------------------------------------
+# Fat-topic composition: per-table DDL inside the router
+# (streaming/router.py) — one multiplexed binlog stream where EACH source
+# table evolves independently.
+# ---------------------------------------------------------------------------
+
+
+def evolve_routed_ddl(
+    tables: dict[str, LakeTable],
+    raw: DataFrame,
+    envelope: str = "maxwell",
+    on_unknown: str = "error",
+    max_ddl_events: int = 10_000,
+) -> dict[str, list[StructField]]:
+    """Consume a fat-topic batch's DDL events into each REGISTERED
+    table's own additive evolution. ONE narrow DDL scan covers every
+    table (O(#ddl) driver rows); returns {table: fields added}.
+
+    ``on_unknown`` mirrors the router's data-plane contract: 'error'
+    raises on DDL for a table nobody registered (the deployment bug
+    surfaces at the ALTER, before any data row arrives), 'skip' ignores
+    it (the Debezium topic-routing behavior)."""
+    from datax_spark.sources.envelope import ddl_from_maxwell, mysql_type_to_spark
+
+    if envelope != "maxwell":
+        raise ValueError(
+            f"envelope {envelope!r} carries no typed schema-change "
+            "messages — only 'maxwell' supports mid-stream DDL here"
+        )
+    if on_unknown not in ("error", "skip"):
+        raise ValueError(f"unknown on_unknown {on_unknown!r}")
+    rows = (
+        ddl_from_maxwell(raw)
+        .select("table", "columns")
+        .limit(max_ddl_events + 1)
+        .collect()
+    )
+    if len(rows) > max_ddl_events:
+        raise ValueError(
+            f"batch carries more than {max_ddl_events} DDL events — this "
+            "is not a binlog control plane; check the stream routing"
+        )
+    per_table: dict[str, dict[str, StructField]] = {}
+    for r in rows:
+        name = r["table"]
+        tbl = tables.get(name)
+        if tbl is None:
+            if on_unknown == "error":
+                from datax_spark.streaming.router import UnroutableTableError
+
+                raise UnroutableTableError(
+                    f"DDL event for unregistered table {name!r} "
+                    f"(registered: {sorted(tables)})"
+                )
+            continue
+        existing = {f.name for f in tbl.snapshot().schema.fields}
+        bucket = per_table.setdefault(name, {})
+        for c in r["columns"] or []:
+            cname = c["name"]
+            if cname is None or cname in existing or cname in bucket:
+                continue
+            bucket[cname] = StructField(
+                cname, mysql_type_to_spark(c["type"]), True
+            )
+    added: dict[str, list[StructField]] = {}
+    for name, fields in per_table.items():
+        if fields:
+            tables[name].add_columns(list(fields.values()))
+            added[name] = list(fields.values())
+    return added
+
+
+def apply_batch_routed_ddl(
+    tables: dict[str, LakeTable],
+    raw: DataFrame,
+    batch_id: int,
+    config: PipelineConfig | None = None,
+    envelope: str = "maxwell",
+    table_col: str | None = None,
+    on_unknown: str = "error",
+):
+    """Routed evolve-then-apply for one raw fat-topic micro-batch: each
+    registered table consumes ITS OWN table-alter events, then the batch
+    parses ONCE against the post-evolution union payload schema and fans
+    out through the router's per-table fenced applies. A column added to
+    table A while table B owns the same name at a different type raises
+    at the union step — one stream cannot carry both (router contract).
+    """
+    from datax_spark.sources.envelope import MAXWELL_CONTROL_TYPES
+    from datax_spark.streaming.router import (
+        TABLE_COL,
+        apply_batch_routed,
+        union_payload_schema,
+    )
+
+    tcol = table_col or TABLE_COL
+    evolve_routed_ddl(tables, raw, envelope, on_unknown)
+    schema = union_payload_schema(tables)
+    parsed = parse_envelope(raw, envelope, schema, table_col=tcol)
+    parsed = parsed.filter(~F.col("op").isin(*MAXWELL_CONTROL_TYPES))
+    return apply_batch_routed(
+        tables, parsed, batch_id, config, table_col=tcol,
+        on_unknown=on_unknown,
+    )
+
+
+def tail_and_apply_routed_ddl(
+    spark: SparkSession,
+    tables: dict[str, LakeTable],
+    log_dir: str,
+    checkpoint_dir: str,
+    config: PipelineConfig | None = None,
+    envelope: str = "maxwell",
+    on_unknown: str = "error",
+    max_files_per_trigger: int = 1,
+    timeout_sec: float = 120.0,
+    results: list | None = None,
+):
+    """Streaming twin of ``apply_batch_routed_ddl``: raw-text tail (the
+    union parse schema can change at any micro-batch, so parsing lives in
+    the sink, not the plan), per-batch per-table evolution, routed fenced
+    applies. Pass ``results`` to collect the ``RoutedBatch`` outcomes."""
+    cfg = config or PipelineConfig()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rb = apply_batch_routed_ddl(
+            tables, batch_df, batch_id, cfg, envelope,
+            on_unknown=on_unknown,
+        )
+        if results is not None:
+            results.append(rb)
+
+    reader = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+    )
+    query = (
+        reader.text(log_dir + "/seg=*")
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    return query

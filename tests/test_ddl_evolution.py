@@ -283,3 +283,86 @@ def test_streaming_tail_ddl(spark, tmp_path):
     )
     assert _final(table) == [("r1", "a2", 7), ("r3", "x", 9),
                              ("r4", "keep2", 11)]
+
+
+# ------------------------------------------------------------ routed DDL
+
+
+def _mx_t(table, typ, data, pos):
+    return json.dumps(
+        {"database": "db", "table": table, "type": typ, "ts": 1,
+         "xid": pos, "position": f"bin.000001:{pos}", "data": data}
+    )
+
+
+def test_routed_ddl_per_table_evolution(spark, tmp_path):
+    """One fat topic, two destinations: the alter evolves ONLY its own
+    table; both tables' states converge; replay is a full no-op."""
+    from datax_spark.streaming.ddl import apply_batch_routed_ddl
+
+    tables = {
+        "even": _create(spark, str(tmp_path), "even"),
+        "odd": _create(spark, str(tmp_path), "odd"),
+    }
+    raw0 = spark.createDataFrame(
+        [(_mx_t("even", "insert", _row("e1", "a"), 1),),
+         (_mx_t("odd", "insert", _row("o1", "b"), 2),)],
+        "value string",
+    )
+    raw1 = spark.createDataFrame(
+        [(_alter([("stars", "bigint")], table="even"),),
+         (_mx_t("even", "update", _row("e1", "a2", stars=5), 3),),
+         (_mx_t("odd", "update", _row("o1", "b2"), 4),)],
+        "value string",
+    )
+    apply_batch_routed_ddl(tables, raw0, 0)
+    rb = apply_batch_routed_ddl(tables, raw1, 1)
+    assert set(rb.metrics) == {"even", "odd"}
+    assert _final(tables["even"]) == [("e1", "a2", 5)]
+    assert "stars" not in tables["odd"].read().columns
+    assert _final_repos(tables["odd"]) == [("o1", "b2")]
+    # replay both batches: fences hold, no empty DDL versions
+    vs = {n: t.current_version() for n, t in tables.items()}
+    rb0 = apply_batch_routed_ddl(tables, raw0, 0)
+    rb1 = apply_batch_routed_ddl(tables, raw1, 1)
+    assert all(not m.applied for m in {**rb0.metrics, **rb1.metrics}.values())
+    assert vs == {n: t.current_version() for n, t in tables.items()}
+
+
+def test_routed_ddl_unknown_table(spark, tmp_path):
+    from datax_spark.streaming.ddl import apply_batch_routed_ddl
+    from datax_spark.streaming.router import UnroutableTableError
+
+    tables = {"even": _create(spark, str(tmp_path), "even")}
+    raw = spark.createDataFrame(
+        [(_alter([("stars", "bigint")], table="ghost"),),
+         (_mx_t("even", "insert", _row("e1", "a"), 1),)],
+        "value string",
+    )
+    with pytest.raises(UnroutableTableError, match="ghost"):
+        apply_batch_routed_ddl(tables, raw, 0)
+    # skip mode: the ghost alter is ignored, the data applies
+    apply_batch_routed_ddl(tables, raw, 0, on_unknown="skip")
+    assert _final_repos(tables["even"]) == [("e1", "a")]
+
+
+def test_routed_ddl_streaming(spark, tmp_path):
+    from datax_spark.streaming.ddl import tail_and_apply_routed_ddl
+
+    tables = {
+        "even": _create(spark, str(tmp_path), "even"),
+        "odd": _create(spark, str(tmp_path), "odd"),
+    }
+    seg0 = [_mx_t("even", "insert", _row("e1", "a"), 1),
+            _mx_t("odd", "insert", _row("o1", "b"), 2)]
+    seg1 = [_alter([("stars", "bigint")], table="even"),
+            _mx_t("even", "update", _row("e1", "a2", stars=5), 3)]
+    logdir = _write_segments(str(tmp_path), [seg0, seg1])
+    results = []
+    tail_and_apply_routed_ddl(
+        spark, tables, logdir, str(tmp_path / "ckpt"),
+        timeout_sec=180.0, results=results,
+    )
+    assert len(results) == 2
+    assert _final(tables["even"]) == [("e1", "a2", 5)]
+    assert "stars" not in tables["odd"].read().columns
