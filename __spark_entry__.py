@@ -1209,6 +1209,39 @@ def q_cdc_time_travel(spark, sf_dir):
     return table.read(version=v_after_first).select("repo", "path", "commit", "content")
 
 
+def q_cdc_batch_travel(spark, sf_dir):
+    """Time travel by REPLAY POSITION: after both batches apply, read
+    the table as of BATCH 0 via ``version_at_batch`` — the version
+    resolves from the persisted stream fence (streams.<sid>.
+    last_batch_id in the manifests), NOT a version id captured at write
+    time. This is the read-side primitive behind the router's
+    cross-table consistent cut (streaming/router.read_consistent): "the
+    state with exactly binlog batches <= B applied" is addressable long
+    after the writer is gone. Same oracle as cdc_time_travel (the first
+    batch's replay) — the two queries resolve the same snapshot through
+    independent mechanisms (captured version id vs fence scan)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_bt_q_")
+    schema = StructType(
+        [StructField(c, StringType())
+         for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    v = table.version_at_batch("default", 0)
+    return table.read(version=v).select("repo", "path", "commit", "content")
+
+
 def q_cdc_patch_apply(spark, sf_dir, mor: bool = False):
     """Partial-column (UpdateRow) MERGE end-to-end — writeMode=update.
 
@@ -2986,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": q_text_c4_clean,
         "cdc_routed_apply": q_cdc_routed_apply,
         "cdc_ddl_apply": q_cdc_ddl_apply,
+        "cdc_batch_travel": q_cdc_batch_travel,
     }
 
 
@@ -3933,6 +3967,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id::VARCHAR AS repo, 'p' AS path, 'c' AS "commit", content
         FROM ded WHERE rn = 1 AND op != 'delete'
     """
+    # batch-position time travel resolves the SAME snapshot as the
+    # captured-version read, through the fence scan instead
+    sql["cdc_batch_travel"] = sql["cdc_time_travel"]
     # Window cumsum is the oracle's job; the ENGINE runs the
     # distributed prefix-sum (pack_shards) — same integers.
     sql["text_shards"] = f"""

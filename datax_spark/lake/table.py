@@ -458,6 +458,55 @@ class LakeTable:
             )
         return best
 
+    def version_at_batch(self, stream_id: str, batch_id: int) -> int:
+        """Newest version whose ``stream_id`` fence is at or before
+        ``batch_id`` — time travel by REPLAY POSITION ("read the table
+        as of binlog batch B") instead of wall clock. The fence
+        (streams.<sid>.last_batch_id) is monotone across versions and
+        carried forward by every commit, so the newest qualifying
+        version includes every applied batch <= B of this stream PLUS
+        any state-preserving maintenance (compaction/clustering) that
+        landed before batch B+1 — but, like any single-stream cut, it is
+        only a consistent log position for tables fed solely by that
+        stream (out-of-band DML between applies is included up to the
+        first post-cut apply).
+
+        Versions predating the stream's first apply have no fence and
+        qualify (an empty prefix of the log). Raises when even the
+        OLDEST retained version is past ``batch_id`` (history vacuumed).
+
+        Same regex scan as version_as_of: one small read per manifest,
+        no O(history x manifest-parse) JSON loads in inline mode.
+        """
+        pat = re.compile(
+            re.escape(json.dumps(stream_id)).encode()
+            + rb':\s*\{[^{}]*"last_batch_id":\s*(-?\d+)'
+        )
+        best = None
+        oldest = None
+        for n in os.listdir(self._mdir):
+            if not (n.startswith("v") and n.endswith(".json")):
+                continue
+            v = int(n[1:-5])
+            if oldest is None or v < oldest:
+                oldest = v
+            try:
+                with open(os.path.join(self._mdir, n), "rb") as f:
+                    m = pat.search(f.read())
+            except OSError:
+                continue
+            fence = int(m.group(1)) if m else None
+            if (fence is None or fence <= batch_id) and (
+                best is None or v > best
+            ):
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no retained snapshot at or before batch {batch_id} of "
+                f"stream {stream_id!r} in {self.path} (history vacuumed)"
+            )
+        return best
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = version if version is not None else self.current_version()
         mpath = self._manifest_path(v)

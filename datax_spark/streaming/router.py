@@ -115,6 +115,7 @@ def apply_batch_routed(
     config: PipelineConfig | None = None,
     table_col: str = TABLE_COL,
     on_unknown: str = "error",
+    cut_path: str | None = None,
 ) -> RoutedBatch:
     """Fan one canonical-changelog micro-batch out to its destination
     tables.
@@ -167,6 +168,13 @@ def apply_batch_routed(
                 batch_id,
                 replace(cfg, stream_id=f"{cfg.stream_id}/{name}"),
             )
+        # Every destination is through batch_id: publish the consistent
+        # cut (read_consistent). Monotone guard: a replayed old batch
+        # (all fenced no-ops) must not regress the marker.
+        if cut_path is not None:
+            cur = read_cut_marker(cut_path)
+            if cur is None or batch_id > cur:
+                write_cut_marker(cut_path, batch_id)
     finally:
         events.unpersist()
     return out
@@ -184,6 +192,7 @@ def tail_and_apply_routed(
     max_files_per_trigger: int = 1,
     timeout_sec: float = 120.0,
     results: list | None = None,
+    cut_path: str | None = None,
 ):
     """Structured Streaming tail of a fat-topic JSON-lines binlog dump
     -> routed fenced applies.
@@ -201,7 +210,7 @@ def tail_and_apply_routed(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         rb = apply_batch_routed(
             tables, batch_df, batch_id, cfg,
-            table_col=table_col, on_unknown=on_unknown,
+            table_col=table_col, on_unknown=on_unknown, cut_path=cut_path,
         )
         if results is not None:
             results.append(rb)
@@ -219,3 +228,72 @@ def tail_and_apply_routed(
         envelope=envelope,
         envelope_table_col=table_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent cross-table reads: the read-side half of "exactly-once
+# across N tables WITHOUT a cross-table transaction".
+# ---------------------------------------------------------------------------
+
+
+def write_cut_marker(cut_path: str, batch_id: int) -> None:
+    """Atomically record that batch ``batch_id`` finished fanning out to
+    EVERY destination (write-temp + rename — readers see old or new,
+    never torn). The per-table fences make a partial fan-out REPLAY to
+    convergence; the marker tells readers which prefix of the log is
+    already consistent across all tables RIGHT NOW."""
+    import json as _json
+    import os as _os
+
+    tmp = f"{cut_path}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"complete_through": int(batch_id)}, f)
+    _os.replace(tmp, cut_path)
+
+
+def read_cut_marker(cut_path: str) -> int | None:
+    """The newest batch id known complete across every destination, or
+    None before the first completed fan-out."""
+    import json as _json
+
+    try:
+        with open(cut_path) as f:
+            return int(_json.load(f)["complete_through"])
+    except FileNotFoundError:
+        return None
+
+
+def read_consistent(
+    tables: dict[str, LakeTable],
+    cut: int | str,
+    stream_id: str = "default",
+) -> dict[str, "DataFrame"]:
+    """Read EVERY routed destination at one consistent log position.
+
+    After a crash mid-fan-out, current-state reads across tables straddle
+    a batch (table A has batch B applied, table C doesn't) — each table
+    is internally exactly-once, but a cross-table join over them sees a
+    torn write. This resolves each table to the newest version whose
+    ``{stream_id}/{table}`` fence is at or before the cut
+    (LakeTable.version_at_batch), so the set reads as "the whole topic
+    replayed through batch B, nothing after" — MVCC over the manifest
+    history instead of a cross-table transaction, the same trade
+    Iceberg/Delta make per table, lifted to the fan-out.
+
+    ``cut``: a batch id, or a marker path written by
+    ``apply_batch_routed(cut_path=...)``. Consistency holds for tables
+    fed solely by this routed stream (the version_at_batch caveat).
+    """
+    if isinstance(cut, str):
+        b = read_cut_marker(cut)
+        if b is None:
+            raise FileNotFoundError(
+                f"no completed fan-out recorded at {cut!r} yet"
+            )
+        cut = b
+    out = {}
+    for name in sorted(tables):
+        tbl = tables[name]
+        v = tbl.version_at_batch(f"{stream_id}/{name}", cut)
+        out[name] = tbl.read(version=v)
+    return out

@@ -201,3 +201,93 @@ def test_envelope_table_col_all_parsers(spark):
         "value string",
     )
     assert from_maxwell(mx, DOCS, table_col="_t").collect()[0]["_t"] == "t3"
+
+
+# ------------------------------------------------------ consistent reads
+
+
+MIXED_B2 = [
+    _dbz("docs", _doc("r1", "a2"), "u", 6),
+    _dbz("users", _user("u1", "ada", 20), "u", 7),
+]
+
+
+def test_read_consistent_over_torn_fanout(spark, tmp_path):
+    """A crash mid-fan-out leaves current-state reads straddling a batch;
+    read_consistent resolves every table to the cut marker's position."""
+    from datax_spark.streaming.router import read_consistent
+
+    tables = _mk_tables(spark, tmp_path)
+    cut = str(tmp_path / "cut.json")
+    apply_batch_routed(
+        tables, _parse(spark, tables, MIXED_B1), 1, cut_path=cut
+    )
+    # simulate the crash: batch 2 reaches docs, dies before users (and
+    # before the cut marker advances) — exactly what a partial
+    # apply_batch_routed leaves behind
+    docs_half = [x for x in MIXED_B2 if '"docs"' in x]
+    apply_batch_routed(
+        {"docs": tables["docs"]},
+        _parse(spark, tables, docs_half), 2,
+    )
+    # current-state reads straddle batch 2...
+    assert {r["repo"]: r["content"] for r in
+            tables["docs"].read().collect()} == {"r1": "a2"}
+    assert {r["id"]: r["score"] for r in
+            tables["users"].read().collect()} == {"u1": 11}
+    # ...the consistent cut does not
+    views = read_consistent(tables, cut)
+    assert {r["repo"]: r["content"] for r in
+            views["docs"].collect()} == {"r1": "a"}
+    assert {r["id"]: r["score"] for r in
+            views["users"].collect()} == {"u1": 11}
+    # recovery replays batch 2 whole: docs fences, users applies, the
+    # marker advances, and the cut now shows both at batch 2
+    rb = apply_batch_routed(
+        tables, _parse(spark, tables, MIXED_B2), 2, cut_path=cut
+    )
+    assert not rb.metrics["docs"].applied and rb.metrics["users"].applied
+    views = read_consistent(tables, cut)
+    assert {r["repo"]: r["content"] for r in
+            views["docs"].collect()} == {"r1": "a2"}
+    assert {r["id"]: r["score"] for r in
+            views["users"].collect()} == {"u1": 20}
+
+
+def test_cut_marker_never_regresses(spark, tmp_path):
+    from datax_spark.streaming.router import read_cut_marker
+
+    tables = _mk_tables(spark, tmp_path)
+    cut = str(tmp_path / "cut.json")
+    apply_batch_routed(tables, _parse(spark, tables, MIXED_B1), 1,
+                       cut_path=cut)
+    apply_batch_routed(tables, _parse(spark, tables, MIXED_B2), 2,
+                       cut_path=cut)
+    assert read_cut_marker(cut) == 2
+    # replayed old batch: every table no-ops AND the marker stays put
+    apply_batch_routed(tables, _parse(spark, tables, MIXED_B1), 1,
+                       cut_path=cut)
+    assert read_cut_marker(cut) == 2
+
+
+def test_version_at_batch(spark, tmp_path):
+    """Time travel by replay position on a single table."""
+    from datax_spark.streaming.pipeline import apply_batch
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), DOCS, ["repo", "path", "commit"],
+        "repo", 4,
+    )
+    v_create = table.current_version()
+    raw1 = _parse(spark, {"docs": table}, [_dbz("docs", _doc("r1", "a"), "c", 1)])
+    raw2 = _parse(spark, {"docs": table}, [_dbz("docs", _doc("r1", "b"), "u", 2)])
+    apply_batch(table, raw1.drop("_table"), 0)
+    v0 = table.current_version()
+    apply_batch(table, raw2.drop("_table"), 1)
+    assert table.version_at_batch("default", 0) == v0
+    assert table.version_at_batch("default", 1) == table.current_version()
+    # a version predating the stream's first apply qualifies for batch -1
+    assert table.version_at_batch("default", -1) == v_create
+    assert {r["repo"]: r["content"]
+            for r in table.read(version=table.version_at_batch("default", 0))
+            .collect()} == {"r1": "a"}
