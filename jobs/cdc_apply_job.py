@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming only: suppress at-least-once source "
                         "redeliveries by event identity (key+seq) within "
                         "this watermark horizon, e.g. '10 minutes'")
+    p.add_argument("--ddl", action="store_true",
+                   help="consume Maxwell table-alter/create messages as "
+                        "additive schema evolution before each batch's "
+                        "apply (requires --envelope maxwell; "
+                        "streaming/ddl.py)")
     p.add_argument("--envelope", choices=["debezium", "canal", "maxwell"],
                    help="segments are JSON-LINES binlog dumps in this "
                         "envelope format (parsed in the scan stage) "
@@ -193,8 +198,25 @@ def main(argv: list[str] | None = None) -> int:
               "envelope changelog does not carry; drop one of the two",
               file=sys.stderr)
         return 2
+    if args.ddl and args.envelope != "maxwell":
+        print("--ddl needs --envelope maxwell (the only format carrying "
+              "typed schema-change messages)", file=sys.stderr)
+        return 2
+    if args.ddl and args.scd2:
+        print("--ddl is not wired into the SCD2 driver", file=sys.stderr)
+        return 2
 
-    if args.scd2 and args.streaming:
+    if args.ddl and args.streaming:
+        from datax_spark.streaming.ddl import tail_and_apply_ddl
+
+        tail_and_apply_ddl(spark, args.table, args.log_dir, args.checkpoint,
+                           config=cfg)
+    elif args.ddl:
+        from datax_spark.streaming.ddl import apply_segments_ddl
+
+        for m in apply_segments_ddl(spark, table, args.log_dir, config=cfg):
+            print(m.to_json())
+    elif args.scd2 and args.streaming:
         from datax_spark.operators.scd2 import tail_and_apply_scd2
 
         tail_and_apply_scd2(spark, args.table, args.log_dir, args.checkpoint,

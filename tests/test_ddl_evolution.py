@@ -366,3 +366,30 @@ def test_routed_ddl_streaming(spark, tmp_path):
     assert len(results) == 2
     assert _final(tables["even"]) == [("e1", "a2", 5)]
     assert "stars" not in tables["odd"].read().columns
+
+
+# ------------------------------------------------------------ CLI
+
+
+def test_cli_ddl_batch(spark, tmp_path):
+    """jobs/cdc_apply_job.py --envelope maxwell --ddl drives the same
+    evolve-then-apply path (in-process: get_spark reuses the session)."""
+    import jobs.cdc_apply_job as job
+
+    logdir = _write_segments(str(tmp_path), _ddl_segments())
+    tpath = str(tmp_path / "cli_t")
+    rc = job.main([
+        "--log-dir", logdir, "--table", tpath, "--create",
+        "--buckets", "4", "--envelope", "maxwell", "--ddl",
+    ])
+    assert rc in (0, None)
+    assert _final(LakeTable(spark, tpath)) == EXPECT
+
+
+def test_cli_ddl_guards(tmp_path):
+    import jobs.cdc_apply_job as job
+
+    assert job.main(["--log-dir", "x", "--table", "y",
+                     "--envelope", "debezium", "--ddl"]) == 2
+    assert job.main(["--log-dir", "x", "--table", "y", "--scd2",
+                     "--envelope", "maxwell", "--ddl"]) == 2
