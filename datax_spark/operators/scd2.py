@@ -322,6 +322,7 @@ def apply_segments_scd2(
     start_after_batch: int | None = None,
     envelope: str | None = None,
     payload_schema=None,
+    ddl: bool = False,
 ) -> list[MergeResult]:
     """Segment-loop driver for SCD2 tables — the history-mode twin of
     streaming.pipeline.apply_segments (incl. ``envelope``: JSON-lines
@@ -330,7 +331,15 @@ def apply_segments_scd2(
     segment, quarantine-split the
     raw events (same dirty taxonomy incl. the table's CHECK constraints),
     then ``scd2_apply`` the clean slice. Resume rides the same per-stream
-    fence."""
+    fence.
+
+    ``ddl=True`` (maxwell only, like streaming/ddl.py): consume
+    table-alter/create messages into additive history-table evolution
+    before each segment's apply — closed intervals from before the alter
+    read NULL in the new column, exactly the audit-faithful answer
+    ("this column did not exist when that version was current"), and the
+    parse schema tracks the table so ``payload_schema`` must be left
+    None."""
     import os
 
     from datax_spark.streaming.pipeline import (
@@ -339,13 +348,32 @@ def apply_segments_scd2(
         parse_envelope,
     )
 
-    if envelope is not None and payload_schema is None:
+    if ddl:
+        from datax_spark.sources.envelope import MAXWELL_CONTROL_TYPES
+        from datax_spark.streaming.ddl import ddl_new_fields
+
+        if envelope != "maxwell":
+            raise ValueError("ddl=True requires envelope='maxwell'")
+        if payload_schema is not None:
+            raise ValueError(
+                "ddl=True derives the parse schema from the evolving "
+                "table; drop payload_schema"
+            )
+    elif envelope is not None and payload_schema is None:
         payload_schema = default_payload_schema(table)
     out = []
     for seg_id, seg_path in iter_pending_segments(
         table, log_dir, "default", start_after_batch
     ):
-        if envelope is not None:
+        if ddl:
+            raw = spark.read.text(seg_path)
+            fields = ddl_new_fields(table, raw, envelope)
+            if fields:
+                table.add_columns(fields)
+            events = parse_envelope(
+                raw, envelope, default_payload_schema(table)
+            ).filter(~F.col("op").isin(*MAXWELL_CONTROL_TYPES))
+        elif envelope is not None:
             events = parse_envelope(
                 spark.read.text(seg_path), envelope, payload_schema
             )

@@ -202,11 +202,23 @@ def main(argv: list[str] | None = None) -> int:
         print("--ddl needs --envelope maxwell (the only format carrying "
               "typed schema-change messages)", file=sys.stderr)
         return 2
-    if args.ddl and args.scd2:
-        print("--ddl is not wired into the SCD2 driver", file=sys.stderr)
+    if args.ddl and args.scd2 and args.streaming:
+        print("--ddl + --scd2 is batch-only (the streaming SCD2 tail "
+              "fuses a fixed parse schema into its plan); drop "
+              "--streaming", file=sys.stderr)
         return 2
 
-    if args.ddl and args.streaming:
+    if args.ddl and args.scd2:
+        from datax_spark.operators.scd2 import apply_segments_scd2
+
+        results = apply_segments_scd2(
+            spark, table, args.log_dir, quarantine_dir=args.quarantine,
+            envelope=args.envelope, ddl=True,
+        )
+        for r in results:
+            print(json.dumps({"version": r.version, "applied": r.applied,
+                              "affected_buckets": len(r.affected_buckets)}))
+    elif args.ddl and args.streaming:
         from datax_spark.streaming.ddl import tail_and_apply_ddl
 
         tail_and_apply_ddl(spark, args.table, args.log_dir, args.checkpoint,

@@ -391,5 +391,46 @@ def test_cli_ddl_guards(tmp_path):
 
     assert job.main(["--log-dir", "x", "--table", "y",
                      "--envelope", "debezium", "--ddl"]) == 2
+    # streaming SCD2 fuses a fixed parse schema; batch --scd2 --ddl works
     assert job.main(["--log-dir", "x", "--table", "y", "--scd2",
-                     "--envelope", "maxwell", "--ddl"]) == 2
+                     "--envelope", "maxwell", "--ddl", "--streaming",
+                     "--checkpoint", "z"]) == 2
+
+
+def test_scd2_segments_ddl(spark, tmp_path):
+    """History-mode DDL: intervals closed BEFORE the alter read NULL in
+    the new column (audit-faithful: the column did not exist then);
+    post-alter intervals carry it. Replay is a complete no-op."""
+    from datax_spark.operators.scd2 import (
+        VALID_TO,
+        apply_segments_scd2,
+        create_scd2_table,
+    )
+
+    table = create_scd2_table(
+        spark, str(tmp_path / "h"), SCHEMA,
+        natural_key=KEYS, bucket_key="repo", num_buckets=4,
+    )
+    logdir = _write_segments(str(tmp_path), _ddl_segments())
+    rs = apply_segments_scd2(
+        spark, table, logdir, envelope="maxwell", ddl=True
+    )
+    assert [r.applied for r in rs] == [True, True]
+    hist = {
+        (r["repo"], r["content"]): (r["stars"], r[VALID_TO] is None)
+        for r in table.read().collect()
+    }
+    # r1: 'a' closed pre-alter (stars null), 'a2' current with stars=7
+    assert hist[("r1", "a")] == (None, False)
+    assert hist[("r1", "a2")] == (7, True)
+    # r2 deleted post-alter: its insert interval closed, stars null
+    assert hist[("r2", "b")][0] is None
+    assert hist[("r3", "x")] == (9, True)
+    assert hist[("r4", "keep")] == (None, True)
+    v = table.current_version()
+    rs2 = apply_segments_scd2(
+        spark, table, logdir, envelope="maxwell", ddl=True,
+        start_after_batch=-1,
+    )
+    assert all(not r.applied for r in rs2)
+    assert table.current_version() == v
