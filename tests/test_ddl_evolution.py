@@ -434,3 +434,27 @@ def test_scd2_segments_ddl(spark, tmp_path):
     )
     assert all(not r.applied for r in rs2)
     assert table.current_version() == v
+
+
+def test_change_feed_across_ddl(spark, tmp_path):
+    """read_changes diffing a pre-alter version against a post-alter one
+    conforms both sides: the pre-image reads NULL in the added column."""
+    from datax_spark.streaming.ddl import apply_batch_ddl
+
+    table = _create(spark, str(tmp_path))
+    seg0, seg1 = _ddl_segments()
+
+    def _raw(lines):
+        return spark.createDataFrame([(x,) for x in lines], "value string")
+
+    apply_batch_ddl(table, _raw(seg0), 0)
+    v_pre = table.current_version()
+    apply_batch_ddl(table, _raw(seg1), 1)
+    ch = table.read_changes(v_pre, table.current_version())
+    rows = {
+        (r["repo"], r["_change_type"]): r["stars"] for r in ch.collect()
+    }
+    assert rows[("r1", "update_preimage")] is None
+    assert rows[("r1", "update_postimage")] == 7
+    assert rows[("r3", "insert")] == 9
+    assert ("r2", "delete") in rows
