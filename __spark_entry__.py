@@ -1242,6 +1242,42 @@ def q_cdc_batch_travel(spark, sf_dir):
     return table.read(version=v).select("repo", "path", "commit", "content")
 
 
+def q_cdc_restore_replay(spark, sf_dir):
+    """RESTORE + replay (Delta RESTORE TABLE analog, lake/table.restore):
+    apply both batches, roll the table BACK to the post-batch-0 version
+    (metadata-only — file lists, schema, and stream fences all revert),
+    then re-apply batch 1: the rewound fence admits the replay instead
+    of no-op'ing it as a duplicate, and the final state must equal the
+    straight two-batch replay (the cdc_lake_apply oracle). This is the
+    disaster-recovery loop every CDC operator runs — rewind a bad
+    deploy, re-tail the log — proved exactly-once end to end.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_restore_q_")
+    schema = StructType(
+        [StructField(c, StringType())
+         for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0)
+    v_after_b0 = table.current_version()
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    table.restore(v_after_b0)
+    assert table.last_batch_id("default") == 0  # fence rewound with state
+    m = apply_batch(table, chg.filter(F.col("seq") > mid), 1)
+    assert m.applied  # replay admitted, not fenced
+    return table.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_patch_apply(spark, sf_dir, mor: bool = False):
     """Partial-column (UpdateRow) MERGE end-to-end — writeMode=update.
 
@@ -3020,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_routed_apply": q_cdc_routed_apply,
         "cdc_ddl_apply": q_cdc_ddl_apply,
         "cdc_batch_travel": q_cdc_batch_travel,
+        "cdc_restore_replay": q_cdc_restore_replay,
     }
 
 
@@ -3515,6 +3552,10 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_rebucket_apply"] = _lake_final
     # dump-diff ingest converges to the straight-replay state
     sql["cdc_snapshot_sync"] = _lake_final
+    # rewind-to-version then re-tail the log: restore reverts the stream
+    # fence with the state, so the replay lands and the final state is
+    # the straight two-batch replay
+    sql["cdc_restore_replay"] = _lake_final
     # fat-topic demux: the replay state partitioned by the routing
     # function (key-determined, so it commutes with latest-wins dedup)
     sql["cdc_routed_apply"] = f"""

@@ -65,6 +65,11 @@ class CommitConflict(Exception):
     """Another writer committed the version this commit was based on."""
 
 
+class RestoreError(Exception):
+    """restore() target is unusable: the manifest was vacuumed away or a
+    data file it references no longer exists on disk."""
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -506,6 +511,95 @@ class LakeTable:
                 f"stream {stream_id!r} in {self.path} (history vacuumed)"
             )
         return best
+
+    def restore(self, version: int) -> Snapshot:
+        """RESTORE to ``version`` (Delta ``RESTORE TABLE ... VERSION AS OF``
+        / Iceberg rollback analog): publish a NEW version whose complete
+        state — base/delta/equality-delete file lists, file stats,
+        lineage, schema, and properties INCLUDING stream fences — equals
+        the target snapshot's. Metadata-only: nothing rewrites, nothing
+        copies; the rolled-back versions stay in history (time travel
+        still reaches them until vacuum expires them), so a bad restore
+        is itself restorable.
+
+        Rewinding the stream fences is the point of taking the WHOLE
+        property map: after ``restore(v)``, a changelog replay from the
+        restored position re-applies instead of being fenced out as a
+        duplicate, so restore + replay reconstructs any past-and-forward
+        state (the oracle-checked ``cdc_restore_replay`` contract).
+        Structural properties (num_buckets, bucket_hash_version,
+        retired_cols, mor_patch) revert with it — each is only
+        consistent with the file layout it was committed with, e.g.
+        restoring across a ``rebucket`` must restore the old bucket
+        count or every hash probe would look in the wrong bucket.
+
+        Guards, all BEFORE any commit:
+        - the target manifest must still be retained (vacuum keep_last
+          drops old ones) -> RestoreError;
+        - every data file the target references must still exist
+          (vacuum reclaims files only recent versions stop referencing;
+          tagged versions are pinned and always restorable)
+          -> RestoreError naming the missing files;
+        - a concurrent commit between inspect and publish fails the
+          manifest CAS -> CommitConflict. Restore never rebases by
+          design: it is a statement about the state the caller saw, so
+          the caller must re-inspect and re-issue deliberately.
+
+        Restoring to the current state is a no-op (returns the current
+        snapshot, publishes nothing — replayed restore scripts must not
+        mint empty versions).
+
+        Reference analog: DataX has no table versioning; this is the
+        lake-side failover complement to the job-level restart semantics
+        (core/.../job/JobContainer.java failover + the odpswriter
+        truncate-and-reload recovery pattern, OdpsWriter.java:327-354),
+        done in O(num_buckets) metadata instead of a reload.
+        """
+        cur = self.snapshot()
+        try:
+            target = self.snapshot(version)
+        except FileNotFoundError as e:
+            raise RestoreError(
+                f"version {version} is not retained at {self.path} "
+                "(expired by vacuum, or never committed)"
+            ) from e
+
+        def _state(s: Snapshot):
+            return (
+                s.schema_json, s.buckets, s.properties, s.lineage,
+                s.deltas, s.file_stats, s.eq_deletes,
+            )
+
+        if _state(target) == _state(cur):
+            return cur
+        missing = [
+            rel
+            for rel in sorted(self._referenced_rels([target]))
+            if not os.path.exists(os.path.join(self.path, rel))
+        ]
+        if missing:
+            raise RestoreError(
+                f"cannot restore {self.path} to version {version}: "
+                f"{len(missing)} referenced data file(s) no longer exist "
+                f"(vacuumed) — first few: {missing[:5]}"
+            )
+        new = Snapshot(
+            version=cur.version + 1,
+            schema_json=target.schema_json,
+            # deep-copy: the caller may hold/mutate the target snapshot
+            properties=json.loads(json.dumps(target.properties)),
+            # list objects shared with ``target`` ON PURPOSE: sharded
+            # manifest mode reuses a ref when the bucket's list IS the
+            # base's (identity check in _shard_lists), so passing
+            # ``target`` as the base publishes with zero re-hashing
+            buckets=target.buckets,
+            lineage=target.lineage,
+            deltas=target.deltas,
+            file_stats=target.file_stats,
+            eq_deletes=target.eq_deletes,
+        )
+        self._write_manifest(new, target)  # CAS: conflict -> CommitConflict
+        return new
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = version if version is not None else self.current_version()
