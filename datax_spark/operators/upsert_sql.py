@@ -139,6 +139,32 @@ def merge_from_staging_sql(
     raise ValueError(f"unsupported dialect {dialect!r}")
 
 
+def delete_matching_sql(
+    table: str,
+    staging: str,
+    key_columns: list[str],
+    dialect: str = "generic",
+) -> str:
+    """Set-based key delete: kill every ``table`` row whose key appears
+    in ``staging`` (which holds ONLY key columns). The delete half of a
+    CDC apply against an RDBMS sink — the reference has no delete
+    writeMode (DataX jobs truncate or append); a changelog sink needs
+    one, so this is the set-based form of the per-row DELETE a binlog
+    applier would issue.
+    """
+    if not key_columns:
+        raise ValueError("delete_matching_sql requires key_columns")
+    if dialect == "mysql":
+        on = " AND ".join(f"T.{k} = S.{k}" for k in key_columns)
+        return f"DELETE T FROM {table} T INNER JOIN {staging} S ON {on}"
+    # ANSI correlated EXISTS — Derby/DB2/postgres all accept it
+    on = " AND ".join(f"S.{k} = T.{k}" for k in key_columns)
+    return (
+        f"DELETE FROM {table} T WHERE EXISTS "
+        f"(SELECT 1 FROM {staging} S WHERE {on})"
+    )
+
+
 def clone_table_sql(
     table: str, staging: str, columns: list[str], dialect: str = "generic"
 ) -> str:

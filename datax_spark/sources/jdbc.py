@@ -29,8 +29,13 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from datax_spark.operators.upsert_sql import clone_table_sql, merge_from_staging_sql
+from datax_spark.operators.upsert_sql import (
+    clone_table_sql,
+    delete_matching_sql,
+    merge_from_staging_sql,
+)
 
 
 def _connection(spark: SparkSession, url: str, user: str = "", password: str = ""):
@@ -277,6 +282,264 @@ def jdbc_upsert(
     if post_sql:
         jdbc_execute(spark, url, post_sql, user, password)
     return merge
+
+
+FENCE_TABLE = "DATAX_STREAM_FENCES"
+
+
+def _sql_str(s: str) -> str:
+    """Escape a python string for embedding as a SQL literal."""
+    return s.replace("'", "''")
+
+
+def _stage_name(table: str, stream_id: str, kind: str) -> str:
+    """Deterministic staging-table name per (target, stream, side).
+
+    Deterministic ON PURPOSE: a batch that crashed after staging leaves
+    an orphan staging table, and the replay's drop-recreate under the
+    SAME name reclaims it — no leaked-table audit needed. One live
+    writer per (table, stream_id) is the contract (same as the lake
+    sink's fence semantics).
+    """
+    import hashlib as _h
+
+    h = _h.sha1(stream_id.encode()).hexdigest()[:8].upper()
+    return f"{table}_DX{kind}_{h}"
+
+
+def ensure_stream_fence(
+    spark: SparkSession,
+    url: str,
+    stream_id: str,
+    user: str = "",
+    password: str = "",
+    fence_table: str = FENCE_TABLE,
+) -> int:
+    """Create the in-database fence table/row if absent; return the
+    stream's current LAST_BATCH_ID (-1 when fresh).
+
+    The fence lives IN the sink database so it can move in the SAME
+    transaction as the data (jdbc_apply_exactly_once) — the RDBMS
+    analog of the lake manifest's streams.<sid>.last_batch_id, and the
+    standard exactly-once recipe for transactional sinks (store the
+    offset with the data). DataX's odpswriter does the same thing with
+    block-id fencing (OdpsWriter.java:327-354); an RDBMS gives us a
+    real transaction instead.
+    """
+    jdbc_execute(
+        spark, url,
+        [
+            f"CREATE TABLE {fence_table} ("
+            "STREAM_ID VARCHAR(128) NOT NULL PRIMARY KEY, "
+            "LAST_BATCH_ID BIGINT NOT NULL)"
+        ],
+        user, password, ignore_errors=True,  # already exists: fine
+    )
+    sel = (
+        f"SELECT LAST_BATCH_ID FROM {fence_table} "
+        f"WHERE STREAM_ID = '{_sql_str(stream_id)}'"
+    )
+    rows = jdbc_query(spark, url, sel, user, password)
+    if rows:
+        return int(rows[0][0])
+    jdbc_execute(
+        spark, url,
+        [f"INSERT INTO {fence_table} VALUES ('{_sql_str(stream_id)}', -1)"],
+        user, password, ignore_errors=True,  # lost an init race: re-read
+    )
+    rows = jdbc_query(spark, url, sel, user, password)
+    return int(rows[0][0])
+
+
+def jdbc_apply_exactly_once(
+    upserts: DataFrame,
+    delete_keys: DataFrame,
+    url: str,
+    table: str,
+    columns: list[str],
+    key_columns: list[str],
+    batch_id: int,
+    stream_id: str = "jdbc_sink",
+    write_mode: str = "update",
+    dialect: str = "derby",
+    user: str = "",
+    password: str = "",
+    fence_table: str = FENCE_TABLE,
+) -> bool:
+    """Apply one deduped CDC micro-batch to a live RDBMS EXACTLY ONCE.
+
+    The exactly-once construction, in order:
+
+    1. fence pre-check (one SELECT): a replayed batch id returns False
+       before any staging work;
+    2. stage OUTSIDE the transaction: drop/recreate the two
+       deterministic staging tables (upsert images; delete keys — key
+       columns only) with the target's cloned column types, then Spark
+       APPENDS into them executor-parallel. Staging is scratch: a crash
+       here leaves orphans that the replay's drop-recreate reclaims;
+    3. ONE driver-side transaction: set-based MERGE from the upsert
+       stage, set-based DELETE from the key stage, then the GUARDED
+       fence advance ``UPDATE ... SET LAST_BATCH_ID = b WHERE STREAM_ID
+       = s AND LAST_BATCH_ID < b``. Update-count 0 means a concurrent
+       or replayed writer won — ROLLBACK (the data statements unwind
+       with it) and return False. Otherwise COMMIT publishes data and
+       fence atomically.
+
+    A crash before COMMIT leaves the target untouched (the replay
+    re-applies); after COMMIT, the replay's pre-check sees the fence.
+    There is no window where data landed without the fence or vice
+    versa — that atomicity is the whole reason the fence is a row in
+    the sink database rather than a checkpoint file.
+
+    ``upserts`` and ``delete_keys`` must be key-unique and disjoint
+    (dedup_latest upstream guarantees one image per key per batch).
+    Returns True iff this call committed the batch.
+    """
+    spark = upserts.sparkSession
+    last = ensure_stream_fence(
+        spark, url, stream_id, user, password, fence_table
+    )
+    if batch_id <= last:
+        return False
+
+    ups_stage = _stage_name(table, stream_id, "U")
+    del_stage = _stage_name(table, stream_id, "D")
+    props = {"user": user, "password": password}
+    jdbc_execute(
+        spark, url,
+        [f"DROP TABLE {ups_stage}", f"DROP TABLE {del_stage}"],
+        user, password, ignore_errors=True,  # orphans from a crashed run
+    )
+    jdbc_execute(
+        spark, url,
+        [
+            clone_table_sql(table, ups_stage, columns, dialect),
+            clone_table_sql(table, del_stage, key_columns, dialect),
+        ],
+        user, password,
+    )
+    # Case contract: every SQL statement here embeds UNQUOTED names (the
+    # server folds them to its catalog case), but Spark's JDBC writer
+    # QUOTES the DataFrame's column names — so the staging append must
+    # alias each column to the dialect's catalog fold (Derby/DB2 fold
+    # unquoted identifiers UP, postgres folds DOWN, mysql preserves) or
+    # quoted "repo" misses Derby's REPO column.
+    if dialect in ("derby", "db2", "generic"):
+        fold = str.upper
+    elif dialect == "postgresql":
+        fold = str.lower
+    else:
+        fold = lambda c: c  # noqa: E731 - mysql: as-given
+    upserts.select(*[F.col(c).alias(fold(c)) for c in columns]).write.jdbc(
+        url, ups_stage, mode="append", properties=props
+    )
+    delete_keys.select(
+        *[F.col(c).alias(fold(c)) for c in key_columns]
+    ).write.jdbc(url, del_stage, mode="append", properties=props)
+
+    merge = merge_from_staging_sql(
+        table, ups_stage, columns, write_mode, key_columns, dialect
+    )
+    delete = delete_matching_sql(table, del_stage, key_columns, dialect)
+    fence = (
+        f"UPDATE {fence_table} SET LAST_BATCH_ID = {int(batch_id)} "
+        f"WHERE STREAM_ID = '{_sql_str(stream_id)}' "
+        f"AND LAST_BATCH_ID < {int(batch_id)}"
+    )
+    conn = _connection(spark, url, user, password)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            st.execute(merge)
+            st.execute(delete)
+            applied = st.executeUpdate(fence) == 1
+            if applied:
+                conn.commit()
+            else:
+                conn.rollback()  # fenced mid-flight: unwind the data too
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
+    finally:
+        conn.close()
+    jdbc_execute(
+        spark, url,
+        [f"DROP TABLE {ups_stage}", f"DROP TABLE {del_stage}"],
+        user, password, ignore_errors=True,  # best-effort tidy-up
+    )
+    return applied
+
+
+def tail_to_jdbc(
+    spark: SparkSession,
+    log_dir: str,
+    checkpoint_dir: str,
+    schema,
+    url: str,
+    table: str,
+    columns: list[str],
+    key_cols: list[str],
+    stream_id: str = "jdbc_sink",
+    write_mode: str = "update",
+    dialect: str = "derby",
+    user: str = "",
+    password: str = "",
+    timeout_sec: float = 120.0,
+    max_files_per_trigger: int = 1,
+    envelope: str | None = None,
+    quarantine_dir: str | None = None,
+):
+    """CDC tail -> live RDBMS, exactly once: Structured Streaming
+    micro-batches latest-wins-deduped and applied transactionally with
+    the in-database fence (jdbc_apply_exactly_once). The binlog->MySQL
+    replica pipeline DataX users run in nightly batches, as a stream.
+
+    Unlike tail_to_es/tail_to_mongo (idempotent by _id, no fence
+    needed), an RDBMS sink's MERGE+DELETE is NOT naturally idempotent
+    across partial failures — so each batch rides one transaction with
+    the fence row, and a checkpoint replay after any crash point is a
+    committed no-op. Same dirty taxonomy and quarantine as the lake
+    sink; same checkpoint/trigger machinery as tail_and_apply.
+    """
+    from datax_spark.operators.dedup import dedup_latest
+    from datax_spark.quality.quarantine import append_quarantine, split_dirty
+    from datax_spark.streaming.pipeline import tail_and_apply
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        events = batch_df.drop("ts", "batch_file")
+        clean, dirty = split_dirty(
+            events,
+            key_cols=key_cols,
+            content_col="content" if "content" in events.columns else None,
+        )
+        if quarantine_dir:
+            append_quarantine(dirty, quarantine_dir, batch_id)
+        deduped = dedup_latest(clean, key_cols).persist()
+        try:
+            jdbc_apply_exactly_once(
+                deduped.filter(F.col("op") != "delete"),
+                deduped.filter(F.col("op") == "delete"),
+                url, table, columns, key_cols, batch_id,
+                stream_id=stream_id, write_mode=write_mode,
+                dialect=dialect, user=user, password=password,
+            )
+        finally:
+            deduped.unpersist()
+
+    return tail_and_apply(
+        spark,
+        table_path="",  # unused: the custom sink replaces the lake apply
+        log_dir=log_dir,
+        checkpoint_dir=checkpoint_dir,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+        timeout_sec=timeout_sec,
+        sink=_sink,
+        envelope=envelope,
+    )
 
 
 def pre_check(
