@@ -9,6 +9,7 @@ table maintenance:
     ... --op compact [--max-files-per-bucket 8]
     ... --op rewrite --cols event_time [--zorder] [--target-file-rows N]
     ... --op rebucket --buckets 256
+    ... --op restore --version 42
     ... --op describe | history
 
 Every op prints ONE JSON line (machine-consumable, cron-friendly).
@@ -30,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table", required=True)
     p.add_argument("--op", required=True,
                    choices=["fsck", "vacuum", "compact", "rewrite",
-                            "rebucket", "describe", "history"])
+                            "rebucket", "restore", "describe", "history"])
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--min-age-sec", type=float, default=0.0)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
@@ -40,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "lexicographic sort")
     p.add_argument("--target-file-rows", type=int, default=1_000_000)
     p.add_argument("--buckets", type=int, help="rebucket target count")
+    p.add_argument("--version", type=int,
+                   help="restore: target version (rewinds stream fences "
+                        "with the state; history stays addressable)")
     return p
 
 
@@ -74,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
             print("--op rebucket requires --buckets", file=sys.stderr)
             return 2
         out = {"version": table.rebucket(args.buckets).version}
+    elif args.op == "restore":
+        if args.version is None:
+            print("--op restore requires --version", file=sys.stderr)
+            return 2
+        snap = table.restore(args.version)
+        out = {"version": snap.version, "restored_to": args.version}
     elif args.op == "describe":
         out = table.describe()
     else:  # history

@@ -62,3 +62,13 @@ def test_all_ops(spark, tmp_path, capsys):
 
     # state survived every maintenance op
     assert t.read().count() == 6
+
+    # restore: roll back to the pre-rebucket version (the newest one the
+    # keep-last-1 vacuum above retained), layout props revert with it
+    v_pre = reb["version"] - 1
+    res = _run(capsys, "--table", t.path, "--op", "restore",
+               "--version", str(v_pre))
+    assert res["restored_to"] == v_pre
+    assert res["version"] == reb["version"] + 1
+    assert t.snapshot().properties["num_buckets"] == 4
+    assert t.read().count() == 6
