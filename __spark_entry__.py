@@ -847,6 +847,82 @@ def q_cdc_debezium_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_kafka_apply(spark, sf_dir):
+    """The full production transport, end-to-end on the REAL wire: the
+    changelog is re-encoded as Debezium JSON envelopes, PRODUCED to an
+    embedded single-node Kafka broker (sources/kafka_broker.py — actual
+    Kafka protocol over sockets: Produce v3 / Fetch v4, v2 record
+    batches, gzip-compressed, CRC32C verified by the broker on produce
+    and by the client on fetch), read back with the batch reader, parsed
+    by the same pure-Column from_debezium, and fenced-MERGE-applied.
+    Final state equals the direct replay oracle — the transport adds
+    bytes-on-the-wire, not semantics. Keyed by (repo,path,commit) so the
+    DefaultPartitioner keeps per-key order; latest-wins dedup makes the
+    apply independent of cross-key arrival order anyway.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.sources.envelope import from_debezium
+    from datax_spark.sources.kafka_broker import start_broker
+    from datax_spark.sources.kafka_live import kafka_read, kafka_write
+    from datax_spark.streaming.pipeline import apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    pcols = ["repo", "path", "commit", "lang", "content"]
+    img = F.struct(*[F.col(c) for c in pcols])
+    dbz_op = (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .when(F.col("op") == "delete", F.lit("d"))
+        .otherwise(F.col("op"))
+    )
+    is_del = F.col("op") == "delete"
+    env = F.to_json(
+        F.struct(
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            dbz_op.alias("op"),
+            F.lit(1).cast("long").alias("ts_ms"),
+            F.struct(F.col("seq").alias("lsn")).alias("source"),
+        )
+    )
+    msgs = chg.select(
+        F.concat_ws("\x00", "repo", "path", "commit").alias("key"),
+        env.alias("value"),
+        F.col("seq"),
+    )
+    broker = start_broker()
+    try:
+        broker.state.create_topic("dbz", 4)
+        host, port = broker.server_address
+        totals = kafka_write(
+            msgs, host, port, "dbz", order_col="seq", codec="gzip"
+        )
+        if totals["errors"]:
+            raise RuntimeError(f"kafka produce errors: {totals}")
+        raw = kafka_read(spark, host, port, ["dbz"])
+        schema = StructType([StructField(c, StringType()) for c in pcols])
+        parsed = from_debezium(
+            raw.select(F.col("value").cast("string").alias("value")), schema
+        )
+        # two fenced batches split at the seq midpoint, like the other
+        # envelope applies — parsed.seq comes from source.lsn
+        parsed = parsed.localCheckpoint()  # pin: the broker dies at return
+        mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+        root = _tmproot("dx_kafka_q_")
+        table = LakeTable.create(
+            spark, os.path.join(root, "t"), schema,
+            ["repo", "path", "commit"], "repo", num_buckets=8,
+        )
+        apply_batch(table, parsed.filter(F.col("seq") <= mid), 0)
+        apply_batch(table, parsed.filter(F.col("seq") > mid), 1)
+        return table.read().select("repo", "path", "commit", "content")
+    finally:
+        broker.shutdown()
+        broker.server_close()
+
+
 def q_cdc_canal_apply(spark, sf_dir):
     """Binlog tail via Canal flat-message JSON (the Alibaba binlog
     bridge — the reference's own RDS ecosystem): statement-batched row
@@ -3057,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ddl_apply": q_cdc_ddl_apply,
         "cdc_batch_travel": q_cdc_batch_travel,
         "cdc_restore_replay": q_cdc_restore_replay,
+        "cdc_kafka_apply": q_cdc_kafka_apply,
     }
 
 
@@ -3547,6 +3624,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_mor_apply"] = _lake_final
     sql["cdc_eq_delete_apply"] = _lake_final
     sql["cdc_debezium_apply"] = _lake_final
+    sql["cdc_kafka_apply"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final

@@ -30,8 +30,10 @@ other produced.
 Fidelity notes, stated plainly: single-broker bootstrap (the fixture is
 one node; against a real cluster the Metadata response's leader map
 would route per-partition connections — the split planning already
-keys on it), no SASL/TLS, no compression (attributes=0), no
-transactions (READ_UNCOMMITTED). Those are breadth, not shape.
+keys on it), no SASL/TLS, no transactions (READ_UNCOMMITTED).
+Compression: none + gzip (the stdlib-expressible codecs; snappy/lz4/
+zstd would need libraries this environment does not ship). Those are
+breadth, not shape.
 
 Scale shape: the streaming source's offset map is
 ``{topic-partition: next offset}`` — Structured Streaming's checkpoint
@@ -138,14 +140,30 @@ def enc_varlong(v: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+#: attributes bits 0-2 = compression codec (public protocol constants).
+CODEC_NONE, CODEC_GZIP = 0, 1
+_CODEC_NAMES = {0: "none", 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+
+
 def encode_record_batch(
     base_offset: int,
     records: list[tuple[bytes | None, bytes | None, int]],
+    codec: int = CODEC_NONE,
 ) -> bytes:
-    """records: [(key, value, timestamp_ms)]; attributes=0 (no
-    compression, CREATE_TIME), producer fields -1 (idempotence off)."""
+    """records: [(key, value, timestamp_ms)]; producer fields -1
+    (idempotence off). ``codec`` sets attributes bits 0-2; gzip (1)
+    compresses the records block — the individual record frames,
+    concatenated — exactly as the Java client does, with the batch
+    header (and the CRC) staying uncompressed. mtime=0 keeps the gzip
+    container deterministic (byte-stable batches for the CRC gate)."""
     if not records:
         raise ValueError("empty record batch")
+    if codec not in (CODEC_NONE, CODEC_GZIP):
+        raise ValueError(
+            f"unsupported produce codec {_CODEC_NAMES.get(codec, codec)}: "
+            "only none/gzip are stdlib-expressible (snappy/lz4/zstd need "
+            "libraries this environment does not ship)"
+        )
     base_ts = records[0][2]
     max_ts = max(t for _, _, t in records)
     body = bytearray()
@@ -163,8 +181,12 @@ def encode_record_batch(
         rec += enc_varlong(0)  # headers count
         body += enc_varlong(len(rec))
         body += rec
+    if codec == CODEC_GZIP:
+        import gzip as _gzip
+
+        body = _gzip.compress(bytes(body), mtime=0)
     after_crc = (
-        struct.pack(">h", 0)                     # attributes
+        struct.pack(">h", codec)                 # attributes
         + struct.pack(">i", len(records) - 1)    # last offset delta
         + struct.pack(">q", base_ts)
         + struct.pack(">q", max_ts)
@@ -205,37 +227,57 @@ def decode_record_batches(
         crc = buf.u32()
         if crc32c(blob[buf.p:end]) != crc:
             raise ValueError("record batch CRC32C mismatch")
-        buf.i16()  # attributes (no compression support, asserted 0 upstream)
+        attrs = buf.i16()
+        codec = attrs & 0x07
         buf.i32()  # last offset delta
         base_ts = buf.i64()
         buf.i64()  # max ts
         buf.i64(); buf.i16(); buf.i32()  # producer id/epoch, base seq
         n = buf.i32()
+        if codec == CODEC_NONE:
+            rbuf = Buf(blob, buf.p)
+            rend = end
+        elif codec == CODEC_GZIP:
+            import gzip as _gzip
+
+            try:
+                raw = _gzip.decompress(blob[buf.p:end])
+            except Exception as exc:  # zlib.error / EOFError / OSError
+                raise ValueError(f"bad gzip records block: {exc}") from exc
+            rbuf = Buf(raw)
+            rend = len(raw)
+        else:
+            raise ValueError(
+                f"unsupported fetch codec {_CODEC_NAMES.get(codec, codec)}"
+            )
+        rblob = rbuf.b
         for _ in range(n):
-            rec_len = buf.varlong()
-            rec_end = buf.p + rec_len
-            buf.i8()  # record attributes
-            ts_delta = buf.varlong()
-            off_delta = buf.varlong()
-            klen = buf.varlong()
+            rec_len = rbuf.varlong()
+            rec_end = rbuf.p + rec_len
+            rbuf.i8()  # record attributes
+            ts_delta = rbuf.varlong()
+            off_delta = rbuf.varlong()
+            klen = rbuf.varlong()
             key = None
             if klen >= 0:
-                key = blob[buf.p:buf.p + klen]
-                buf.p += klen
-            vlen = buf.varlong()
+                key = rblob[rbuf.p:rbuf.p + klen]
+                rbuf.p += klen
+            vlen = rbuf.varlong()
             value = None
             if vlen >= 0:
-                value = blob[buf.p:buf.p + vlen]
-                buf.p += vlen
-            hdrs = buf.varlong()
+                value = rblob[rbuf.p:rbuf.p + vlen]
+                rbuf.p += vlen
+            hdrs = rbuf.varlong()
             for _ in range(hdrs):
-                hk = buf.varlong(); buf.p += max(hk, 0)
-                hv = buf.varlong(); buf.p += max(hv, 0)
-            if buf.p != rec_end:
+                hk = rbuf.varlong(); rbuf.p += max(hk, 0)
+                hv = rbuf.varlong(); rbuf.p += max(hv, 0)
+            if rbuf.p != rec_end:
                 raise ValueError("record length mismatch")
             out.append(
                 (base_offset + off_delta, base_ts + ts_delta, key, value)
             )
+        if rbuf.p != rend:
+            raise ValueError("record batch trailing bytes")
         buf.p = end
     return out
 
@@ -375,9 +417,10 @@ class KafkaClient:
         partition: int,
         records: list[tuple[bytes | None, bytes | None, int]],
         acks: int = 1,
+        codec: int = CODEC_NONE,
     ) -> int:
         """Append one record batch; returns the base offset assigned."""
-        batch = encode_record_batch(0, records)
+        batch = encode_record_batch(0, records, codec=codec)
         body = (
             enc_string(None)  # transactional id
             + struct.pack(">hi", acks, 30000)
@@ -674,6 +717,7 @@ def kafka_write(
     order_col: str | None = None,
     batch_size: int = 500,
     timestamp_ms: int = 0,
+    codec: str = "none",
 ) -> dict[str, int]:
     """Produce a DataFrame to a topic: partition assignment is computed
     engine-side with the DefaultPartitioner hash (``partition_for``), the
@@ -682,6 +726,8 @@ def kafka_write(
     e.g. seq, to pin intra-partition emit order), and each task appends
     record batches of ``batch_size``. Per-batch produce failures count as
     dirty, not job aborts — the DataX dirty-record contract.
+    ``codec='gzip'`` compresses each record batch (attributes bits 0-2;
+    the header and CRC stay uncompressed, per the public v2 layout).
 
     The emit side of a Kafka relay: pair with
     ``streaming/relay.emit_changes`` + ``sources/envelope.to_debezium``
@@ -692,6 +738,9 @@ def kafka_write(
     from pyspark.sql.types import IntegerType
     from pyspark.sql.functions import pandas_udf
 
+    codec_id = {"none": CODEC_NONE, "gzip": CODEC_GZIP}.get(codec)
+    if codec_id is None:
+        raise ValueError(f"unsupported codec {codec!r}: none|gzip")
     cli = KafkaClient(host, port)
     try:
         num_partitions = len(cli.metadata([topic])[topic])
@@ -734,7 +783,7 @@ def kafka_write(
                     batch = pending[pid]
                     if len(batch) >= batch_size:
                         try:
-                            c.produce(topic, pid, batch)
+                            c.produce(topic, pid, batch, codec=codec_id)
                             written += len(batch)
                         except (ValueError, OSError):
                             errors += len(batch)
@@ -742,7 +791,7 @@ def kafka_write(
             for pid, batch in pending.items():
                 if batch:
                     try:
-                        c.produce(topic, pid, batch)
+                        c.produce(topic, pid, batch, codec=codec_id)
                         written += len(batch)
                     except (ValueError, OSError):
                         errors += len(batch)

@@ -6,7 +6,7 @@ pinned as "no fetch from offset 0 is ever re-issued".
 
 The fixture broker speaks Metadata v1 / ListOffsets v1 / Produce v3 /
 Fetch v4 with record batches v2 — the same classic-grammar encodings
-the client sends, parsed independently in the handler below. The batch
+the client sends, parsed independently in sources/kafka_broker.py (now a package module so the driver-gated cdc_kafka_apply query reuses it). The batch
 LAYOUT itself is additionally pinned against a hand-built byte literal
 (test_record_batch_golden_bytes) so a symmetric client/fixture codec
 misreading cannot self-cancel.
@@ -15,9 +15,7 @@ misreading cannot self-cancel.
 from __future__ import annotations
 
 import json
-import socketserver
 import struct
-import threading
 
 import pytest
 
@@ -38,6 +36,7 @@ from datax_spark.sources.kafka_live import (
     partition_for,
     tail_kafka_and_apply,
 )
+from datax_spark.sources.kafka_broker import start_broker
 from datax_spark.sources.odps_live import crc32c
 
 
@@ -46,191 +45,9 @@ from datax_spark.sources.odps_live import crc32c
 # ---------------------------------------------------------------------------
 
 
-class _BrokerState:
-    def __init__(self):
-        self.logs: dict[tuple[str, int], list] = {}
-        self.fetch_log: list[tuple[str, int, int]] = []
-        self.produce_batches = 0
-        self.max_fetch_records = 1000
-        self.lock = threading.Lock()
-
-    def create_topic(self, name: str, partitions: int) -> None:
-        for p in range(partitions):
-            self.logs[(name, p)] = []
-
-    def topics(self) -> dict[str, list[int]]:
-        out: dict[str, list[int]] = {}
-        for t, p in self.logs:
-            out.setdefault(t, []).append(p)
-        return out
-
-
-class _Handler(socketserver.BaseRequestHandler):
-    state: _BrokerState  # set by the fixture
-
-    def handle(self):
-        while True:
-            hdr = self._recv(4)
-            if hdr is None:
-                return
-            (n,) = struct.unpack(">i", hdr)
-            raw = self._recv(n)
-            if raw is None:
-                return
-            buf = Buf(raw)
-            api_key, api_version, corr = buf.i16(), buf.i16(), buf.i32()
-            buf.string()  # client id
-            body = {
-                (3, 1): self._metadata,
-                (2, 1): self._list_offsets,
-                (0, 3): self._produce,
-                (1, 4): self._fetch,
-            }[(api_key, api_version)](buf)
-            msg = struct.pack(">i", corr) + body
-            self.request.sendall(struct.pack(">i", len(msg)) + msg)
-
-    def _recv(self, n: int):
-        out = b""
-        while len(out) < n:
-            try:
-                chunk = self.request.recv(n - len(out))
-            except OSError:
-                return None
-            if not chunk:
-                return None
-            out += chunk
-        return out
-
-    def _metadata(self, buf: Buf) -> bytes:
-        n = buf.i32()
-        wanted = None if n < 0 else [buf.string() for _ in range(n)]
-        st = self.state
-        host, port = self.server.server_address  # type: ignore[attr-defined]
-        out = struct.pack(">i", 1)  # one broker
-        out += struct.pack(">i", 0) + enc_string(host)
-        out += struct.pack(">i", port) + enc_string(None)
-        out += struct.pack(">i", 0)  # controller id
-        topics = st.topics()
-        names = sorted(topics) if wanted is None else wanted
-        out += struct.pack(">i", len(names))
-        for name in names:
-            parts = topics.get(name)
-            out += struct.pack(">h", 3 if parts is None else 0)
-            out += enc_string(name) + struct.pack(">b", 0)
-            out += struct.pack(">i", len(parts or []))
-            for pid in sorted(parts or []):
-                out += struct.pack(">hiii", 0, pid, 0, 1)
-                out += struct.pack(">i", 0)  # replicas[0]=0 (count 1 above)
-                out += struct.pack(">ii", 1, 0)  # isr
-            # NOTE: replicas encoded as count=1 then id=0 — the int32
-            # right after leader is the replica array count.
-        return out
-
-    def _list_offsets(self, buf: Buf) -> bytes:
-        buf.i32()  # replica id
-        st = self.state
-        out_topics = []
-        for _ in range(buf.i32()):
-            name = buf.string()
-            parts = []
-            for _ in range(buf.i32()):
-                pid = buf.i32()
-                ts = buf.i64()
-                log = st.logs.get((name, pid), [])
-                off = 0 if ts == EARLIEST else len(log)
-                parts.append((pid, off))
-            out_topics.append((name, parts))
-        out = struct.pack(">i", len(out_topics))
-        for name, parts in out_topics:
-            out += enc_string(name) + struct.pack(">i", len(parts))
-            for pid, off in parts:
-                out += struct.pack(">ihqq", pid, 0, -1, off)
-        return out
-
-    def _produce(self, buf: Buf) -> bytes:
-        buf.string()  # transactional id
-        buf.i16()  # acks
-        buf.i32()  # timeout
-        st = self.state
-        out_topics = []
-        for _ in range(buf.i32()):
-            name = buf.string()
-            parts = []
-            for _ in range(buf.i32()):
-                pid = buf.i32()
-                blob = buf.bytes_() or b""
-                with st.lock:
-                    log = st.logs.get((name, pid))
-                    if log is None:
-                        parts.append((pid, 3, -1))
-                        continue
-                    try:
-                        recs = decode_record_batches(blob)  # verifies CRC
-                    except ValueError:
-                        parts.append((pid, 2, -1))  # CORRUPT_MESSAGE
-                        continue
-                    base = len(log)
-                    for _off, ts, k, v in recs:
-                        log.append((ts, k, v))
-                    st.produce_batches += 1
-                    parts.append((pid, 0, base))
-            out_topics.append((name, parts))
-        out = struct.pack(">i", len(out_topics))
-        for name, parts in out_topics:
-            out += enc_string(name) + struct.pack(">i", len(parts))
-            for pid, err, base in parts:
-                out += struct.pack(">ihqq", pid, err, base, -1)
-        out += struct.pack(">i", 0)  # throttle
-        return out
-
-    def _fetch(self, buf: Buf) -> bytes:
-        buf.i32(); buf.i32(); buf.i32(); buf.i32()  # replica/wait/min/max
-        buf.i8()  # isolation
-        st = self.state
-        out_topics = []
-        for _ in range(buf.i32()):
-            name = buf.string()
-            parts = []
-            for _ in range(buf.i32()):
-                pid = buf.i32()
-                off = buf.i64()
-                buf.i32()  # partition max bytes
-                with st.lock:
-                    log = list(st.logs.get((name, pid), []))
-                st.fetch_log.append((name, pid, off))
-                hwm = len(log)
-                blob = b""
-                if off < hwm:
-                    chunk = log[off:off + st.max_fetch_records]
-                    blob = encode_record_batch(
-                        off, [(k, v, ts) for ts, k, v in chunk]
-                    )
-                parts.append((pid, hwm, blob))
-            out_topics.append((name, parts))
-        out = struct.pack(">i", 0)  # throttle
-        out += struct.pack(">i", len(out_topics))
-        for name, parts in out_topics:
-            out += enc_string(name) + struct.pack(">i", len(parts))
-            for pid, hwm, blob in parts:
-                out += struct.pack(">ihqq", pid, 0, hwm, hwm)
-                out += struct.pack(">i", 0)  # aborted txns: empty array
-                out += enc_bytes(blob)
-        return out
-
-
 @pytest.fixture()
 def broker():
-    state = _BrokerState()
-
-    class _Srv(socketserver.ThreadingTCPServer):
-        allow_reuse_address = True
-        daemon_threads = True
-
-    _Handler.state = state
-    srv = _Srv(("127.0.0.1", 0), _Handler)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    srv.state = state
+    srv = start_broker()
     yield srv
     srv.shutdown()
     srv.server_close()
@@ -303,6 +120,52 @@ def test_record_batch_roundtrip_and_crc_gate():
         decode_record_batches(bytes(bad))
 
 
+def test_record_batch_gzip():
+    """gzip codec: attributes bit pinned, roundtrip equality, CRC gate
+    still outermost, bad gzip bytes surface as ValueError (the broker's
+    CORRUPT_MESSAGE arm), non-stdlib codecs refused loudly."""
+    import gzip
+
+    from datax_spark.sources.kafka_live import CODEC_GZIP
+
+    recs = [(b"k%d" % i, b"payload-%d" % i * 50, 100 + i) for i in range(20)]
+    blob = encode_record_batch(10, recs, codec=CODEC_GZIP)
+    # attributes live 21 bytes in: 8 base offset + 4 len + 4 epoch +
+    # 1 magic + 4 crc
+    (attrs,) = struct.unpack_from(">h", blob, 21)
+    assert attrs & 0x07 == CODEC_GZIP
+    assert decode_record_batches(blob) == [
+        (10 + i, ts, k, v) for i, (k, v, ts) in enumerate(recs)
+    ]
+    # repetitive payloads actually compress
+    assert len(blob) < len(encode_record_batch(10, recs))
+    # CRC gate fires before any gzip work
+    bad = bytearray(blob)
+    bad[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_record_batches(bytes(bad))
+    # valid CRC over a corrupt gzip stream -> ValueError, not zlib.error
+    after_crc = bytearray(blob[21:])
+    gz_at = 2 + 4 + 8 + 8 + 8 + 2 + 4 + 4  # header fields before records
+    after_crc[gz_at:] = b"\x1f\x8b" + b"garbage"
+    forged = (
+        blob[:8]
+        + struct.pack(">i", 9 + len(after_crc))
+        + blob[12:17]
+        + struct.pack(">I", crc32c(bytes(after_crc)))
+        + bytes(after_crc)
+    )
+    with pytest.raises(ValueError, match="gzip"):
+        decode_record_batches(forged)
+    # snappy/lz4/zstd: refused at encode with an actionable message
+    with pytest.raises(ValueError, match="snappy"):
+        encode_record_batch(0, recs, codec=2)
+    # gzip container is deterministic (mtime=0) — byte-stable for CRC
+    assert blob == encode_record_batch(10, recs, codec=CODEC_GZIP)
+    # sanity: the records block really is standard gzip
+    assert gzip.decompress(blob[21 + gz_at:]) is not None
+
+
 def test_varlong_roundtrip():
     for v in (0, 1, -1, 63, 64, -64, -65, 300, -300, 2**31, -(2**31),
               2**62 - 1, -(2**62)):
@@ -373,6 +236,26 @@ def test_broker_rejects_corrupt_produce(broker):
         buf.i32(); buf.string(); buf.i32(); buf.i32()
         assert buf.i16() == 2  # CORRUPT_MESSAGE
         assert broker.state.logs[("t", 0)] == []
+    finally:
+        cli.close()
+
+
+def test_gzip_produce_roundtrip(broker):
+    """A gzip-compressed produce lands (the broker DECODES it — the
+    both-directions verification gate covers the compressed path) and
+    fetches back record-identical."""
+    from datax_spark.sources.kafka_live import CODEC_GZIP
+
+    broker.state.create_topic("gz", 1)
+    cli = _client(broker)
+    try:
+        recs = [(b"k%d" % i, b"text " * 40 + b"%d" % i, 50 + i)
+                for i in range(30)]
+        base = cli.produce("gz", 0, recs, codec=CODEC_GZIP)
+        assert base == 0
+        got, hwm = cli.fetch("gz", 0, 0)
+        assert hwm == 30
+        assert got == [(i, ts, k, v) for i, (k, v, ts) in enumerate(recs)]
     finally:
         cli.close()
 
