@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-from datax_spark.sources.avro_codec import SchemaRegistry, avro_record_to_json
+from datax_spark.sources.avro_codec import (
+    SchemaRegistry,
+    avro_record_to_json,
+    encode,
+    frame_confluent,
+    parse_schema,
+)
 
 
 def avro_values_to_json(
@@ -50,3 +56,96 @@ def avro_values_to_json(
         )
 
     return df.withColumn(value_col, _decode(F.col(value_col)))
+
+
+# ---------------------------------------------------------------------------
+# emit side: JSON envelope text -> Confluent-framed Avro
+# ---------------------------------------------------------------------------
+
+#: Spark payload types expressible through the JSON hop without loss.
+_AVRO_OF_SPARK = {
+    "string": "string",
+    "long": "long",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+}
+
+
+def debezium_avro_schema(payload_schema, name: str = "Envelope") -> str:
+    """Generate the Debezium envelope's Avro schema (JSON text) for a
+    Spark payload schema — the shape ``to_debezium`` emits: nullable
+    ``before``/``after`` records of the payload columns (each field
+    itself nullable), ``op``, nullable ``ts_ms``, and ``source.lsn``.
+    Registering this under an id makes the engine's emitted envelopes
+    decodable by any Confluent-ecosystem consumer (and by
+    ``avro_values_to_json`` on the way back in).
+
+    Payload columns must be JSON-faithful primitives
+    (string/long/int/double/float/boolean) — binary or temporal columns
+    would round through envelope JSON lossily, so they raise here.
+    """
+    fields = []
+    for f in payload_schema.fields:
+        t = _AVRO_OF_SPARK.get(f.dataType.typeName())
+        if t is None:
+            raise ValueError(
+                f"payload column {f.name!r} has type "
+                f"{f.dataType.simpleString()}: not JSON-faithful through "
+                "the envelope hop (supported: "
+                f"{sorted(_AVRO_OF_SPARK)})"
+            )
+        fields.append({"name": f.name, "type": ["null", t]})
+    value = {"type": "record", "name": "Value", "fields": fields}
+    env = {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": "before", "type": ["null", value]},
+            {"name": "after", "type": ["null", "Value"]},
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": ["null", "long"]},
+            {
+                "name": "source",
+                "type": {
+                    "type": "record",
+                    "name": "Source",
+                    "fields": [
+                        {"name": "lsn", "type": ["null", "long"]},
+                        {"name": "ts_ms", "type": ["null", "long"]},
+                    ],
+                },
+            },
+        ],
+    }
+    import json as _json
+
+    return _json.dumps(env)
+
+
+def json_values_to_avro(
+    df: DataFrame,
+    schema_id: int,
+    schema: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Replace a JSON envelope text column with Confluent-framed Avro
+    binary under ``schema`` (registered as ``schema_id``) — the encode
+    twin of ``avro_values_to_json``. Same scale shape: one scalar
+    ``pandas_udf``, schema parsed once per executor, Arrow-batched.
+    Null values stay null; a row that does not fit the schema raises
+    (the emitter owns its envelopes — a mismatch is a bug, not dirt)."""
+    import json as _json
+
+    parsed = parse_schema(schema)
+
+    @pandas_udf("binary")
+    def _enc(vals):
+        return vals.map(
+            lambda s: None
+            if s is None
+            else frame_confluent(schema_id, encode(parsed, _json.loads(s)))
+        )
+
+    return df.withColumn(value_col, _enc(F.col(value_col)))

@@ -112,6 +112,96 @@ def emit_changes_segments(
     return out
 
 
+def emit_changes_kafka(
+    table: LakeTable,
+    host: str,
+    port: int,
+    topic: str,
+    cursor_dir: str,
+    from_version: int | None = None,
+    codec: str = "gzip",
+    batch_size: int = 500,
+    value_format: str = "json",
+    schema_id: int | None = None,
+    avro_schema: str | None = None,
+) -> list[int]:
+    """Publish every not-yet-emitted commit to a Kafka topic as Debezium
+    envelopes — the wire-transport twin of
+    ``emit_changes_segments`` (same change feed, same envelopes, but the
+    bus is the real Produce protocol via ``sources/kafka_live`` instead
+    of a segment directory). Pair with ``tail_kafka_and_apply`` on the
+    consumer side for a complete lake -> Kafka -> lake replication loop.
+
+    Delivery contract: the transport is AT-LEAST-ONCE — the cursor
+    advances only after EVERY record of the window produced cleanly (any
+    produce error raises and leaves the cursor, so the next call
+    re-emits the whole window, possibly extended by newer commits).
+    End-state convergence still holds without a consumer fence keyed to
+    versions: envelopes carry ``source.lsn`` = commit version (a key
+    changes at most once per commit), messages are keyed by the table
+    key so the DefaultPartitioner keeps per-key order, and the apply
+    side's latest-wins dedup is idempotent in that seq — a re-emitted
+    window only ever replays images the target already holds or newer.
+    Per-ROW delivery is not exactly-once (duplicates on the topic are
+    expected after a crash); the TABLE STATE is.
+
+    ``value_format``: ``'json'`` sends the envelope text (Connect's
+    JsonConverter shape); ``'confluent_avro'`` encodes each envelope as
+    Confluent-framed Avro under ``avro_schema`` registered as
+    ``schema_id`` (build the schema with
+    ``envelope_avro.debezium_avro_schema(payload_schema)``) — the
+    consumer passes the same ``{schema_id: avro_schema}`` map (or a
+    registry URL) to ``tail_kafka_and_apply(value_format=
+    'confluent_avro')``.
+
+    Scale shape: one ``read_changes`` covers the window and diffs only
+    buckets whose manifests changed; the produce is executor-parallel,
+    one task per Kafka partition. Cursor is O(1) driver state. Returns
+    the list of commit versions emitted ([] when up to date).
+    """
+    from datax_spark.sources.kafka_live import kafka_write
+
+    if value_format not in ("json", "confluent_avro"):
+        raise ValueError(
+            f"value_format {value_format!r}: 'json' or 'confluent_avro'"
+        )
+    if value_format == "confluent_avro" and (
+        schema_id is None or avro_schema is None
+    ):
+        raise ValueError(
+            "value_format='confluent_avro' needs schema_id and avro_schema"
+        )
+    os.makedirs(cursor_dir, exist_ok=True)
+    cur = table.current_version()
+    start = _read_cursor(cursor_dir)
+    if start is None:
+        start = from_version if from_version is not None else 1
+    if cur <= start:
+        return []
+    feed = table.read_changes(start, cur)
+    env = to_debezium(feed, table.snapshot().properties["key_cols"])
+    if value_format == "confluent_avro":
+        from datax_spark.sources.envelope_avro import json_values_to_avro
+
+        env = json_values_to_avro(env, schema_id, avro_schema)
+    totals = kafka_write(
+        env,
+        host,
+        port,
+        topic,
+        order_col="_commit_version",
+        codec=codec,
+        batch_size=batch_size,
+    )
+    if totals["errors"]:
+        raise RuntimeError(
+            f"kafka emit failed for versions ({start}, {cur}]: {totals} — "
+            "cursor not advanced; the next call re-emits the window"
+        )
+    _write_cursor(cursor_dir, cur)
+    return list(range(start + 1, cur + 1))
+
+
 def apply_emitted_segments(
     spark: SparkSession,
     target: LakeTable,

@@ -254,21 +254,16 @@ def test_kafka_avro_end_to_end(spark, tmp_path):
     """The production front door in one test: Confluent-Avro Debezium
     envelopes produced to the fixture broker, tailed over the wire,
     decoded Arrow-batched, applied through the fenced lake sink."""
-    from test_kafka_live import _Handler, _BrokerState, partition_for
-    import socketserver
-
     from datax_spark.lake.table import LakeTable
-    from datax_spark.sources.kafka_live import KafkaClient, tail_kafka_and_apply
+    from datax_spark.sources.kafka_broker import start_broker
+    from datax_spark.sources.kafka_live import (
+        KafkaClient,
+        partition_for,
+        tail_kafka_and_apply,
+    )
 
-    state = _BrokerState()
-
-    class _Srv(socketserver.ThreadingTCPServer):
-        allow_reuse_address = True
-        daemon_threads = True
-
-    _Handler.state = state
-    srv = _Srv(("127.0.0.1", 0), _Handler)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv = start_broker()
+    state = srv.state
     try:
         state.create_topic("dbz-avro", 2)
         host, port = srv.server_address
