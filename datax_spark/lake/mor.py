@@ -387,6 +387,7 @@ class MorTable(LakeTable):
         bucket_stats: list | None = None,
         patch: bool = False,
         delete_encoding: str = "inline",
+        stream_extras: dict | None = None,
     ) -> MergeResult:
         """Append one deduplicated change batch — O(batch), no read-back.
 
@@ -505,7 +506,9 @@ class MorTable(LakeTable):
         new_snap = self.commit_append_buckets(
             base_version,
             commit_rel,
-            stream_updates={stream_id: {"last_batch_id": batch_id}},
+            stream_updates={
+                stream_id: {"last_batch_id": batch_id, **(stream_extras or {})}
+            },
             schema=stored_schema if new_cols else None,
             lineage_updates=lineage,
             as_delta=True,

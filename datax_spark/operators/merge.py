@@ -113,6 +113,7 @@ def merge_apply(
     broadcast_keys: bool | None = None,
     bucket_stats: list | None = None,
     patch: bool = False,
+    stream_extras: dict | None = None,
 ) -> MergeResult:
     """Apply one deduplicated change batch to ``table`` exactly once.
 
@@ -130,7 +131,15 @@ def merge_apply(
     (otswriter/.../model/OTSConst.java:17-18): a matched row keeps its
     old value wherever the incoming image is NULL
     (``coalesce(new, old)`` per payload column); unmatched inserts take
-    the image as-is. Physical cost: one extra join whose shuffle moves
+    the image as-is.
+
+    ``stream_extras``: extra keys recorded INSIDE this stream's fence
+    entry (``streams.<sid>``) in the same atomic commit — e.g. the
+    source's consumed-offsets map, the Delta ``txn`` idempotent-writer
+    pattern. Each apply replaces the whole entry, so a tail that records
+    extras must record them every batch.
+
+    Physical cost of ``patch``: one extra join whose shuffle moves
     only MATCHED existing rows (bounded by batch size, never bucket
     size — the big side arrives via broadcast-semi-join, no exchange).
     Patch granularity is the micro-batch: the batch's LATEST image per
@@ -168,7 +177,11 @@ def merge_apply(
                 base_version,
                 commit_rel="",
                 replaced_buckets=[],
-                stream_updates={stream_id: {"last_batch_id": batch_id}},
+                stream_updates={
+                    stream_id: {
+                        "last_batch_id": batch_id, **(stream_extras or {})
+                    }
+                },
             )
             return MergeResult(version=new_snap.version, applied=True, affected_buckets=[])
 
@@ -238,7 +251,9 @@ def merge_apply(
             commit_rel,
             replaced_buckets=affected,
             schema=merged_schema,
-            stream_updates={stream_id: {"last_batch_id": batch_id}},
+            stream_updates={
+                stream_id: {"last_batch_id": batch_id, **(stream_extras or {})}
+            },
             lineage_updates=lineage,
         )
         return MergeResult(

@@ -45,6 +45,8 @@ as every other changelog source.
 
 from __future__ import annotations
 
+import json
+import os
 import socket
 import struct
 import threading
@@ -557,6 +559,11 @@ class KafkaStreamReader:
     # serializable for the engine's wrapper
 
     def initialOffset(self) -> dict:
+        # explicit start map ('{"topic pid": next_offset}') — the
+        # offsets-ride-the-commit resume path (kafka_resume_offsets);
+        # partitions it does not name start at 0 via _read's setdefault
+        if self.start.lstrip().startswith("{"):
+            return {k: int(v) for k, v in json.loads(self.start).items()}
         cli = KafkaClient(self.host, self.port)
         try:
             ts = EARLIEST if self.start == "earliest" else LATEST
@@ -813,6 +820,43 @@ def kafka_write(
 # ---------------------------------------------------------------------------
 
 
+def batch_end_offsets(checkpoint_dir: str, batch_id: int) -> dict | None:
+    """The END offset map of micro-batch ``batch_id`` — read from the
+    Structured Streaming checkpoint's offset log (``offsets/<id>``: a
+    ``v1`` header, a metadata JSON line, then one line per source; for
+    the ``kafka_tail`` source that line IS the reader's
+    ``{"topic pid": next_offset}`` dict). The engine writes it durably
+    BEFORE invoking foreachBatch, so reading it inside the sink costs
+    one O(partitions) driver file read and ZERO Spark actions. Fails
+    open (None) — offset recording is a recovery optimization, never a
+    reason to fail an apply."""
+    path = os.path.join(checkpoint_dir, "offsets", str(batch_id))
+    try:
+        with open(path) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        return {k: int(v) for k, v in json.loads(lines[-1]).items()}
+    except (OSError, ValueError, IndexError, AttributeError):
+        return None
+
+
+def kafka_resume_offsets(table, topic: str) -> dict | None:
+    """The recorded consumed-offset map for ``topic`` from the table's
+    own commits — max per topic-partition across every stream entry
+    carrying ``source_offsets`` (tail_kafka_and_apply records them in
+    the same atomic commit as each applied batch). None when no commit
+    ever recorded offsets for this topic: the caller falls back to
+    ``earliest``, and the seq-idempotent apply makes the re-read safe —
+    recorded offsets only save transport work, they are not needed for
+    correctness."""
+    prefix = topic + " "
+    out: dict[str, int] = {}
+    for entry in (table.snapshot().properties.get("streams") or {}).values():
+        for k, v in (entry or {}).get("source_offsets", {}).items():
+            if k.startswith(prefix):
+                out[k] = max(out.get(k, 0), int(v))
+    return out or None
+
+
 def tail_kafka_and_apply(
     spark,
     table_path: str,
@@ -830,6 +874,7 @@ def tail_kafka_and_apply(
     max_records_per_partition: int = 10000,
     processing_interval: str = "1 second",
     starting_offsets: str = "earliest",
+    record_offsets: bool = True,
 ):
     """LIVE Kafka CDC tail -> fenced lake apply: the production shape of
     the north rule (Debezium/Canal/Maxwell envelopes arriving over the
@@ -845,7 +890,22 @@ def tail_kafka_and_apply(
     topic-partition map IS the stream offset); the lake-side batch-id
     fence makes replayed micro-batches no-ops — kill/restart resumes
     mid-topic exactly once, no consumer group required.
+
+    Offsets ALSO ride the table (``record_offsets``, default on): each
+    applied batch's end-offset map — read from the checkpoint's offset
+    log, zero extra Spark actions — commits atomically inside the
+    stream's fence entry (``streams.<sid>.source_offsets``), the Delta
+    ``txn`` pattern. ``starting_offsets='table'`` then survives a LOST
+    checkpoint: resume from the table's own recorded offsets (falling
+    back to ``earliest`` when none), re-reading only what the last
+    recorded commit had not applied. The table-resume arm runs under a
+    version-derived stream id (``<sid>@v<version>``) because a fresh
+    checkpoint restarts micro-batch ids at 0 and the old fence would
+    silently swallow them; the re-read overlap converges through
+    latest-wins seq dedup, exactly like the relay's at-least-once emit.
     """
+    from dataclasses import replace as _dc_replace
+
     from pyspark.sql import functions as F
 
     from datax_spark.lake.table import LakeTable
@@ -860,6 +920,18 @@ def tail_kafka_and_apply(
     if payload_schema is None:
         payload_schema = default_payload_schema(
             LakeTable(spark, table_path)
+        )
+    if starting_offsets == "table":
+        t = LakeTable(spark, table_path)
+        resumed = kafka_resume_offsets(t, topic)
+        starting_offsets = (
+            json.dumps(resumed) if resumed is not None else "earliest"
+        )
+        # deterministic per resume point: a crash-loop re-resuming from
+        # the same version reuses the id (its own batches fence), while
+        # any progress moves to a fresh fence namespace
+        cfg = _dc_replace(
+            cfg, stream_id=f"{cfg.stream_id}@v{t.current_version()}"
         )
     spark.dataSource.register(kafka_stream_source())
     raw = (
@@ -887,7 +959,12 @@ def tail_kafka_and_apply(
 
     def _sink(batch_df, batch_id: int) -> None:
         table = LakeTable(batch_df.sparkSession, table_path)
-        apply_batch(table, batch_df, batch_id, cfg)
+        extras = None
+        if record_offsets:
+            off = batch_end_offsets(checkpoint_dir, batch_id)
+            if off:
+                extras = {"source_offsets": off}
+        apply_batch(table, batch_df, batch_id, cfg, stream_extras=extras)
 
     query = (
         stream.writeStream.foreachBatch(_sink)

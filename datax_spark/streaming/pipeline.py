@@ -191,8 +191,15 @@ def apply_batch(
     events: DataFrame,
     batch_id: int,
     config: PipelineConfig | None = None,
+    stream_extras: dict | None = None,
 ) -> BatchMetrics:
-    """Apply one micro-batch of change events to the lake table."""
+    """Apply one micro-batch of change events to the lake table.
+
+    ``stream_extras``: extra keys committed inside this stream's fence
+    entry (e.g. ``source_offsets`` — the consumed Kafka offset map), so
+    source position rides the SAME atomic commit as the data it
+    produced (Delta's ``txn`` idempotent-writer pattern). A lost
+    streaming checkpoint can then resume from the table itself."""
     cfg = config or PipelineConfig()
     t0 = time.monotonic()
     m = BatchMetrics(batch_id=batch_id)
@@ -266,6 +273,7 @@ def apply_batch(
                 deduped, batch_id, cfg.stream_id, bucket_stats=stats,
                 patch=cfg.write_mode == "update",
                 delete_encoding=cfg.delete_encoding,
+                stream_extras=stream_extras,
             )
         finally:
             if two_writes:
@@ -285,6 +293,7 @@ def apply_batch(
                 stream_id=cfg.stream_id,
                 bucket_stats=stats,
                 patch=cfg.write_mode == "update",
+                stream_extras=stream_extras,
             )
         finally:
             deduped.unpersist()
