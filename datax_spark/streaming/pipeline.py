@@ -485,6 +485,8 @@ def tail_and_apply(
     sink=None,
     envelope: str | None = None,
     envelope_table_col: str | None = None,
+    start_from: str = "log",
+    record_position: bool = True,
 ):
     """Structured Streaming tail of the change log -> fenced MERGE apply.
 
@@ -513,12 +515,63 @@ def tail_and_apply(
     keeps the dedup exact across restarts; an event older than the
     watermark is dropped as late — also the safe outcome, its key has
     already advanced past it.
+
+    ``record_position`` (default on): each applied batch's log position
+    claim (``{"max_seg", "seen"}``, see ``streaming/resume.py``) rides
+    the stream's fence entry in the same atomic commit — zero extra
+    Spark actions (the file list comes from the checkpoint's own source
+    log). ``start_from='table'`` then survives a LOST checkpoint: it
+    resolves the table's strongest claim against a live segment listing
+    and tails only the segments beyond the last fully-applied one, under
+    a version-derived stream id (a fresh checkpoint restarts batch ids
+    at 0; the old fence would swallow them). Returns None when the table
+    is already caught up with the log. Only the default sink records —
+    a custom ``sink`` owns its own commits.
     """
     cfg = config or PipelineConfig()
+    path_glob = log_dir + "/seg=*"
+    if start_from == "table":
+        from dataclasses import replace as _dc_replace
+
+        from datax_spark.streaming.resume import (
+            best_claim,
+            completed_segment,
+            remaining_segments_glob,
+        )
+
+        t = LakeTable(spark, table_path)
+        done = completed_segment(log_dir, best_claim(t))
+        path_glob = remaining_segments_glob(log_dir, done)
+        if path_glob is None:
+            return None
+        cfg = _dc_replace(
+            cfg, stream_id=f"{cfg.stream_id}@v{t.current_version()}"
+        )
+    elif start_from != "log":
+        raise ValueError(
+            f"start_from {start_from!r}: 'log' (whole glob, checkpoint "
+            "decides) or 'table' (resume from the table's recorded "
+            "position)"
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         table = LakeTable(batch_df.sparkSession, table_path)
-        apply_batch(table, batch_df, batch_id, cfg)
+        extras = None
+        if record_position:
+            from datax_spark.streaming.resume import (
+                advance_claim,
+                changelog_batch_files,
+                stream_claim,
+            )
+
+            files = changelog_batch_files(checkpoint_dir, batch_id)
+            if files:
+                pos = advance_claim(
+                    stream_claim(table, cfg.stream_id), files
+                )
+                if pos is not None:
+                    extras = {"changelog_pos": pos}
+        apply_batch(table, batch_df, batch_id, cfg, stream_extras=extras)
 
     if sink is None:
         sink = _sink
@@ -536,11 +589,11 @@ def tail_and_apply(
     reader = reader.option("latestFirst", "false")
     if envelope is not None:
         stream = parse_envelope(
-            reader.text(log_dir + "/seg=*"), envelope, schema,
+            reader.text(path_glob), envelope, schema,
             table_col=envelope_table_col,
         )
     else:
-        stream = reader.parquet(log_dir + "/seg=*")
+        stream = reader.parquet(path_glob)
     if dedup_within is not None:
         ids = list(dedup_id_cols or (*KEY_COLS, "seq"))
         stream = stream.withWatermark("ts", dedup_within).dropDuplicatesWithinWatermark(ids)
