@@ -1592,6 +1592,44 @@ def q_cdc_lake_apply(spark, sf_dir):
     return table.read().select("repo", "path", "commit", "content")
 
 
+def q_cdc_iceberg_roundtrip(spark, sf_dir):
+    """Apache Iceberg v2 interop (lake/iceberg.py): MERGE-apply the
+    two-batch changelog into a COW lake table (exporting Iceberg
+    metadata after EACH batch — two incremental Iceberg snapshots), then
+    read the final state back **purely from the Iceberg metadata** —
+    version-hint -> metadata.json -> Avro manifest list -> Avro
+    manifests -> parquet files; the lake's own manifests are never
+    consulted on the read side. Value-equality against the straight
+    replay oracle proves the exported metadata is a complete, correct
+    description of the table. The Avro manifests themselves are
+    additionally cross-verified against the Java Avro reference
+    implementation in tests/test_iceberg.py."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.iceberg import export_iceberg, read_iceberg
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_iceberg_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(quarantine_dir=os.path.join(root, "q"))
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
+    export_iceberg(table)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1, cfg)
+    export_iceberg(table)
+    return read_iceberg(spark, os.path.abspath(table.path)).select(
+        "repo", "path", "commit", "content"
+    )
+
+
 def q_cdc_snapshot_sync(spark, sf_dir):
     """Captureless CDC — snapshot-diff change capture
     (operators/snapshot_sync.py): the table holds the first half of the
@@ -3134,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_batch_travel": q_cdc_batch_travel,
         "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_kafka_apply": q_cdc_kafka_apply,
+        "cdc_iceberg_roundtrip": q_cdc_iceberg_roundtrip,
     }
 
 
@@ -3625,6 +3664,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_eq_delete_apply"] = _lake_final
     sql["cdc_debezium_apply"] = _lake_final
     sql["cdc_kafka_apply"] = _lake_final
+    sql["cdc_iceberg_roundtrip"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final

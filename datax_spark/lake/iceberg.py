@@ -1,0 +1,973 @@
+"""Apache Iceberg v2 metadata export / import for lake tables.
+
+The north star calls the target an *Iceberg* table; the lake engine in
+this package is an Iceberg analog with its own (sharded, content-
+addressed) manifest format. This module closes the interop loop with
+the REAL format: ``export_iceberg`` publishes a lake snapshot as
+spec-conformant Apache Iceberg **format-version 2** metadata — a
+``metadata/vN.metadata.json`` file, an Avro *manifest list* and an Avro
+*manifest* per exported snapshot — referencing the table's existing
+parquet data files IN PLACE (metadata-only: zero data bytes move, the
+same property the lake's own commits have). ``read_iceberg`` is the
+inverse: given any Iceberg table location written by this exporter, it
+plans the scan purely from the Iceberg metadata (never touching the
+lake's own ``_manifests``) and returns the table as a DataFrame.
+
+Everything here is built from the public Iceberg table spec
+(https://iceberg.apache.org/spec/) and the public Avro spec:
+
+- metadata.json: format-version 2 required fields (table-uuid,
+  last-sequence-number, schemas with stable field ids, partition-specs,
+  sort-orders, snapshots, snapshot-log, metadata-log, refs);
+- manifest list: one Avro record per manifest, spec field ids 500-519;
+- manifest: ``manifest_entry`` records (status / snapshot_id /
+  sequence_number / data_file struct, spec field ids 0-4 and 100-142),
+  with the Iceberg-required ``field-id`` / ``element-id`` / ``key-id``
+  attributes carried in the Avro schemas;
+- data files lack parquet field ids (Spark's writer doesn't stamp
+  them), so the metadata carries the spec's escape hatch for exactly
+  this case: a ``schema.name-mapping.default`` table property mapping
+  names -> field ids.
+
+Fidelity boundary, stated plainly: no Iceberg implementation exists in
+this sandbox (no iceberg-spark runtime jar, no DuckDB iceberg
+extension — probed), so end-to-end "Spark-with-Iceberg reads it" can't
+be executed here. What IS cross-verified against a reference
+implementation: the Avro container files are read back with the
+**Java Avro library that ships on Spark's classpath**
+(org.apache.avro DataFileReader via py4j — tests/test_iceberg.py), so
+the manifest bytes are proven readable by the exact Avro code real
+Iceberg readers link against; the JSON layer is pinned against the
+spec's required-field list. ``read_iceberg`` additionally proves the
+metadata is sufficient to reconstruct the table without the lake's own
+manifests.
+
+Design for scale: export cost is O(live files) metadata work — record
+counts come from parquet footers (driver-side under
+FILE_STATS_PARALLEL_THRESHOLD files, fanned out to executors above it,
+the lake/stats.py pattern), and each export appends ONE manifest +
+ONE manifest list + ONE metadata json regardless of table size. The
+bucket layout is exported as *unpartitioned*: Iceberg's ``bucket[N]``
+transform is murmur3-based while this lake buckets with xxhash64, so
+claiming the transform would mis-route Iceberg-side bucket pruning —
+partitioning is a scan optimization, not semantics, and correctness is
+unaffected (reference: the same reasoning DataX applies to channel
+layout vs record content, core/.../JobContainer.java task-split docs).
+
+Semantics boundary for MOR: a merge-on-read snapshot with live deltas
+or equality-delete files does NOT export — the lake's latest-wins
+delta resolution is not expressible in Iceberg's file-level model
+(Iceberg equality deletes compare FILE sequence numbers; this engine's
+compare ROW seqs). ``compact()`` first, then export the (then
+key-unique, delete-free) base — the exporter enforces it loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datax_spark.sources.avro_codec import read_container, write_container
+
+METADATA_DIR = "metadata"
+
+# ---------------------------------------------------------------------------
+# Spark <-> Iceberg schema conversion (spec "Schemas and Data Types")
+# ---------------------------------------------------------------------------
+
+_PRIMITIVE_TO_ICEBERG = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamptz",  # Spark TimestampType is UTC-adjusted
+    "timestamp_ntz": "timestamp",
+    "string": "string",
+    "binary": "binary",
+    # narrow integrals have no Iceberg analog; widen on export (the
+    # lake's own WIDENS_TO direction, so values are unchanged)
+    "byte": "int",
+    "short": "int",
+}
+
+_ICEBERG_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _to_iceberg_type(dt: T.DataType, alloc) -> Any:
+    """Spark DataType -> Iceberg type JSON; ``alloc()`` hands out field
+    ids for nested fields in depth-first order (the spec's assignment)."""
+    name = dt.typeName()
+    if name in _PRIMITIVE_TO_ICEBERG:
+        return _PRIMITIVE_TO_ICEBERG[name]
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _to_iceberg_type(dt.elementType, alloc),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = alloc(), alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _to_iceberg_type(dt.keyType, alloc),
+            "value-id": vid,
+            "value": _to_iceberg_type(dt.valueType, alloc),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = alloc()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _to_iceberg_type(f.dataType, alloc),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    raise ValueError(f"no Iceberg mapping for Spark type {name!r}")
+
+
+def _from_iceberg_type(t: Any) -> T.DataType:
+    if isinstance(t, str):
+        if t in _ICEBERG_TO_SPARK:
+            return _ICEBERG_TO_SPARK[t]
+        if t.startswith("decimal("):
+            p, s = t[len("decimal("):-1].split(",")
+            return T.DecimalType(int(p), int(s))
+        raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "list":
+        return T.ArrayType(
+            _from_iceberg_type(t["element"]), not t.get("element-required")
+        )
+    if kind == "map":
+        return T.MapType(
+            _from_iceberg_type(t["key"]),
+            _from_iceberg_type(t["value"]),
+            not t.get("value-required"),
+        )
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _from_iceberg_type(f["type"]),
+                    not f.get("required"),
+                )
+                for f in t["fields"]
+            ]
+        )
+    raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+
+
+def schema_to_iceberg(
+    schema: T.StructType,
+    schema_id: int = 0,
+    prior_ids: dict[str, int] | None = None,
+    prior_last_id: int = 0,
+) -> tuple[dict, int]:
+    """Convert a Spark schema to an Iceberg schema dict.
+
+    Field ids must stay STABLE across metadata versions (the spec's
+    whole point): top-level fields reuse ``prior_ids`` (name -> id from
+    the previous export) and NEW names allocate beyond
+    ``prior_last_id`` — so additive evolution between exports never
+    reassigns an existing column's id. Nested ids re-derive per export
+    (nested evolution would need full id lineage; the lake's DDL is
+    top-level additive, matching)."""
+    prior_ids = prior_ids or {}
+    counter = [max(prior_last_id, 0)]
+
+    def alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    # reserve top-level ids first (stable), then nested depth-first
+    fields = []
+    pending_new = [f.name for f in schema.fields if f.name not in prior_ids]
+    for f in schema.fields:
+        if f.name in prior_ids:
+            fid = prior_ids[f.name]
+        else:
+            fid = prior_last_id + 1 + pending_new.index(f.name)
+        fields.append((f, fid))
+    counter[0] = max(
+        [prior_last_id + len(pending_new)] + [fid for _, fid in fields]
+    )
+    out_fields = []
+    for f, fid in fields:
+        out_fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": False,  # lake payload columns are nullable
+                "type": _to_iceberg_type(f.dataType, alloc),
+            }
+        )
+    return (
+        {"type": "struct", "schema-id": schema_id, "fields": out_fields},
+        counter[0],
+    )
+
+
+def _name_mapping(
+    ice_schema: dict, renames: dict[str, list[str]] | None = None
+) -> list[dict]:
+    """``schema.name-mapping.default`` content: parquet files written by
+    Spark carry no field ids, so Iceberg readers resolve columns through
+    this mapping (spec "Column Projection"). Nested mappings mirror the
+    schema tree. A lake column renamed with ``rename_column`` lists its
+    RETIRED physical names too (newest first) — exactly the case name
+    mapping exists for: any one file carries exactly one of the names,
+    all resolving to the same field id."""
+    renames = renames or {}
+
+    def walk(t: Any, top: bool = False) -> list[dict] | None:
+        if isinstance(t, str):
+            return None
+        kind = t["type"]
+        if kind == "struct":
+            out = []
+            for f in t["fields"]:
+                names = [f["name"]]
+                if top:
+                    # retired physical names, newest first (lake
+                    # _read_files coalesce order)
+                    names += list(reversed(renames.get(f["name"], [])))
+                entry: dict[str, Any] = {
+                    "field-id": f["id"],
+                    "names": names,
+                }
+                sub = walk(f["type"])
+                if sub:
+                    entry["fields"] = sub
+                out.append(entry)
+            return out
+        if kind == "list":
+            entry = {"field-id": t["element-id"], "names": ["element"]}
+            sub = walk(t["element"])
+            if sub:
+                entry["fields"] = sub
+            return [entry]
+        if kind == "map":
+            k: dict[str, Any] = {"field-id": t["key-id"], "names": ["key"]}
+            v: dict[str, Any] = {"field-id": t["value-id"], "names": ["value"]}
+            sub = walk(t["value"])
+            if sub:
+                v["fields"] = sub
+            return [k, v]
+        return None
+
+    return walk(ice_schema, top=True) or []
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas for manifests (spec "Manifests" / "Manifest Lists")
+# ---------------------------------------------------------------------------
+
+
+def _opt(t: Any) -> list:
+    return ["null", t]
+
+
+def _int_map(name: str, key_id: int, value_id: int, value_type: str) -> dict:
+    """Iceberg's Avro encoding for map<int, X>: an array of key/value
+    records with ``logicalType: map`` (Avro maps only allow string
+    keys)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+    }
+
+
+def _data_file_schema() -> dict:
+    return {
+        "type": "record",
+        "name": "data_file",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                # unpartitioned spec -> empty partition tuple (spec: the
+                # partition struct has one field per spec field)
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": []},
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": _opt(_int_map("k126_v127", 126, 127, "bytes")),
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": _opt(_int_map("k129_v130", 129, 130, "bytes")),
+                "default": None,
+                "field-id": 128,
+            },
+            {
+                "name": "split_offsets",
+                "type": _opt({"type": "array", "items": "long", "element-id": 133}),
+                "default": None,
+                "field-id": 132,
+            },
+            {
+                "name": "equality_ids",
+                "type": _opt({"type": "array", "items": "int", "element-id": 136}),
+                "default": None,
+                "field-id": 135,
+            },
+            {
+                "name": "sort_order_id",
+                "type": _opt("int"),
+                "default": None,
+                "field-id": 140,
+            },
+        ],
+    }
+
+
+def _manifest_entry_schema() -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": _data_file_schema(), "field-id": 2},
+        ],
+    }
+
+
+def _manifest_list_schema() -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+            {
+                "name": "partitions",
+                "type": _opt(
+                    {
+                        "type": "array",
+                        "element-id": 508,
+                        "items": {
+                            "type": "record",
+                            "name": "r508",
+                            "fields": [
+                                {
+                                    "name": "contains_null",
+                                    "type": "boolean",
+                                    "field-id": 509,
+                                },
+                                {
+                                    "name": "contains_nan",
+                                    "type": _opt("boolean"),
+                                    "default": None,
+                                    "field-id": 518,
+                                },
+                                {
+                                    "name": "lower_bound",
+                                    "type": _opt("bytes"),
+                                    "default": None,
+                                    "field-id": 510,
+                                },
+                                {
+                                    "name": "upper_bound",
+                                    "type": _opt("bytes"),
+                                    "default": None,
+                                    "field-id": 511,
+                                },
+                            ],
+                        },
+                    }
+                ),
+                "default": None,
+                "field-id": 507,
+            },
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# single-value serialization for column bounds (spec "Binary single-value")
+# ---------------------------------------------------------------------------
+
+
+def _single_value(v: Any, ice_type: str) -> bytes | None:
+    import struct as _struct
+
+    if v is None:
+        return None
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    return None  # other types: omit bounds (optional metadata)
+
+
+# ---------------------------------------------------------------------------
+# record counts (parquet footers; executor fan-out above the threshold)
+# ---------------------------------------------------------------------------
+
+
+def _record_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
+    from datax_spark.lake.stats import FILE_STATS_PARALLEL_THRESHOLD
+
+    def count_one(path: str) -> tuple[str, int]:
+        import pyarrow.parquet as pq
+
+        return path, pq.ParquetFile(path).metadata.num_rows
+
+    if len(files) <= FILE_STATS_PARALLEL_THRESHOLD:
+        return dict(count_one(p) for p in files)
+    sc = spark.sparkContext
+    n_slices = max(1, min(len(files) // 8, sc.defaultParallelism))
+    return dict(sc.parallelize(files, n_slices).map(count_one).collect())
+
+
+# ---------------------------------------------------------------------------
+# export
+# ---------------------------------------------------------------------------
+
+
+def _metadata_dir(location: str) -> str:
+    return os.path.join(location, METADATA_DIR)
+
+
+def _current_metadata_version(location: str) -> int:
+    """Latest vN from version-hint.text, falling back to a dir listing
+    (the HadoopCatalog convention both ways)."""
+    mdir = _metadata_dir(location)
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            return int(f.read().strip())
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(n[1:].split(".")[0])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    ]
+    return max(versions, default=0)
+
+
+def _load_metadata(location: str, version: int | None = None) -> dict:
+    v = version if version is not None else _current_metadata_version(location)
+    if v <= 0:
+        raise FileNotFoundError(f"no Iceberg metadata under {location}")
+    path = os.path.join(_metadata_dir(location), f"v{v}.metadata.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _prior_file_index(location: str, meta: dict) -> dict[str, dict]:
+    """file_path -> {snapshot_id, sequence_number, record_count, ...} for
+    every live file of the previous current snapshot (so re-exported
+    files keep their original lineage as EXISTING entries)."""
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id is None or snap_id == -1:
+        return {}
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
+    out: dict[str, dict] = {}
+    _, manifests = read_container(snap["manifest-list"])
+    for m in manifests:
+        _, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # deleted
+                continue
+            df = e["data_file"]
+            out[df["file_path"]] = {
+                "snapshot_id": e["snapshot_id"],
+                "sequence_number": e["sequence_number"],
+                "data_file": df,
+            }
+    return out
+
+
+def export_iceberg(table, version: int | None = None) -> str:
+    """Publish ``table``'s snapshot as Apache Iceberg v2 metadata under
+    ``<table.path>/metadata/`` (in-place: data files are referenced
+    where they already live). Repeat calls after further lake commits
+    append NEW Iceberg snapshots incrementally — unchanged files ride
+    along as EXISTING manifest entries keeping their original snapshot
+    lineage, so Iceberg-side time travel across exports works.
+
+    Returns the path of the new ``vN.metadata.json``.
+    """
+    snap = table.snapshot(version)
+    if any(v for v in snap.deltas.values()) or any(
+        v for v in snap.eq_deletes.values()
+    ):
+        raise ValueError(
+            "MOR snapshot has live delta/equality-delete files; Iceberg "
+            "cannot express this engine's row-seq latest-wins resolution "
+            "— compact() first, then export the key-unique base"
+        )
+    location = os.path.abspath(table.path)
+    mdir = _metadata_dir(location)
+    os.makedirs(mdir, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+
+    prev_version = _current_metadata_version(location)
+    prev_meta = _load_metadata(location, prev_version) if prev_version else None
+    prior_files = (
+        _prior_file_index(location, prev_meta) if prev_meta else {}
+    )
+
+    # ---- schema (stable field ids across exports)
+    prior_ids: dict[str, int] = {}
+    prior_last = 0
+    schemas: list[dict] = []
+    if prev_meta:
+        schemas = list(prev_meta["schemas"])
+        last_schema = next(
+            s
+            for s in schemas
+            if s["schema-id"] == prev_meta["current-schema-id"]
+        )
+        prior_ids = {f["name"]: f["id"] for f in last_schema["fields"]}
+        prior_last = prev_meta["last-column-id"]
+        # a column renamed between exports keeps its field id: look the
+        # current name up through its retired physical names (newest
+        # first — the most recent prior schema used the newest one)
+        for cur, chain in (snap.properties.get("renames") or {}).items():
+            if cur not in prior_ids:
+                for old in reversed(chain):
+                    if old in prior_ids:
+                        prior_ids[cur] = prior_ids[old]
+                        break
+    # reuse the previous schema entry verbatim when nothing changed —
+    # compared at the Spark level BEFORE converting, so nested-type
+    # field ids never re-derive for an unchanged schema
+    unchanged = bool(schemas) and [
+        (f.name, f.dataType) for f in snap.schema.fields
+    ] == [
+        (f.name, f.dataType)
+        for f in _from_iceberg_type(last_schema).fields
+    ]
+    if unchanged:
+        ice_schema = last_schema
+        schema_id = ice_schema["schema-id"]
+        last_column_id = prior_last
+    else:
+        schema_id = len(schemas)
+        ice_schema, last_column_id = schema_to_iceberg(
+            snap.schema, schema_id, prior_ids, prior_last
+        )
+        schemas = schemas + [ice_schema]
+
+    # ---- snapshot / sequence ids: the lake version is a monotone
+    # positive long, valid for both (and self-documenting)
+    snapshot_id = int(snap.version)
+    seq_num = int(snap.version)
+    if prev_meta and any(
+        s["snapshot-id"] == snapshot_id for s in prev_meta["snapshots"]
+    ):
+        raise ValueError(
+            f"lake version {snap.version} already exported "
+            f"(Iceberg snapshot ids must be unique)"
+        )
+
+    # ---- manifest entries: every live base file, added vs existing
+    stats_cols = snap.properties.get("stats_cols") or []
+    col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    col_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    rels = [
+        (b, rel) for b, files in sorted(snap.buckets.items(), key=lambda kv: int(kv[0]))
+        for rel in files
+    ]
+    abs_of = {rel: os.path.join(location, rel) for _, rel in rels}
+    new_files = [
+        abs_of[rel] for _, rel in rels if abs_of[rel] not in prior_files
+    ]
+    counts = _record_counts(table.spark, new_files)
+    entries = []
+    n_added = n_existing = 0
+    rows_added = rows_existing = 0
+    for b, rel in rels:
+        path = abs_of[rel]
+        prior = prior_files.get(path)
+        if prior is not None:
+            n_existing += 1
+            rows_existing += prior["data_file"]["record_count"]
+            entries.append(
+                {
+                    "status": 0,  # EXISTING
+                    "snapshot_id": prior["snapshot_id"],
+                    "sequence_number": prior["sequence_number"],
+                    "file_sequence_number": prior["sequence_number"],
+                    "data_file": prior["data_file"],
+                }
+            )
+            continue
+        n_added += 1
+        nrec = counts[path]
+        rows_added += nrec
+        lower = []
+        upper = []
+        fstats = snap.file_stats.get(b, {}).get(rel, {})
+        for col in stats_cols:
+            mm = fstats.get(col)
+            if not mm or col not in col_ids:
+                continue
+            t = col_types[col]
+            if not isinstance(t, str):
+                continue
+            lo = _single_value(mm[0], t)
+            hi = _single_value(mm[1], t)
+            if lo is not None and hi is not None:
+                lower.append({"key": col_ids[col], "value": lo})
+                upper.append({"key": col_ids[col], "value": hi})
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq_num,
+                "file_sequence_number": seq_num,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrec,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                    "split_offsets": None,
+                    "equality_ids": None,
+                    "sort_order_id": None,
+                },
+            }
+        )
+
+    # ---- write manifest (one per export: O(live files) entries)
+    manifest_path = os.path.join(
+        mdir, f"manifest-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    write_container(
+        manifest_path,
+        _manifest_entry_schema(),
+        entries,
+        meta={
+            "schema": json.dumps(ice_schema),
+            "schema-id": str(schema_id),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    min_seq = min(
+        [e["sequence_number"] for e in entries], default=seq_num
+    )
+    manifest_list_path = os.path.join(
+        mdir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    write_container(
+        manifest_list_path,
+        _manifest_list_schema(),
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq_num,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": n_added,
+                "existing_files_count": n_existing,
+                "deleted_files_count": 0,
+                "added_rows_count": rows_added,
+                "existing_rows_count": rows_existing,
+                "deleted_rows_count": 0,
+                "partitions": [],
+            }
+        ],
+        meta={"format-version": "2"},
+    )
+
+    # ---- metadata.json
+    snapshot_entry = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq_num,
+        "timestamp-ms": now_ms,
+        "manifest-list": manifest_list_path,
+        "summary": {
+            "operation": "append" if not prior_files else "overwrite",
+            "added-data-files": str(n_added),
+            "total-data-files": str(n_added + n_existing),
+            "added-records": str(rows_added),
+            "total-records": str(rows_added + rows_existing),
+        },
+        "schema-id": schema_id,
+    }
+    table_uuid = (
+        prev_meta["table-uuid"]
+        if prev_meta
+        else str(uuid.uuid5(uuid.NAMESPACE_URL, f"datax-spark-lake:{location}"))
+    )
+    snapshots = (list(prev_meta["snapshots"]) if prev_meta else []) + [
+        snapshot_entry
+    ]
+    snapshot_log = (
+        list(prev_meta.get("snapshot-log", [])) if prev_meta else []
+    ) + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+    metadata_log = list(prev_meta.get("metadata-log", [])) if prev_meta else []
+    if prev_meta:
+        metadata_log.append(
+            {
+                "timestamp-ms": prev_meta["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    mdir, f"v{prev_version}.metadata.json"
+                ),
+            }
+        )
+    meta = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": location,
+        "last-sequence-number": seq_num,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "current-schema-id": schema_id,
+        "schemas": schemas,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,  # spec: partition field ids start at 1000
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "write.format.default": "parquet",
+            "schema.name-mapping.default": json.dumps(
+                _name_mapping(
+                    ice_schema, snap.properties.get("renames") or {}
+                )
+            ),
+        },
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log,
+        "metadata-log": metadata_log,
+        "refs": {
+            "main": {"snapshot-id": snapshot_id, "type": "branch"}
+        },
+    }
+    new_version = prev_version + 1
+    meta_path = os.path.join(mdir, f"v{new_version}.metadata.json")
+    tmp = f"{meta_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(mdir, f"version-hint.tmp-{os.getpid()}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    return meta_path
+
+
+# ---------------------------------------------------------------------------
+# import (scan planning purely from the Iceberg metadata)
+# ---------------------------------------------------------------------------
+
+
+def iceberg_plan(
+    location: str, snapshot_id: int | None = None
+) -> dict[str, Any]:
+    """Plan a scan from Iceberg metadata alone: resolve the snapshot,
+    walk its manifest list and manifests, return schema + live data
+    files. Raises on delete manifests/files (this exporter never writes
+    them; refusing loudly beats silently wrong results on foreign
+    tables)."""
+    meta = _load_metadata(location)
+    snap_id = (
+        snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    )
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snap_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snap_id} not in {location} metadata")
+    schema_id = snap.get("schema-id", meta["current-schema-id"])
+    ice_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == schema_id
+    )
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs", [])
+            if s["spec-id"] == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    if spec.get("fields"):
+        # identity-partitioned foreign tables may store partition values
+        # ONLY in metadata; a plain parquet scan would silently null
+        # them — refuse instead (this reader targets unpartitioned
+        # metadata, which is all export_iceberg writes)
+        raise NotImplementedError(
+            "partitioned Iceberg tables are not supported by this reader"
+        )
+    files: list[str] = []
+    total_rows = 0
+    _, manifests = read_container(snap["manifest-list"])
+    for m in manifests:
+        if m["content"] != 0:
+            raise NotImplementedError(
+                "delete manifests are not supported by this reader"
+            )
+        _, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df = e["data_file"]
+            if df["content"] != 0:
+                raise NotImplementedError(
+                    "delete files are not supported by this reader"
+                )
+            if df["file_format"].upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"file format {df['file_format']!r} not supported"
+                )
+            files.append(df["file_path"])
+            total_rows += df["record_count"]
+    return {
+        "snapshot_id": snap_id,
+        "schema": _from_iceberg_type(ice_schema),
+        "iceberg_schema": ice_schema,
+        "files": files,
+        "total_rows": total_rows,
+        "metadata": meta,
+    }
+
+
+def read_iceberg(
+    spark: SparkSession, location: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read an Iceberg table (written by ``export_iceberg``) purely from
+    its Iceberg metadata — the lake's own manifests are never consulted,
+    which is what makes the round-trip a real interop proof. One
+    multi-file parquet scan; name-based column resolution against the
+    snapshot's schema (the name-mapping contract)."""
+    plan = iceberg_plan(location, snapshot_id)
+    schema: T.StructType = plan["schema"]
+    if not plan["files"]:
+        return spark.createDataFrame([], schema)
+    # name mapping (spec "Column Projection"): a field listing several
+    # names was renamed at some point — any one file physically carries
+    # exactly one of them, so request all and coalesce in listed order
+    # (current first, then newest retired), typed as the current field.
+    mapping = json.loads(
+        plan["metadata"].get("properties", {}).get(
+            "schema.name-mapping.default", "[]"
+        )
+    )
+    alt_names = {
+        m["names"][0]: m["names"][1:]
+        for m in mapping
+        if len(m.get("names", [])) > 1
+    }
+    alt_names = {
+        k: v for k, v in alt_names.items()
+        if any(f.name == k for f in schema.fields)
+    }
+    from pyspark.sql import functions as F
+
+    if not alt_names:
+        df = spark.read.schema(schema).parquet(*plan["files"])
+        return df.select(*[f.name for f in schema.fields])
+    phys = []
+    for f in schema.fields:
+        phys.append(f)
+        for old in alt_names.get(f.name, []):
+            phys.append(T.StructField(old, f.dataType, True))
+    df = spark.read.schema(T.StructType(phys)).parquet(*plan["files"])
+    cols = []
+    for f in schema.fields:
+        alts = alt_names.get(f.name)
+        if alts:
+            cols.append(
+                F.coalesce(F.col(f.name), *[F.col(a) for a in alts]).alias(
+                    f.name
+                )
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import struct
 import urllib.request
 from typing import Any
@@ -378,6 +379,124 @@ class SchemaRegistry:
     def decode_value(self, blob: bytes) -> tuple[int, Any]:
         schema_id, body = unframe_confluent(blob)
         return schema_id, decode(self.schema_for(schema_id), body)
+
+
+# ---------------------------------------------------------------------------
+# Object Container Files (Avro spec "Object Container Files")
+# ---------------------------------------------------------------------------
+#
+# Added for the Iceberg metadata surface (lake/iceberg.py): Iceberg
+# manifests and manifest lists ARE Avro container files, so exporting
+# spec-conformant table metadata needs the OCF framing on top of the
+# binary codec above. Kept deliberately deterministic — the sync marker
+# derives from the content, so identical metadata exports are
+# byte-identical (the same property the lake's content-addressed
+# manifest shards rely on).
+
+OCF_MAGIC = b"Obj\x01"
+_META_SCHEMA = parse_schema({"type": "map", "values": "bytes"})
+
+
+def write_container(
+    path: str,
+    schema: str | dict,
+    records: list,
+    meta: dict[str, bytes | str] | None = None,
+    codec: str = "deflate",
+) -> None:
+    """Write one Avro Object Container File: header (magic, metadata map
+    incl. avro.schema + avro.codec, 16-byte sync marker), then a single
+    data block (count, byte length, payload, sync). One block is right
+    for metadata-sized files (an Iceberg manifest holds O(files-per-
+    snapshot) entries, bounded by the lake's O(num_buckets) file counts);
+    a table of data-scale row counts would never route through here.
+
+    ``codec`` is ``null`` or ``deflate`` (raw zlib per the spec — the
+    two codecs every Avro implementation must support)."""
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported OCF codec {codec!r}")
+    schema_json = schema if isinstance(schema, str) else json.dumps(schema)
+    parsed = parse_schema(json.loads(schema_json))
+    m: dict[str, bytes] = {
+        k: v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        for k, v in (meta or {}).items()
+    }
+    m["avro.schema"] = schema_json.encode("utf-8")
+    m["avro.codec"] = codec.encode("utf-8")
+    body = b"".join(encode(parsed, rec) for rec in records)
+    if codec == "deflate":
+        # raw deflate (no zlib header/checksum), per the Avro spec
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        body = co.compress(body) + co.flush()
+    import hashlib
+
+    # deterministic sync marker: content-derived, so re-exports of the
+    # same state produce byte-identical files
+    sync = hashlib.md5(
+        b"ocf-sync:" + schema_json.encode() + b":" + body
+    ).digest()
+    out = io.BytesIO()
+    out.write(OCF_MAGIC)
+    # metadata map in sorted key order (determinism)
+    out.write(encode(_META_SCHEMA, dict(sorted(m.items()))))
+    out.write(sync)
+    if records:
+        out.write(_zigzag(len(records)))
+        out.write(_zigzag(len(body)))
+        out.write(body)
+        out.write(sync)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(out.getvalue())
+    os.replace(tmp, path)
+
+
+def read_container(path: str) -> tuple[dict[str, bytes], list]:
+    """Read an Avro Object Container File -> (metadata map, records).
+    Decodes against the embedded writer schema (``avro.schema``)."""
+    import zlib
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != OCF_MAGIC:
+        raise ValueError(f"{path}: not an Avro container file")
+    r = _Reader(buf, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_bytes().decode("utf-8")
+            meta[k] = r.read_bytes()
+    sync = buf[r.pos:r.pos + 16]
+    r.pos += 16
+    schema = parse_schema(json.loads(meta["avro.schema"].decode("utf-8")))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    records: list = []
+    while r.pos < len(buf):
+        count = r.read_long()
+        blen = r.read_long()
+        block = buf[r.pos:r.pos + blen]
+        r.pos += blen
+        if buf[r.pos:r.pos + 16] != sync:
+            raise ValueError(f"{path}: bad sync marker (corrupt block)")
+        r.pos += 16
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported OCF codec {codec!r}")
+        br = _Reader(block)
+        for _ in range(count):
+            records.append(_decode(schema, br))
+        if br.pos != len(block):
+            raise ValueError(f"{path}: trailing bytes in OCF block")
+    return meta, records
 
 
 def _json_default(v: Any) -> Any:
