@@ -11,6 +11,9 @@ table maintenance:
     ... --op rebucket --buckets 256
     ... --op restore --version 42
     ... --op describe | history
+    ... --op export-iceberg   (publish the snapshot as Apache Iceberg
+                               v2 metadata in place; MOR must be
+                               compacted first — lake/iceberg.py)
 
 Every op prints ONE JSON line (machine-consumable, cron-friendly).
 fsck/describe/history are driver-side metadata only — no Spark jobs.
@@ -31,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table", required=True)
     p.add_argument("--op", required=True,
                    choices=["fsck", "vacuum", "compact", "rewrite",
-                            "rebucket", "restore", "describe", "history"])
+                            "rebucket", "restore", "describe", "history",
+                            "export-iceberg"])
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--min-age-sec", type=float, default=0.0)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
@@ -84,6 +88,17 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         snap = table.restore(args.version)
         out = {"version": snap.version, "restored_to": args.version}
+    elif args.op == "export-iceberg":
+        from datax_spark.lake.iceberg import export_iceberg, iceberg_plan
+
+        meta_path = export_iceberg(table)
+        plan = iceberg_plan(os.path.abspath(args.table))
+        out = {
+            "metadata": meta_path,
+            "snapshot_id": plan["snapshot_id"],
+            "files": len(plan["files"]),
+            "rows": plan["total_rows"],
+        }
     elif args.op == "describe":
         out = table.describe()
     else:  # history

@@ -72,3 +72,12 @@ def test_all_ops(spark, tmp_path, capsys):
     assert res["version"] == reb["version"] + 1
     assert t.snapshot().properties["num_buckets"] == 4
     assert t.read().count() == 6
+
+    # export-iceberg: spec-conformant metadata lands in place and the
+    # Iceberg read path agrees with the table
+    exp = _run(capsys, "--table", t.path, "--op", "export-iceberg")
+    assert os.path.exists(exp["metadata"])
+    assert exp["rows"] == 6
+    from datax_spark.lake.iceberg import read_iceberg
+
+    assert read_iceberg(spark, os.path.abspath(t.path)).count() == 6
