@@ -843,6 +843,41 @@ def export_iceberg(table, version: int | None = None) -> str:
     return meta_path
 
 
+def sync_iceberg(table) -> str | None:
+    """Catch the Iceberg metadata up to the lake's current version —
+    the continuous-publish form of ``export_iceberg``, safe to wire as
+    a ``PipelineConfig.on_commit`` hook (``lambda m: sync_iceberg(t)``)
+    so every committed CDC batch lands as a new Iceberg snapshot.
+
+    No-ops (returns None) when already in sync, AND when the table is a
+    MOR snapshot with live deltas/equality-deletes (not expressible in
+    Iceberg's file-level model) — the mirror catches up at the next
+    exportable state, e.g. right after ``auto_compact`` drains the
+    deltas. Export cost is O(files added since the last sync): unchanged
+    files ride along as EXISTING entries without re-reading footers.
+
+    Operational caveat (documented, not hidden): lake ``vacuum`` knows
+    nothing about exported Iceberg snapshots — it can reclaim data files
+    an OLD Iceberg snapshot still references. The CURRENT Iceberg
+    snapshot only references live files, so keep vacuum's version
+    retention at least as long as any Iceberg reader's time-travel
+    horizon."""
+    snap = table.snapshot()
+    if any(v for v in snap.deltas.values()) or any(
+        v for v in snap.eq_deletes.values()
+    ):
+        return None
+    loc = os.path.abspath(table.path)
+    v = _current_metadata_version(loc)
+    if v:
+        meta = _load_metadata(loc, v)
+        if any(
+            s["snapshot-id"] == int(snap.version) for s in meta["snapshots"]
+        ):
+            return None
+    return export_iceberg(table, version=snap.version)
+
+
 # ---------------------------------------------------------------------------
 # import (scan planning purely from the Iceberg metadata)
 # ---------------------------------------------------------------------------

@@ -314,6 +314,51 @@ def test_rename_resolves_through_name_mapping(spark, tmp_path):
     assert got == {"r1": "old-bytes", "r2": "new-bytes"}
 
 
+def test_sync_hook_publishes_each_committed_batch(spark, log_df, tmp_path):
+    """sync_iceberg as an on_commit hook: every committed batch lands as
+    an Iceberg snapshot; fenced replays (which never fire hooks) and
+    already-synced states add nothing."""
+    from datax_spark.lake.iceberg import sync_iceberg
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(on_commit=[lambda m: sync_iceberg(table)])
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(table, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(table, log_df.filter(F.col("seq") > mid), 1, cfg)
+    meta = _load_metadata(table.path)
+    assert len(meta["snapshots"]) == 2
+    # fenced replay: hook never fires, metadata unchanged
+    apply_batch(table, log_df.filter(F.col("seq") > mid), 1, cfg)
+    assert len(_load_metadata(table.path)["snapshots"]) == 2
+    # already in sync -> no-op
+    assert sync_iceberg(table) is None
+    got = _sorted_rows(read_iceberg(spark, os.path.abspath(table.path)))
+    assert got == _sorted_rows(table.read())
+
+
+def test_sync_skips_unexportable_mor_state(spark, log_df, tmp_path):
+    from datax_spark.lake.iceberg import sync_iceberg
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    apply_batch(mor, log_df, 0)
+    assert any(v for v in mor.snapshot().deltas.values())
+    assert sync_iceberg(mor) is None  # deltas pending: not expressible
+    # threshold 0 folds every bucket (the first apply leaves exactly one
+    # delta file per bucket, below the default fragmentation threshold)
+    mor.compact(max_files_per_bucket=0)
+    assert not any(v for v in mor.snapshot().deltas.values())
+    assert sync_iceberg(mor) is not None  # catches up post-compaction
+    got = _sorted_rows(read_iceberg(spark, os.path.abspath(mor.path)))
+    assert got == _sorted_rows(mor.read())
+
+
 def test_empty_table_round_trips(spark, tmp_path):
     t = LakeTable.create(
         spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
