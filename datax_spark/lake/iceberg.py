@@ -570,6 +570,13 @@ def export_iceberg(table, version: int | None = None) -> str:
 
     Returns the path of the new ``vN.metadata.json``.
     """
+    if getattr(table, "branch", None) is not None:
+        raise ValueError(
+            "export_iceberg publishes MAIN versions only: a branch's "
+            "version numbers are a separate namespace and would collide "
+            "with main snapshot ids in the shared metadata/ dir — "
+            "publish_branch() first, then export"
+        )
     snap = table.snapshot(version)
     if any(v for v in snap.deltas.values()) or any(
         v for v in snap.eq_deletes.values()
@@ -856,12 +863,12 @@ def sync_iceberg(table) -> str | None:
     deltas. Export cost is O(files added since the last sync): unchanged
     files ride along as EXISTING entries without re-reading footers.
 
-    Operational caveat (documented, not hidden): lake ``vacuum`` knows
-    nothing about exported Iceberg snapshots — it can reclaim data files
-    an OLD Iceberg snapshot still references. The CURRENT Iceberg
-    snapshot only references live files, so keep vacuum's version
-    retention at least as long as any Iceberg reader's time-travel
-    horizon."""
+    Retention couples to lake ``vacuum`` through
+    ``iceberg_pinned_versions``: vacuum treats every exported Iceberg
+    snapshot like a tag (its lake manifest and data files survive), so
+    an external Iceberg reader's time travel never dangles. The release
+    valve is ``expire_iceberg`` — run it before vacuum to let old
+    versions actually reclaim."""
     snap = table.snapshot()
     if any(v for v in snap.deltas.values()) or any(
         v for v in snap.eq_deletes.values()
@@ -876,6 +883,105 @@ def sync_iceberg(table) -> str | None:
         ):
             return None
     return export_iceberg(table, version=snap.version)
+
+
+def iceberg_pinned_versions(location: str) -> set[int]:
+    """Lake versions the CURRENT Iceberg metadata still exposes as
+    snapshots (snapshot id == lake version by construction). Lake
+    ``vacuum`` unions these into its retained set so expiring the
+    Iceberg mirror (``expire_iceberg``) — not a lake-side retention
+    knob — is what releases an exported snapshot's files. Returns empty
+    when the table was never exported. Driver-side metadata read,
+    O(snapshot count)."""
+    try:
+        meta = _load_metadata(location)
+    except FileNotFoundError:
+        return set()
+    return {int(s["snapshot-id"]) for s in meta["snapshots"]}
+
+
+def expire_iceberg(table_or_location, keep_last: int = 1) -> dict[str, int]:
+    """Iceberg ``expire_snapshots``: publish a new metadata version that
+    keeps only the newest ``keep_last`` snapshots and delete the expired
+    snapshots' manifest-list/manifest Avro files. DATA files are never
+    touched — the lake owns them, and this is exactly what unpins them
+    from ``vacuum`` (see ``iceberg_pinned_versions``). Maintenance
+    recipe: ``expire_iceberg(t, keep_last=k)`` then ``t.vacuum(...)``.
+
+    Matches real Iceberg's documented hazard: a reader holding a STALE
+    metadata.json (the files themselves are kept for the metadata-log)
+    can no longer resolve expired snapshots' manifests; readers of the
+    current metadata are unaffected. Driver-side O(snapshots) metadata
+    work, no Spark jobs."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    location = (
+        table_or_location
+        if isinstance(table_or_location, str)
+        else os.path.abspath(table_or_location.path)
+    )
+    prev_version = _current_metadata_version(location)
+    meta = _load_metadata(location, prev_version)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    if len(snaps) <= keep_last:
+        return {
+            "expired_snapshots": 0,
+            "kept_snapshots": len(snaps),
+            "removed_files": 0,
+        }
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # the current snapshot is the newest (export refuses id reuse and
+    # ids are monotone lake versions) — it always survives
+    assert any(
+        s["snapshot-id"] == meta["current-snapshot-id"] for s in kept
+    )
+    kept_ids = {s["snapshot-id"] for s in kept}
+    mdir = _metadata_dir(location)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
+    ]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(
+                mdir, f"v{prev_version}.metadata.json"
+            ),
+        }
+    ]
+    meta_path = os.path.join(mdir, f"v{prev_version + 1}.metadata.json")
+    tmp = f"{meta_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(mdir, f"version-hint.tmp-{os.getpid()}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(prev_version + 1))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    # physical cleanup AFTER the new metadata publishes (crash between
+    # the two leaves unreferenced-but-harmless avro files, never a
+    # dangling reference). Each export writes its own manifest-list +
+    # manifest pair, so expired snapshots' files are exclusively theirs.
+    removed = 0
+    for s in expired:
+        try:
+            _, manifests = read_container(s["manifest-list"])
+        except FileNotFoundError:
+            continue
+        for m in manifests:
+            mp = m["manifest_path"]
+            if os.path.exists(mp):
+                os.unlink(mp)
+                removed += 1
+        os.unlink(s["manifest-list"])
+        removed += 1
+    return {
+        "expired_snapshots": len(expired),
+        "kept_snapshots": len(kept),
+        "removed_files": removed,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -2781,7 +2781,21 @@ class LakeTable:
         # files survive vacuum until the tag is deleted (Iceberg refs
         # retention semantics)
         tagged = set(self.tags().values()) & set(versions)
-        keep_versions = sorted(set(versions[-keep_last:]) | tagged)
+        # versions the exported Iceberg mirror still exposes are pinned
+        # the same way — an external Iceberg reader's time travel must
+        # not dangle; expire_iceberg is what releases them. Iceberg
+        # snapshot ids name MAIN versions only (export refuses
+        # branches), so a branch table's version namespace never pins
+        from datax_spark.lake.iceberg import iceberg_pinned_versions
+
+        ice_pinned = (
+            iceberg_pinned_versions(self.path) & set(versions)
+            if self.branch is None
+            else set()
+        )
+        keep_versions = sorted(
+            set(versions[-keep_last:]) | tagged | ice_pinned
+        )
         referenced: set[str] = set()
         kept_snaps: list[Snapshot] = []
         for v in keep_versions:

@@ -14,6 +14,9 @@ table maintenance:
     ... --op export-iceberg   (publish the snapshot as Apache Iceberg
                                v2 metadata in place; MOR must be
                                compacted first — lake/iceberg.py)
+    ... --op expire-iceberg --keep-last 3
+                              (drop old Iceberg snapshots; unpins their
+                               lake versions from vacuum)
 
 Every op prints ONE JSON line (machine-consumable, cron-friendly).
 fsck/describe/history are driver-side metadata only — no Spark jobs.
@@ -35,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--op", required=True,
                    choices=["fsck", "vacuum", "compact", "rewrite",
                             "rebucket", "restore", "describe", "history",
-                            "export-iceberg"])
+                            "export-iceberg", "expire-iceberg"])
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--min-age-sec", type=float, default=0.0)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
@@ -99,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
             "files": len(plan["files"]),
             "rows": plan["total_rows"],
         }
+    elif args.op == "expire-iceberg":
+        from datax_spark.lake.iceberg import expire_iceberg
+
+        out = expire_iceberg(table, keep_last=args.keep_last)
     elif args.op == "describe":
         out = table.describe()
     else:  # history

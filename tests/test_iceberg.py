@@ -359,6 +359,119 @@ def test_sync_skips_unexportable_mor_state(spark, log_df, tmp_path):
     assert got == _sorted_rows(mor.read())
 
 
+def test_expire_drops_old_snapshots_and_their_avro(spark, log_df, tmp_path):
+    """expire_iceberg keeps the newest N snapshots, removes the expired
+    ones' manifest/manifest-list files, and leaves the current read and
+    retained time travel intact."""
+    from datax_spark.lake.iceberg import expire_iceberg, sync_iceberg
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(on_commit=[lambda m: sync_iceberg(table)])
+    cuts = log_df.agg(
+        F.floor(F.max("seq") / 3), F.floor(2 * F.max("seq") / 3)
+    ).first()
+    apply_batch(table, log_df.filter(F.col("seq") <= cuts[0]), 0, cfg)
+    apply_batch(
+        table,
+        log_df.filter((F.col("seq") > cuts[0]) & (F.col("seq") <= cuts[1])),
+        1, cfg,
+    )
+    apply_batch(table, log_df.filter(F.col("seq") > cuts[1]), 2, cfg)
+    meta = _load_metadata(table.path)
+    assert len(meta["snapshots"]) == 3
+    old_lists = [s["manifest-list"] for s in meta["snapshots"][:-1]]
+
+    res = expire_iceberg(table, keep_last=1)
+    assert res["expired_snapshots"] == 2 and res["kept_snapshots"] == 1
+    meta2 = _load_metadata(table.path)
+    assert len(meta2["snapshots"]) == 1
+    assert meta2["snapshots"][0]["snapshot-id"] == meta2["current-snapshot-id"]
+    for p in old_lists:
+        assert not os.path.exists(p)
+    # current read unaffected; expired snapshot no longer resolvable
+    got = _sorted_rows(read_iceberg(spark, os.path.abspath(table.path)))
+    assert got == _sorted_rows(table.read())
+    with pytest.raises(ValueError, match="not in"):
+        read_iceberg(
+            spark, os.path.abspath(table.path),
+            snapshot_id=meta["snapshots"][0]["snapshot-id"],
+        )
+    # idempotent: nothing left to expire
+    assert expire_iceberg(table, keep_last=1)["expired_snapshots"] == 0
+
+
+def test_vacuum_pins_exported_snapshots_until_expired(
+    spark, log_df, tmp_path
+):
+    """Lake vacuum retains versions the Iceberg mirror still exposes —
+    Iceberg time travel never dangles — and expire_iceberg is what
+    releases them for reclaim."""
+    from datax_spark.lake.iceberg import expire_iceberg, sync_iceberg
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(on_commit=[lambda m: sync_iceberg(table)])
+    cuts = log_df.agg(
+        F.floor(F.max("seq") / 3), F.floor(2 * F.max("seq") / 3)
+    ).first()
+    apply_batch(table, log_df.filter(F.col("seq") <= cuts[0]), 0, cfg)
+    apply_batch(
+        table,
+        log_df.filter((F.col("seq") > cuts[0]) & (F.col("seq") <= cuts[1])),
+        1, cfg,
+    )
+    apply_batch(table, log_df.filter(F.col("seq") > cuts[1]), 2, cfg)
+    first_id = _load_metadata(table.path)["snapshots"][0]["snapshot-id"]
+    loc = os.path.abspath(table.path)
+    v1_rows = _sorted_rows(read_iceberg(spark, loc, snapshot_id=first_id))
+
+    def parquet_files():
+        return sum(
+            1
+            for root, _dirs, fs in os.walk(os.path.join(table.path, "data"))
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    # all three exported versions pinned: only the empty create version
+    # (never exported) may reclaim, and NO parquet data file disappears
+    # (removed_files may count committer side files: _SUCCESS, .crc)
+    n_parquet = parquet_files()
+    res = table.vacuum(keep_last=1)
+    assert res["removed_snapshots"] <= 1
+    assert parquet_files() == n_parquet
+    assert _sorted_rows(
+        read_iceberg(spark, loc, snapshot_id=first_id)
+    ) == v1_rows
+
+    # expire the mirror down to the current snapshot -> vacuum reclaims
+    expire_iceberg(table, keep_last=1)
+    res2 = table.vacuum(keep_last=1)
+    assert res2["removed_snapshots"] == 2
+    assert parquet_files() < n_parquet
+    got = _sorted_rows(read_iceberg(spark, loc))
+    assert got == _sorted_rows(table.read())
+
+
+def test_export_refuses_branch_tables(spark, log_df, tmp_path):
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    apply_batch(table, log_df, 0)
+    table.create_branch("audit")
+    branch = LakeTable(spark, table.path, branch="audit")
+    with pytest.raises(ValueError, match="MAIN versions only"):
+        export_iceberg(branch)
+
+
 def test_empty_table_round_trips(spark, tmp_path):
     t = LakeTable.create(
         spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",

@@ -81,3 +81,11 @@ def test_all_ops(spark, tmp_path, capsys):
     from datax_spark.lake.iceberg import read_iceberg
 
     assert read_iceberg(spark, os.path.abspath(t.path)).count() == 6
+
+    # expire-iceberg: with one exported snapshot, keep-last 1 is a no-op;
+    # the op itself runs the full metadata-rewrite path
+    exp2 = _run(
+        capsys, "--table", t.path, "--op", "expire-iceberg",
+        "--keep-last", "1",
+    )
+    assert exp2["expired_snapshots"] == 0 and exp2["kept_snapshots"] == 1
