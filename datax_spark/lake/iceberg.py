@@ -560,6 +560,136 @@ def _prior_file_index(location: str, meta: dict) -> dict[str, dict]:
     return out
 
 
+class IcebergUnexportableState(ValueError):
+    """The snapshot cannot be expressed as Iceberg v2 metadata *yet* —
+    a transient state (inline tombstones, patch deltas, vacuumed
+    lineage) that a later compaction resolves. ``sync_iceberg`` skips
+    these and catches up at the next exportable commit; hard misuse
+    (branch table, duplicate snapshot id) stays a plain ValueError."""
+
+
+def _file_add_versions(table, snap) -> dict[str, int]:
+    """relpath -> lake version that INTRODUCED the file, for every live
+    base/delta/eq-delete file of ``snap`` — the per-file Iceberg
+    sequence numbers that make equality-delete application (strictly
+    "older files die") reproduce the engine's row-seq latest-wins under
+    the replay-order contract. Witnessed by walking retained manifests
+    oldest->newest (driver-side JSON, O(history x files)); raises
+    IcebergUnexportableState when version 1 was vacuumed away (an
+    unwitnessed file would be stamped LATER than its true add version
+    and could wrongly survive a delete)."""
+    from datax_spark.lake.table import MANIFEST_DIR
+
+    mdir = os.path.join(table.path, MANIFEST_DIR)
+    versions = sorted(
+        int(n[1:-5]) for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    retained = set(versions)
+    add: dict[str, int] = {}
+    live: set[str] = set()
+    for section in ("buckets", "deltas", "eq_deletes"):
+        for files in getattr(snap, section).values():
+            live.update(files)
+    for v in versions:
+        if v > snap.version:
+            break
+        s = table.snapshot(v)
+        for section in ("buckets", "deltas", "eq_deletes"):
+            for files in getattr(s, section).values():
+                for rel in files:
+                    if rel in live:
+                        add.setdefault(rel, v)
+    # witness rule: "first seen at v" is the TRUE add version only when
+    # v's predecessor manifest exists (vacuum can leave holes — a file
+    # whose real add version was reclaimed would be stamped LATER than
+    # it is and could wrongly out-sequence a delete)
+    missing = live - set(add)
+    unwitnessed = sorted(
+        rel for rel, v in add.items() if v != 1 and (v - 1) not in retained
+    )
+    if missing or unwitnessed:
+        raise IcebergUnexportableState(
+            "cannot witness per-file add versions (vacuumed lineage): "
+            f"{(sorted(missing) + unwitnessed)[:3]}; compact() to a "
+            "delta-free state and export that instead"
+        )
+    return add
+
+
+def _synth_delete_file(
+    mdir: str, location: str, rel: str, key_cols: list[str], is_delta: bool
+) -> tuple[str, int]:
+    """Write (idempotently) the keys-only Iceberg equality-delete
+    parquet for one live delta/eq-delete file and return
+    (path, record_count). A delta file's keys kill every OLDER copy of
+    those keys (the Flink-CDC upsert encoding); a lake eq-delete file's
+    key rows are re-projected to drop the engine's private ``_seq``
+    column (spec-clean: the delete file carries exactly the equality
+    columns). Deterministic name = md5 of the source relpath, so
+    re-exports and EXISTING entries reuse the same file. Raises
+    IcebergUnexportableState on inline tombstones in a delta (op 'd'
+    rows are full-width and would surface as data)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from datax_spark.operators.merge import DELETE_OP
+
+    out = os.path.join(
+        mdir, f"eqdel-{hashlib.md5(rel.encode()).hexdigest()[:20]}.parquet"
+    )
+    src = os.path.join(location, rel)
+    cols = key_cols + (["_op"] if is_delta else [])
+    t = pq.read_table(src, columns=cols)
+    if is_delta:
+        ops = t.column("_op").to_pylist()
+        if any(o == DELETE_OP for o in ops):
+            raise IcebergUnexportableState(
+                "delta files carry inline tombstone rows "
+                "(delete_encoding='inline'); Iceberg cannot express them "
+                "as data — compact() first, or ingest with "
+                "delete_encoding='eq'"
+            )
+        t = t.select(key_cols)
+    if t.num_rows == 0:
+        return out, 0
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out)
+    return out, t.num_rows
+
+
+def _check_no_null_seq_after(
+    location: str, rels_with_versions: list[tuple[str, int]], min_delete_v: int
+) -> None:
+    """Refuse export when a data file NEWER than the oldest live delete
+    carries NULL ``_seq`` rows (bulk-loaded): the engine kills NULL-seq
+    rows on ANY delete for their key, but Iceberg's file-sequence rule
+    would keep them (their file postdates the delete). Parquet-footer
+    null counts only — no data read."""
+    import pyarrow.parquet as pq
+
+    for rel, v in rels_with_versions:
+        if v <= min_delete_v:
+            continue
+        md = pq.ParquetFile(os.path.join(location, rel)).metadata
+        try:
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index("_seq")
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.null_count is None or st.null_count > 0:
+                raise IcebergUnexportableState(
+                    f"data file {rel} postdates a live equality delete and "
+                    "carries (or cannot prove the absence of) NULL-_seq "
+                    "bulk-loaded rows, which Iceberg's file-sequence "
+                    "delete rule cannot kill — compact() first"
+                )
+
+
 def export_iceberg(table, version: int | None = None) -> str:
     """Publish ``table``'s snapshot as Apache Iceberg v2 metadata under
     ``<table.path>/metadata/`` (in-place: data files are referenced
@@ -567,6 +697,20 @@ def export_iceberg(table, version: int | None = None) -> str:
     append NEW Iceberg snapshots incrementally — unchanged files ride
     along as EXISTING manifest entries keeping their original snapshot
     lineage, so Iceberg-side time travel across exports works.
+
+    MOR snapshots with LIVE deltas / equality-deletes export too (the
+    north-star loop: every CDC batch mirrors without waiting for
+    compaction): delta files ride as data files at their true add
+    versions, and each delta/eq-delete file contributes a synthesized
+    keys-only **Iceberg v2 equality-delete file** at the same sequence
+    number — Iceberg's "a delete kills rows in files with a SMALLER
+    sequence number" then reproduces the engine's row-seq latest-wins
+    exactly, because the replay-order contract (NOTES.md) makes commit
+    order and row-seq order agree and per-batch dedup keeps one event
+    per key per commit. States that model can't express raise
+    IcebergUnexportableState: inline tombstones in deltas, patch
+    (partial-column) deltas, NULL-seq bulk loads newer than a live
+    delete, vacuumed early lineage.
 
     Returns the path of the new ``vN.metadata.json``.
     """
@@ -578,13 +722,16 @@ def export_iceberg(table, version: int | None = None) -> str:
             "publish_branch() first, then export"
         )
     snap = table.snapshot(version)
-    if any(v for v in snap.deltas.values()) or any(
-        v for v in snap.eq_deletes.values()
-    ):
-        raise ValueError(
-            "MOR snapshot has live delta/equality-delete files; Iceberg "
-            "cannot express this engine's row-seq latest-wins resolution "
-            "— compact() first, then export the key-unique base"
+    live_deltas = [
+        rel for files in snap.deltas.values() for rel in files
+    ]
+    live_eq = [
+        rel for files in snap.eq_deletes.values() for rel in files
+    ]
+    if (live_deltas or live_eq) and snap.properties.get("mor_patch"):
+        raise IcebergUnexportableState(
+            "patch (partial-column) deltas are live; Iceberg data files "
+            "are full rows — compact() to fold the patches, then export"
         )
     location = os.path.abspath(table.path)
     mdir = _metadata_dir(location)
@@ -651,12 +798,24 @@ def export_iceberg(table, version: int | None = None) -> str:
             f"(Iceberg snapshot ids must be unique)"
         )
 
-    # ---- manifest entries: every live base file, added vs existing
+    # ---- manifest entries: every live base AND delta file, added vs
+    # existing. With live deltas/eq-deletes, per-file sequence numbers
+    # are the files' true lake add versions (witnessed walk), so the
+    # synthesized equality deletes below apply in exactly the engine's
+    # order; a delta-free snapshot keeps the cheap flat numbering.
     stats_cols = snap.properties.get("stats_cols") or []
     col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     col_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    addv = (
+        _file_add_versions(table, snap) if (live_deltas or live_eq) else None
+    )
     rels = [
-        (b, rel) for b, files in sorted(snap.buckets.items(), key=lambda kv: int(kv[0]))
+        (b, rel)
+        for b, files in sorted(snap.buckets.items(), key=lambda kv: int(kv[0]))
+        for rel in files
+    ] + [
+        (b, rel)
+        for b, files in sorted(snap.deltas.items(), key=lambda kv: int(kv[0]))
         for rel in files
     ]
     abs_of = {rel: os.path.join(location, rel) for _, rel in rels}
@@ -701,12 +860,13 @@ def export_iceberg(table, version: int | None = None) -> str:
             if lo is not None and hi is not None:
                 lower.append({"key": col_ids[col], "value": lo})
                 upper.append({"key": col_ids[col], "value": hi})
+        file_seq = addv[rel] if addv is not None else seq_num
         entries.append(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
-                "sequence_number": seq_num,
-                "file_sequence_number": seq_num,
+                "sequence_number": file_seq,
+                "file_sequence_number": file_seq,
                 "data_file": {
                     "content": 0,  # DATA
                     "file_path": path,
@@ -723,51 +883,136 @@ def export_iceberg(table, version: int | None = None) -> str:
             }
         )
 
-    # ---- write manifest (one per export: O(live files) entries)
-    manifest_path = os.path.join(
-        mdir, f"manifest-{snapshot_id}-{uuid.uuid4().hex}.avro"
-    )
-    write_container(
-        manifest_path,
-        _manifest_entry_schema(),
-        entries,
-        meta={
-            "schema": json.dumps(ice_schema),
-            "schema-id": str(schema_id),
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
-    )
+    # ---- synthesized equality-delete entries (live MOR state only):
+    # one keys-only parquet per delta file (its keys kill every OLDER
+    # copy — the Flink-CDC upsert encoding) and per lake eq-delete file
+    # (real deletes, _seq column dropped), each at its add version.
+    del_entries = []
+    del_added = del_existing = 0
+    del_rows_added = del_rows_existing = 0
+    if addv is not None:
+        key_cols = snap.properties["key_cols"]
+        eq_ids = [col_ids[k] for k in key_cols]
+        min_delete_v = min(addv[rel] for rel in live_deltas + live_eq)
+        _check_no_null_seq_after(
+            location, [(rel, addv[rel]) for _, rel in rels], min_delete_v
+        )
+        for rel, is_delta in [(r, True) for r in sorted(live_deltas)] + [
+            (r, False) for r in sorted(live_eq)
+        ]:
+            dpath, nrec = _synth_delete_file(
+                mdir, location, rel, key_cols, is_delta
+            )
+            if nrec == 0:
+                continue
+            prior = prior_files.get(dpath)
+            if prior is not None:
+                del_existing += 1
+                del_rows_existing += prior["data_file"]["record_count"]
+                del_entries.append(
+                    {
+                        "status": 0,
+                        "snapshot_id": prior["snapshot_id"],
+                        "sequence_number": prior["sequence_number"],
+                        "file_sequence_number": prior["sequence_number"],
+                        "data_file": prior["data_file"],
+                    }
+                )
+                continue
+            del_added += 1
+            del_rows_added += nrec
+            del_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": addv[rel],
+                    "file_sequence_number": addv[rel],
+                    "data_file": {
+                        "content": 2,  # EQUALITY_DELETES
+                        "file_path": dpath,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": nrec,
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "split_offsets": None,
+                        "equality_ids": eq_ids,
+                        "sort_order_id": None,
+                    },
+                }
+            )
 
-    min_seq = min(
-        [e["sequence_number"] for e in entries], default=seq_num
-    )
+    # ---- write manifests (one data + optionally one delete per export)
+    def _write_manifest_avro(kind: str, ents: list[dict]) -> str:
+        p = os.path.join(
+            mdir, f"manifest-{kind}-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            p,
+            _manifest_entry_schema(),
+            ents,
+            meta={
+                "schema": json.dumps(ice_schema),
+                "schema-id": str(schema_id),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": kind,
+            },
+        )
+        return p
+
+    manifest_path = _write_manifest_avro("data", entries)
+    list_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq_num,
+            "min_sequence_number": min(
+                [e["sequence_number"] for e in entries], default=seq_num
+            ),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": n_added,
+            "existing_files_count": n_existing,
+            "deleted_files_count": 0,
+            "added_rows_count": rows_added,
+            "existing_rows_count": rows_existing,
+            "deleted_rows_count": 0,
+            "partitions": [],
+        }
+    ]
+    if del_entries:
+        del_manifest_path = _write_manifest_avro("deletes", del_entries)
+        list_rows.append(
+            {
+                "manifest_path": del_manifest_path,
+                "manifest_length": os.path.getsize(del_manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,  # DELETES
+                "sequence_number": seq_num,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in del_entries
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": del_added,
+                "existing_files_count": del_existing,
+                "deleted_files_count": 0,
+                "added_rows_count": del_rows_added,
+                "existing_rows_count": del_rows_existing,
+                "deleted_rows_count": 0,
+                "partitions": [],
+            }
+        )
     manifest_list_path = os.path.join(
         mdir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     )
     write_container(
         manifest_list_path,
         _manifest_list_schema(),
-        [
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq_num,
-                "min_sequence_number": min_seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": n_added,
-                "existing_files_count": n_existing,
-                "deleted_files_count": 0,
-                "added_rows_count": rows_added,
-                "existing_rows_count": rows_existing,
-                "deleted_rows_count": 0,
-                "partitions": [],
-            }
-        ],
+        list_rows,
         meta={"format-version": "2"},
     )
 
@@ -783,6 +1028,17 @@ def export_iceberg(table, version: int | None = None) -> str:
             "total-data-files": str(n_added + n_existing),
             "added-records": str(rows_added),
             "total-records": str(rows_added + rows_existing),
+            **(
+                {
+                    "added-delete-files": str(del_added),
+                    "total-delete-files": str(del_added + del_existing),
+                    "total-equality-deletes": str(
+                        del_rows_added + del_rows_existing
+                    ),
+                }
+                if del_entries
+                else {}
+            ),
         },
         "schema-id": schema_id,
     }
@@ -856,12 +1112,16 @@ def sync_iceberg(table) -> str | None:
     a ``PipelineConfig.on_commit`` hook (``lambda m: sync_iceberg(t)``)
     so every committed CDC batch lands as a new Iceberg snapshot.
 
-    No-ops (returns None) when already in sync, AND when the table is a
-    MOR snapshot with live deltas/equality-deletes (not expressible in
-    Iceberg's file-level model) — the mirror catches up at the next
-    exportable state, e.g. right after ``auto_compact`` drains the
-    deltas. Export cost is O(files added since the last sync): unchanged
-    files ride along as EXISTING entries without re-reading footers.
+    No-ops (returns None) when already in sync, AND on the transient
+    states Iceberg can't express (IcebergUnexportableState: inline
+    tombstones or patch columns in live deltas, post-delete NULL-seq
+    bulk rows, vacuumed early lineage) — the mirror catches up at the
+    next exportable commit, e.g. right after ``auto_compact``. Live
+    ``delete_encoding='eq'`` MOR states DO export (deltas as data files
+    + synthesized equality-delete files), so a steady CDC stream
+    mirrors every batch without waiting for compaction. Export cost is
+    O(files added since the last sync): unchanged files ride along as
+    EXISTING entries without re-reading footers.
 
     Retention couples to lake ``vacuum`` through
     ``iceberg_pinned_versions``: vacuum treats every exported Iceberg
@@ -870,10 +1130,6 @@ def sync_iceberg(table) -> str | None:
     valve is ``expire_iceberg`` — run it before vacuum to let old
     versions actually reclaim."""
     snap = table.snapshot()
-    if any(v for v in snap.deltas.values()) or any(
-        v for v in snap.eq_deletes.values()
-    ):
-        return None
     loc = os.path.abspath(table.path)
     v = _current_metadata_version(loc)
     if v:
@@ -882,7 +1138,10 @@ def sync_iceberg(table) -> str | None:
             s["snapshot-id"] == int(snap.version) for s in meta["snapshots"]
         ):
             return None
-    return export_iceberg(table, version=snap.version)
+    try:
+        return export_iceberg(table, version=snap.version)
+    except IcebergUnexportableState:
+        return None
 
 
 def iceberg_pinned_versions(location: str) -> set[int]:
@@ -961,9 +1220,24 @@ def expire_iceberg(table_or_location, keep_last: int = 1) -> dict[str, int]:
         f.write(str(prev_version + 1))
     os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
     # physical cleanup AFTER the new metadata publishes (crash between
-    # the two leaves unreferenced-but-harmless avro files, never a
-    # dangling reference). Each export writes its own manifest-list +
-    # manifest pair, so expired snapshots' files are exclusively theirs.
+    # the two leaves unreferenced-but-harmless files, never a dangling
+    # reference). Manifest-list + manifests are per-snapshot (each
+    # export writes its own pair); synthesized equality-delete parquets
+    # under metadata/ are SHARED across snapshots via EXISTING entries,
+    # so they go only when no kept snapshot still references them. Lake
+    # data files are never touched — vacuum owns those.
+    kept_meta_files: set[str] = set()
+    for s in kept:
+        try:
+            _, manifests = read_container(s["manifest-list"])
+        except FileNotFoundError:
+            continue
+        for m in manifests:
+            _, ents = read_container(m["manifest_path"])
+            for e in ents:
+                p = e["data_file"]["file_path"]
+                if os.path.dirname(p) == mdir:
+                    kept_meta_files.add(p)
     removed = 0
     for s in expired:
         try:
@@ -972,9 +1246,20 @@ def expire_iceberg(table_or_location, keep_last: int = 1) -> dict[str, int]:
             continue
         for m in manifests:
             mp = m["manifest_path"]
-            if os.path.exists(mp):
-                os.unlink(mp)
-                removed += 1
+            if not os.path.exists(mp):
+                continue
+            _, ents = read_container(mp)
+            for e in ents:
+                p = e["data_file"]["file_path"]
+                if (
+                    os.path.dirname(p) == mdir
+                    and p not in kept_meta_files
+                    and os.path.exists(p)
+                ):
+                    os.unlink(p)
+                    removed += 1
+            os.unlink(mp)
+            removed += 1
         os.unlink(s["manifest-list"])
         removed += 1
     return {
@@ -994,9 +1279,9 @@ def iceberg_plan(
 ) -> dict[str, Any]:
     """Plan a scan from Iceberg metadata alone: resolve the snapshot,
     walk its manifest list and manifests, return schema + live data
-    files. Raises on delete manifests/files (this exporter never writes
-    them; refusing loudly beats silently wrong results on foreign
-    tables)."""
+    files (with per-file sequence numbers) + equality-delete files.
+    Raises on POSITION delete files (this exporter never writes them;
+    refusing loudly beats silently wrong results on foreign tables)."""
     meta = _load_metadata(location)
     snap_id = (
         snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
@@ -1027,33 +1312,39 @@ def iceberg_plan(
             "partitioned Iceberg tables are not supported by this reader"
         )
     files: list[str] = []
+    data_seq: dict[str, int] = {}
+    eq_deletes: list[tuple[str, int, list[int]]] = []
     total_rows = 0
     _, manifests = read_container(snap["manifest-list"])
     for m in manifests:
-        if m["content"] != 0:
-            raise NotImplementedError(
-                "delete manifests are not supported by this reader"
-            )
         _, entries = read_container(m["manifest_path"])
         for e in entries:
             if e["status"] == 2:
                 continue
             df = e["data_file"]
-            if df["content"] != 0:
-                raise NotImplementedError(
-                    "delete files are not supported by this reader"
-                )
             if df["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"file format {df['file_format']!r} not supported"
                 )
-            files.append(df["file_path"])
-            total_rows += df["record_count"]
+            if df["content"] == 0:
+                files.append(df["file_path"])
+                data_seq[df["file_path"]] = e["sequence_number"]
+                total_rows += df["record_count"]
+            elif df["content"] == 2:
+                eq_deletes.append(
+                    (df["file_path"], e["sequence_number"], df["equality_ids"])
+                )
+            else:
+                raise NotImplementedError(
+                    "position delete files are not supported by this reader"
+                )
     return {
         "snapshot_id": snap_id,
         "schema": _from_iceberg_type(ice_schema),
         "iceberg_schema": ice_schema,
         "files": files,
+        "data_seq": data_seq,
+        "eq_deletes": eq_deletes,
         "total_rows": total_rows,
         "metadata": meta,
     }
@@ -1066,7 +1357,15 @@ def read_iceberg(
     its Iceberg metadata — the lake's own manifests are never consulted,
     which is what makes the round-trip a real interop proof. One
     multi-file parquet scan; name-based column resolution against the
-    snapshot's schema (the name-mapping contract)."""
+    snapshot's schema (the name-mapping contract).
+
+    Equality deletes apply by the spec's file-sequence rule: a data row
+    dies iff some delete file matching its equality columns has a
+    STRICTLY larger sequence number than the row's data file. Physical
+    shape: the per-file sequence rides in via one broadcast
+    (path -> seq) join on ``input_file_name()``, and the delete side
+    collapses to a per-key max before ONE broadcast left join — the
+    100-TB data side never shuffles."""
     plan = iceberg_plan(location, snapshot_id)
     schema: T.StructType = plan["schema"]
     if not plan["files"]:
@@ -1091,9 +1390,6 @@ def read_iceberg(
     }
     from pyspark.sql import functions as F
 
-    if not alt_names:
-        df = spark.read.schema(schema).parquet(*plan["files"])
-        return df.select(*[f.name for f in schema.fields])
     phys = []
     for f in schema.fields:
         phys.append(f)
@@ -1111,4 +1407,55 @@ def read_iceberg(
             )
         else:
             cols.append(F.col(f.name))
-    return df.select(*cols)
+    if not plan["eq_deletes"]:
+        return df.select(*cols)
+
+    # ---- equality-delete application (file-sequence rule)
+    id_sets = {tuple(ids) for _, _, ids in plan["eq_deletes"]}
+    if len(id_sets) != 1:
+        raise NotImplementedError(
+            "heterogeneous equality_ids across delete files"
+        )
+    id_to_name = {
+        fld["id"]: fld["name"] for fld in plan["iceberg_schema"]["fields"]
+    }
+    key_names = [id_to_name[i] for i in plan["eq_deletes"][0][2]]
+    by_name = {f.name: f for f in schema.fields}
+    key_schema = T.StructType([by_name[k] for k in key_names])
+    # strip the URI scheme input_file_name prepends so paths join
+    # against the manifest's absolute file_path values
+    fpath = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"^[a-z]+:(//)?", "")
+    )
+    seq_rows = [(p, int(s)) for p, s in plan["data_seq"].items()]
+    seq_df = spark.createDataFrame(
+        seq_rows, T.StructType([
+            T.StructField("_fpath", T.StringType()),
+            T.StructField("_fseq", T.LongType()),
+        ])
+    )
+    data = df.select(*cols, fpath.alias("_fpath")).join(
+        F.broadcast(seq_df), "_fpath", "left"
+    )
+    dels = None
+    for p, s, _ids in plan["eq_deletes"]:
+        d = spark.read.schema(key_schema).parquet(p).select(
+            *key_names, F.lit(int(s)).cast("long").alias("_dseq")
+        )
+        dels = d if dels is None else dels.unionByName(d)
+    dmax = dels.groupBy(*key_names).agg(F.max("_dseq").alias("_dmax"))
+    joined = data.join(F.broadcast(dmax), on=key_names, how="left")
+    # a NULL _fseq means input_file_name failed to match the manifest
+    # path — that must surface, not silently keep/kill rows
+    checked = F.coalesce(
+        F.assert_true(
+            F.col("_fseq").isNotNull(),
+            F.lit("read_iceberg: input_file_name did not match any "
+                  "manifest file_path"),
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    alive = checked & (
+        F.col("_dmax").isNull() | (F.col("_fseq") >= F.col("_dmax"))
+    )
+    return joined.filter(alive).select(*[f.name for f in schema.fields])

@@ -340,8 +340,14 @@ def test_sync_hook_publishes_each_committed_batch(spark, log_df, tmp_path):
     assert got == _sorted_rows(table.read())
 
 
-def test_sync_skips_unexportable_mor_state(spark, log_df, tmp_path):
-    from datax_spark.lake.iceberg import sync_iceberg
+def test_sync_skips_inline_tombstone_mor_state(spark, log_df, tmp_path):
+    """delete_encoding='inline' leaves full-width tombstone rows in the
+    deltas — not expressible as Iceberg data, so sync skips until
+    compaction folds them."""
+    from datax_spark.lake.iceberg import (
+        IcebergUnexportableState,
+        sync_iceberg,
+    )
 
     mor = MorTable.create(
         spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
@@ -349,7 +355,9 @@ def test_sync_skips_unexportable_mor_state(spark, log_df, tmp_path):
     )
     apply_batch(mor, log_df, 0)
     assert any(v for v in mor.snapshot().deltas.values())
-    assert sync_iceberg(mor) is None  # deltas pending: not expressible
+    with pytest.raises(IcebergUnexportableState, match="inline tombstone"):
+        export_iceberg(mor)
+    assert sync_iceberg(mor) is None  # the hook form skips, not crashes
     # threshold 0 folds every bucket (the first apply leaves exactly one
     # delta file per bucket, below the default fragmentation threshold)
     mor.compact(max_files_per_bucket=0)
@@ -357,6 +365,115 @@ def test_sync_skips_unexportable_mor_state(spark, log_df, tmp_path):
     assert sync_iceberg(mor) is not None  # catches up post-compaction
     got = _sorted_rows(read_iceberg(spark, os.path.abspath(mor.path)))
     assert got == _sorted_rows(mor.read())
+
+
+def test_live_eq_mor_exports_without_compaction(spark, log_df, tmp_path):
+    """The north-star loop: a delete_encoding='eq' MOR table with LIVE
+    deltas and equality-delete files exports as Iceberg v2 equality
+    deletes, and the Iceberg read (file-sequence rule) equals the
+    engine's resolved row-seq read exactly."""
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(delete_encoding="eq")
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    snap = mor.snapshot()
+    assert any(v for v in snap.deltas.values())
+    assert any(v for v in snap.eq_deletes.values())
+
+    export_iceberg(mor)
+    meta = _load_metadata(mor.path)
+    s = meta["snapshots"][-1]
+    assert int(s["summary"]["total-delete-files"]) > 0
+    assert int(s["summary"]["total-equality-deletes"]) > 0
+    got = _sorted_rows(read_iceberg(spark, os.path.abspath(mor.path)))
+    assert got == _sorted_rows(mor.read())
+    assert len(got) > 0
+
+
+def test_live_eq_mor_incremental_sync_and_time_travel(
+    spark, log_df, tmp_path
+):
+    """sync_iceberg per commit on a live eq-MOR stream: every batch
+    lands as a snapshot, and Iceberg time travel to the mid-stream
+    snapshot equals the lake's own version read."""
+    from datax_spark.lake.iceberg import sync_iceberg
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(
+        delete_encoding="eq", on_commit=[lambda m: sync_iceberg(mor)]
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    v1 = mor.current_version()
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    meta = _load_metadata(mor.path)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [
+        v1, mor.current_version()
+    ]
+    loc = os.path.abspath(mor.path)
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+    assert _sorted_rows(read_iceberg(spark, loc, snapshot_id=v1)) == (
+        _sorted_rows(mor.read(version=v1))
+    )
+
+
+def test_eq_mor_bulk_then_stream_exports(spark, log_df, tmp_path):
+    """bulk_load (NULL-_seq rows) followed by an eq-encoded stream:
+    the bulk base PREDATES every delete, so the engine's any-delete
+    rule and Iceberg's file-sequence rule agree and the export
+    round-trips. (NULL-_seq rows NEWER than a live delete are
+    unreachable through the public API — bulk_load replaces all
+    buckets, clearing deletes — and _check_no_null_seq_after guards
+    the invariant for any future write path.)"""
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    seed = log_df.filter(F.col("op") != "d").select(
+        *[c for c in SCHEMA.fieldNames()]
+    ).dropDuplicates(KEYS)
+    mor.bulk_load(seed, mode="truncate")
+    apply_batch(mor, log_df, 0, PipelineConfig(delete_encoding="eq"))
+    assert any(v for v in mor.snapshot().eq_deletes.values())
+    export_iceberg(mor)
+    got = _sorted_rows(read_iceberg(spark, os.path.abspath(mor.path)))
+    assert got == _sorted_rows(mor.read())
+
+
+def test_eq_mor_export_refuses_vacuumed_lineage(spark, log_df, tmp_path):
+    """With live deltas, per-file sequence numbers need witnessed add
+    versions; vacuuming the early manifests away must refuse the
+    export (a mis-stamped file could wrongly out-sequence a delete)."""
+    from datax_spark.lake.iceberg import (
+        IcebergUnexportableState,
+        sync_iceberg,
+    )
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(delete_encoding="eq")
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    mor.vacuum(keep_last=1)
+    with pytest.raises(IcebergUnexportableState, match="vacuumed lineage"):
+        export_iceberg(mor)
+    assert sync_iceberg(mor) is None
 
 
 def test_expire_drops_old_snapshots_and_their_avro(spark, log_df, tmp_path):
