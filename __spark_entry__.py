@@ -1630,6 +1630,48 @@ def q_cdc_iceberg_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdc_iceberg_mor_live(spark, sf_dir):
+    """Iceberg v2 equality-delete interop (lake/iceberg.py): apply the
+    two-batch changelog into an eq-encoded MOR table with
+    ``sync_iceberg`` as the on_commit hook — each batch mirrors as an
+    Iceberg snapshot with NO compaction (live delta files ride as data
+    files at witnessed add-version sequence numbers; each delta/
+    eq-delete file contributes a synthesized keys-only equality-delete
+    file at the same sequence). The final state is read back purely from
+    the Iceberg metadata, applying the deletes by the spec's
+    file-sequence rule (one broadcast path->seq join on
+    input_file_name + one broadcast per-key max-delete join — the data
+    side never shuffles). Equality against the straight replay oracle
+    proves the file-sequence model reproduces the engine's row-seq
+    latest-wins under the replay-order contract."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.iceberg import read_iceberg, sync_iceberg
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_iceberg_mor_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    mor = MorTable.create(
+        spark, os.path.join(root, "m"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(
+        quarantine_dir=os.path.join(root, "q"),
+        delete_encoding="eq",
+        on_commit=[lambda m: sync_iceberg(mor)],
+    )
+    apply_batch(mor, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, chg.filter(F.col("seq") > mid), 1, cfg)
+    return read_iceberg(spark, os.path.abspath(mor.path)).select(
+        "repo", "path", "commit", "content"
+    )
+
+
 def q_cdc_snapshot_sync(spark, sf_dir):
     """Captureless CDC — snapshot-diff change capture
     (operators/snapshot_sync.py): the table holds the first half of the
@@ -3173,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_kafka_apply": q_cdc_kafka_apply,
         "cdc_iceberg_roundtrip": q_cdc_iceberg_roundtrip,
+        "cdc_iceberg_mor_live": q_cdc_iceberg_mor_live,
     }
 
 
@@ -3665,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_debezium_apply"] = _lake_final
     sql["cdc_kafka_apply"] = _lake_final
     sql["cdc_iceberg_roundtrip"] = _lake_final
+    sql["cdc_iceberg_mor_live"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final
