@@ -146,8 +146,9 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     cow_times: list[float] = []
     mor_times: list[float] = []
     eq_times: list[float] = []
+    eqice_times: list[float] = []
     scd2_times: list[float] = []
-    mor = eq = None
+    mor = eq = eqice = None
     for rep in range(reps):
         table = LakeTable.create(
             spark, os.path.join(root, f"lake{rep}"), schema,
@@ -177,6 +178,27 @@ def bench_cdc_apply(spark, sf: float) -> dict:
         )
         eq_times.append(time.monotonic() - t0)
 
+        # eq apply + CONTINUOUS Iceberg mirror (sync_iceberg on_commit
+        # hook): the north-star loop — every batch lands as an Iceberg
+        # snapshot with no compaction gate. The gap vs eq_apply_sec is
+        # the mirror's total metadata+synth-delete overhead per run.
+        from datax_spark.lake.iceberg import sync_iceberg
+
+        eqice = MorTable.create(
+            spark, os.path.join(root, f"eqice{rep}"), schema,
+            ["repo", "path", "commit"], "repo", 32,
+        )
+        _t = eqice
+        t0 = time.monotonic()
+        apply_segments(
+            spark, eqice, logdir,
+            config=PipelineConfig(
+                delete_encoding="eq",
+                on_commit=[lambda m, _t=_t: sync_iceberg(_t)],
+            ),
+        )
+        eqice_times.append(time.monotonic() - t0)
+
         # SCD2 history mode over the same log: every event becomes an
         # interval (no dedup) — the write-amplified mode, interleaved in
         # the same rep protocol since round 4 (the r3 single-shot number
@@ -192,7 +214,12 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     dt = min(cow_times)
     mor_dt = min(mor_times)
     eq_dt = min(eq_times)
+    eqice_dt = min(eqice_times)
     scd2_dt = min(scd2_times)
+    # the mirror must actually have landed one Iceberg snapshot per batch
+    from datax_spark.lake.iceberg import _load_metadata
+
+    n_ice_snaps = len(_load_metadata(eqice.path)["snapshots"])
     # Resolved-read cost, pre- and post-compaction (the round-2 MOR read
     # path: base anti-joins broadcast delta keys, only deltas shuffle).
     t0 = time.monotonic()
@@ -220,6 +247,10 @@ def bench_cdc_apply(spark, sf: float) -> dict:
         "eq_apply_sec_reps": [round(t, 2) for t in eq_times],
         "eq_events_per_sec": round(n_events / eq_dt),
         "eq_read_sec": round(eq_read_dt, 2),
+        "eqice_apply_sec": round(eqice_dt, 2),
+        "eqice_apply_sec_reps": [round(t, 2) for t in eqice_times],
+        "eqice_events_per_sec": round(n_events / eqice_dt),
+        "eqice_snapshots": n_ice_snaps,
         "scd2_apply_sec": round(scd2_dt, 2),
         "scd2_apply_sec_reps": [round(t, 2) for t in scd2_times],
         "scd2_events_per_sec": round(n_events / scd2_dt),
