@@ -17,6 +17,9 @@ table maintenance:
     ... --op expire-iceberg --keep-last 3
                               (drop old Iceberg snapshots; unpins their
                                lake versions from vacuum)
+    ... --op sync-iceberg     (catch the Iceberg mirror up to the current
+                               lake version; no-op when in sync or the
+                               state is transiently unexportable)
 
 Every op prints ONE JSON line (machine-consumable, cron-friendly).
 fsck/describe/history are driver-side metadata only — no Spark jobs.
@@ -38,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--op", required=True,
                    choices=["fsck", "vacuum", "compact", "rewrite",
                             "rebucket", "restore", "describe", "history",
-                            "export-iceberg", "expire-iceberg"])
+                            "export-iceberg", "expire-iceberg",
+                            "sync-iceberg"])
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--min-age-sec", type=float, default=0.0)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
@@ -106,6 +110,15 @@ def main(argv: list[str] | None = None) -> int:
         from datax_spark.lake.iceberg import expire_iceberg
 
         out = expire_iceberg(table, keep_last=args.keep_last)
+    elif args.op == "sync-iceberg":
+        from datax_spark.lake.iceberg import sync_iceberg
+
+        meta_path = sync_iceberg(table)
+        out = {
+            "metadata": meta_path,
+            "synced": meta_path is not None,
+            "version": table.current_version(),
+        }
     elif args.op == "describe":
         out = table.describe()
     else:  # history

@@ -452,6 +452,36 @@ def test_eq_mor_bulk_then_stream_exports(spark, log_df, tmp_path):
     assert got == _sorted_rows(mor.read())
 
 
+def test_delete_aware_read_plan_never_shuffles_data(
+    spark, log_df, tmp_path
+):
+    """Physical-plan pin for the equality-delete read: the (100-TB)
+    data side rides two BROADCAST joins (path->seq map, per-key max
+    delete); the only Exchange hashpartitioning is the delete-file
+    aggregation — delete-sized, never table-sized. No sort-merge join
+    anywhere."""
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(delete_encoding="eq")
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    export_iceberg(mor)
+    df = read_iceberg(spark, os.path.abspath(mor.path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) <= 1, plan
+
+
 def test_eq_mor_export_refuses_vacuumed_lineage(spark, log_df, tmp_path):
     """With live deltas, per-file sequence numbers need witnessed add
     versions; vacuuming the early manifests away must refuse the

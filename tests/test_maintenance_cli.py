@@ -89,3 +89,7 @@ def test_all_ops(spark, tmp_path, capsys):
         "--keep-last", "1",
     )
     assert exp2["expired_snapshots"] == 0 and exp2["kept_snapshots"] == 1
+
+    # sync-iceberg: already in sync after the export above -> no-op
+    sync = _run(capsys, "--table", t.path, "--op", "sync-iceberg")
+    assert sync["synced"] is False and sync["metadata"] is None
