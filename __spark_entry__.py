@@ -1672,6 +1672,54 @@ def q_cdc_iceberg_mor_live(spark, sf_dir):
     )
 
 
+def q_cdc_delta_roundtrip(spark, sf_dir):
+    """Delta Lake interop (lake/delta.py): MERGE-apply the two-batch
+    changelog into a COW lake table with ``sync_delta`` as the
+    on_commit hook — each committed batch mirrors as the next Delta
+    commit (consecutive versions from 0, add/remove actions only for
+    the files that batch changed). Then write the spec parquet
+    CHECKPOINT, delete the subsumed commit JSONs (``clean_delta_log``
+    — the delta.logRetentionDuration mechanism), and read the final
+    state back **purely from _delta_log** — _last_checkpoint ->
+    checkpoint parquet -> remaining commits -> parquet files; the
+    lake's own manifests are never consulted. Value-equality against
+    the straight replay oracle proves the log (through its checkpoint)
+    is a complete, correct description of the table."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.delta import (
+        checkpoint_delta,
+        clean_delta_log,
+        read_delta,
+        sync_delta,
+    )
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_delta_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(
+        quarantine_dir=os.path.join(root, "q"),
+        on_commit=[lambda m: sync_delta(table)],
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1, cfg)
+    loc = os.path.abspath(table.path)
+    checkpoint_delta(loc)
+    clean_delta_log(loc)
+    return read_delta(spark, loc).select(
+        "repo", "path", "commit", "content"
+    )
+
+
 def q_cdc_snapshot_sync(spark, sf_dir):
     """Captureless CDC — snapshot-diff change capture
     (operators/snapshot_sync.py): the table holds the first half of the
@@ -3216,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_kafka_apply": q_cdc_kafka_apply,
         "cdc_iceberg_roundtrip": q_cdc_iceberg_roundtrip,
         "cdc_iceberg_mor_live": q_cdc_iceberg_mor_live,
+        "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
     }
 
 
@@ -3709,6 +3758,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_kafka_apply"] = _lake_final
     sql["cdc_iceberg_roundtrip"] = _lake_final
     sql["cdc_iceberg_mor_live"] = _lake_final
+    sql["cdc_delta_roundtrip"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final

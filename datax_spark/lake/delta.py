@@ -1,0 +1,681 @@
+"""Delta Lake transaction-log export / import for lake tables.
+
+The Delta twin of ``lake/iceberg.py``: ``export_delta`` publishes a lake
+snapshot as a spec-conformant **Delta Lake** commit under
+``<table.path>/_delta_log/`` — referencing the table's existing parquet
+data files IN PLACE (metadata-only: zero data bytes move, exactly the
+property the lake's own commits and the Iceberg mirror have).
+``read_delta`` is the inverse: it plans the scan purely from the Delta
+log (never touching the lake's ``_manifests``) and returns the table as
+a DataFrame, with time travel by Delta version or by lake version.
+
+Everything here is built from the PUBLIC Delta Lake protocol spec
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+- commit files ``_delta_log/<version, 20 digits>.json`` — one JSON
+  action per line: ``protocol`` (minReader 1 / minWriter 2 — the
+  feature set actually used: plain adds/removes, no DVs, no column
+  mapping), ``metaData`` (``schemaString`` IS Spark's StructType JSON —
+  Delta's native schema encoding), ``add`` (URL-encoded relative path,
+  size, modificationTime, per-file ``stats`` JSON with numRecords +
+  min/max for the table's ``stats_cols`` — the data-skipping index
+  real Delta readers use), ``remove`` tombstones, ``commitInfo``
+  (carries ``lakeVersion``, the mirror's version mapping);
+- checkpoints ``<version>.checkpoint.parquet`` + ``_last_checkpoint``
+  per the spec's checkpoint schema (one struct column per action kind),
+  so log replay cost is O(commits since last checkpoint), not O(all);
+- log cleanup (``clean_delta_log``) deletes commits a checkpoint has
+  subsumed — the ``delta.logRetentionDuration`` mechanism.
+
+Delta versions are CONSECUTIVE integers from 0 (a spec requirement —
+unlike Iceberg snapshot ids), so the mirror keeps its own version
+counter and records the lake version in ``commitInfo.lakeVersion``;
+commits are published with O_EXCL create (the spec's "mutual exclusion"
+primitive — the same put-if-absent contract real LogStores provide).
+
+Fidelity boundary, stated plainly: no Delta implementation exists in
+this sandbox (no delta-spark jars, and DuckDB's delta extension needs a
+network install — probed), so "delta-rs/delta-spark reads it" can't be
+executed here. The JSON layer is pinned line-by-line against the spec's
+required fields in tests, and ``read_delta`` proves the log alone
+reconstructs every version of the table without the lake's manifests.
+
+Semantics boundaries (all refuse loudly, never export wrong data):
+
+- MOR snapshots with live deltas / equality-deletes do NOT export:
+  Delta has no equality deletes at all (its deletion vectors are
+  positional bitmaps), so the engine's row-seq latest-wins resolution
+  is inexpressible — ``compact()`` first, then the key-unique base
+  exports. ``sync_delta`` (the ``on_commit`` hook form) skips those
+  transient states and catches up at the next compacted commit.
+- Renamed columns: the lake's rename is metadata-only (read-time
+  coalesce over retired physical names, ``LakeTable._read_files``); a
+  plain name-based Delta reader would see NULLs in pre-rename files.
+  Export therefore verifies no LIVE file still carries a retired
+  physical name (one footer pass, only when renames exist) and refuses
+  otherwise — ``rewrite_clustered()``/``compact()`` rewrites make the
+  table exportable again. (Real Delta needs columnMapping=name for
+  this; minReaderVersion 1 readers don't support it.)
+- Branches refuse (same reason as Iceberg: a branch's version numbers
+  are a separate namespace).
+
+Design for scale: export cost is O(files changed since the last
+export) — unchanged files need no footer reads (their stats replay
+from the prior log), record counts/sizes for new files fan out to
+executors above FILE_STATS_PARALLEL_THRESHOLD, and each export appends
+ONE commit JSON regardless of table size. Retention couples to lake
+``vacuum`` via ``delta_pinned_versions`` — the LATEST mirrored lake
+version stays fully readable; older Delta versions survive exactly as
+long as lake retention keeps their files, which is the documented
+semantics of real Delta VACUUM (time travel beyond retention dangles).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_delta_log"
+# spec: remove tombstones stay in checkpoints until this age has passed
+# (delta.deletedFileRetentionDuration default: 1 week)
+TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+
+
+class DeltaUnexportableState(ValueError):
+    """The lake state is not expressible in the Delta protocol (live
+    MOR deltas/eq-deletes, or live files predating a column rename).
+    Transient: compaction / clustered rewrite makes the table
+    exportable; ``sync_delta`` skips these and catches up later."""
+
+
+def _log_dir(location: str) -> str:
+    return os.path.join(location, LOG_DIR)
+
+
+def _commit_path(location: str, version: int) -> str:
+    return os.path.join(_log_dir(location), f"{version:020d}.json")
+
+
+def _current_delta_version(location: str) -> int:
+    """Latest committed Delta version, -1 when never exported."""
+    ldir = _log_dir(location)
+    if not os.path.isdir(ldir):
+        return -1
+    versions = [
+        int(n[:-5])
+        for n in os.listdir(ldir)
+        if len(n) == 25 and n.endswith(".json") and n[:20].isdigit()
+    ]
+    return max(versions, default=-1)
+
+
+def _last_checkpoint(location: str) -> dict | None:
+    p = os.path.join(_log_dir(location), "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _read_commit(location: str, version: int) -> list[dict]:
+    with open(_commit_path(location, version)) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def _replay(
+    location: str, version: int | None = None
+) -> tuple[dict, dict, dict[str, dict], list[dict], int]:
+    """Reconstruct table state at ``version`` (default: latest) from the
+    log: (protocol, metaData, {path: add}, remove tombstones, version).
+
+    Starts from the newest checkpoint at-or-before the target when one
+    exists (O(commits since checkpoint) JSON reads), else from commit 0.
+    """
+    latest = _current_delta_version(location)
+    if latest < 0:
+        raise FileNotFoundError(f"no Delta log under {location}")
+    v = latest if version is None else int(version)
+    if v < 0 or v > latest:
+        raise ValueError(
+            f"Delta version {v} out of range [0, {latest}] at {location}"
+        )
+    protocol: dict = {}
+    meta: dict = {}
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    start = 0
+    ckpt = _last_checkpoint(location)
+    if ckpt and ckpt["version"] <= v:
+        cv = int(ckpt["version"])
+        protocol, meta, adds, removes = _read_checkpoint(location, cv)
+        start = cv + 1
+    for commit_v in range(start, v + 1):
+        for action in _read_commit(location, commit_v):
+            if "protocol" in action:
+                protocol = action["protocol"]
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                a = action["add"]
+                adds[a["path"]] = a
+                removes.pop(a["path"], None)
+            elif "remove" in action:
+                r = action["remove"]
+                adds.pop(r["path"], None)
+                removes[r["path"]] = r
+    if not meta or not protocol:
+        raise ValueError(
+            f"Delta log at {location} replayed to v{v} without a "
+            f"metaData/protocol action — corrupt or truncated log"
+        )
+    return protocol, meta, adds, list(removes.values()), v
+
+
+def _lake_version_of(location: str, delta_version: int) -> int | None:
+    for action in _read_commit(location, delta_version):
+        if "commitInfo" in action:
+            return action["commitInfo"].get("lakeVersion")
+    return None
+
+
+def _exported_lake_versions(location: str) -> dict[int, int]:
+    """{lake version -> delta version} for every commit in the log."""
+    latest = _current_delta_version(location)
+    out: dict[int, int] = {}
+    for dv in range(latest + 1):
+        if not os.path.exists(_commit_path(location, dv)):
+            continue  # cleaned below a checkpoint
+        lv = _lake_version_of(location, dv)
+        if lv is not None:
+            out[int(lv)] = dv
+    return out
+
+
+def _file_stats_json(
+    nrec: int, rel: str, bucket: str, snap, stats_cols: list[str]
+) -> str:
+    """The add action's ``stats`` JSON (spec "Per-file Statistics"):
+    numRecords always; min/maxValues for the table's stats_cols when the
+    lake harvested them (base files only — same source as ``scan``)."""
+    stats: dict[str, Any] = {"numRecords": nrec}
+    fstats = snap.file_stats.get(bucket, {}).get(rel, {})
+    mins = {}
+    maxs = {}
+    for col in stats_cols:
+        mm = fstats.get(col)
+        if mm and mm[0] is not None and mm[1] is not None:
+            mins[col] = mm[0]
+            maxs[col] = mm[1]
+    if mins:
+        stats["minValues"] = mins
+        stats["maxValues"] = maxs
+    return json.dumps(stats, sort_keys=True)
+
+
+def _check_no_retired_names(table, snap, rels: list[str]) -> None:
+    """Refuse export while any LIVE file still carries a retired
+    physical column name: a name-based Delta reader would surface NULLs
+    where the lake's read-time coalesce surfaces values. One footer
+    pass over live files, run only when the table has renames."""
+    live = {f.name for f in snap.schema.fields}
+    renames = snap.properties.get("renames") or {}
+    # only rename chains of LIVE columns matter: a DROPPED column's
+    # retired physical name is absent from schemaString, so a name-based
+    # reader never requests it — extra physical columns are ignored
+    retired = {
+        old
+        for cur, chain in renames.items()
+        if cur in live
+        for old in chain
+    }
+    if not retired:
+        return
+    location = os.path.abspath(table.path)
+
+    def names_of(path: str) -> set[str]:
+        import pyarrow.parquet as pq
+
+        return set(pq.ParquetFile(path).schema_arrow.names)
+
+    from datax_spark.lake.stats import FILE_STATS_PARALLEL_THRESHOLD
+
+    paths = [os.path.join(location, rel) for rel in rels]
+    if len(paths) <= FILE_STATS_PARALLEL_THRESHOLD:
+        hit = sorted(
+            {n for p in paths for n in (names_of(p) & retired)}
+        )
+    else:
+        sc = table.spark.sparkContext
+        n_slices = max(1, min(len(paths) // 8, sc.defaultParallelism))
+        hit = sorted(
+            set(
+                sc.parallelize(paths, n_slices)
+                .flatMap(lambda p: list(names_of(p) & retired))
+                .distinct()
+                .collect()
+            )
+        )
+    if hit:
+        raise DeltaUnexportableState(
+            f"live files still carry retired physical column names "
+            f"{hit} (lake renames resolve at read time; a name-based "
+            f"Delta reader cannot — protocol columnMapping is a "
+            f"reader-feature this export targets minReaderVersion 1 "
+            f"without). rewrite_clustered() or compact() to rewrite "
+            f"under current names, then export"
+        )
+
+
+def export_delta(
+    table, version: int | None = None, checkpoint_interval: int = 10
+) -> str:
+    """Publish ``table``'s snapshot as the next Delta Lake commit under
+    ``<table.path>/_delta_log/`` (in-place: data files referenced where
+    they already live). Repeat calls after further lake commits append
+    incremental Delta versions — only files added/removed since the
+    last export produce actions, and every ``checkpoint_interval``-th
+    commit writes a spec checkpoint so replay stays O(recent commits).
+
+    Returns the path of the new commit JSON. Raises
+    DeltaUnexportableState for live MOR deltas/eq-deletes and for live
+    files predating a rename; ValueError for branches, an already
+    exported lake version, or a lake version older than the mirror's
+    newest (the Delta log is linear)."""
+    if getattr(table, "branch", None) is not None:
+        raise ValueError(
+            "export_delta publishes MAIN versions only: a branch's "
+            "version numbers are a separate namespace — publish_branch() "
+            "first, then export"
+        )
+    snap = table.snapshot(version)
+    if any(snap.deltas.values()) or any(snap.eq_deletes.values()):
+        raise DeltaUnexportableState(
+            "live MOR delta/equality-delete files: Delta Lake has no "
+            "equality deletes (deletion vectors are positional), so "
+            "row-seq latest-wins resolution is inexpressible — "
+            "compact() first, then export the key-unique base"
+        )
+    location = os.path.abspath(table.path)
+    ldir = _log_dir(location)
+    os.makedirs(ldir, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+
+    prev_dv = _current_delta_version(location)
+    next_dv = prev_dv + 1
+    prior_adds: dict[str, dict] = {}
+    prior_meta: dict = {}
+    if prev_dv >= 0:
+        exported = _exported_lake_versions(location)
+        if exported and int(snap.version) < max(exported):
+            raise ValueError(
+                f"lake version {snap.version} is older than the newest "
+                f"mirrored version {max(exported)} — the Delta log is "
+                f"linear; time travel reads go through read_delta()"
+            )
+        if int(snap.version) in exported:
+            raise ValueError(
+                f"lake version {snap.version} already exported as Delta "
+                f"version {exported[int(snap.version)]}"
+            )
+        _protocol, prior_meta, prior_adds, _removes, _v = _replay(location)
+
+    rels = [
+        (b, rel)
+        for b, files in sorted(snap.buckets.items(), key=lambda kv: int(kv[0]))
+        for rel in files
+    ]
+    _check_no_retired_names(table, snap, [rel for _, rel in rels])
+
+    # ---- actions
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+                "lakeVersion": int(snap.version),
+                "engineInfo": "datax_spark lake mirror",
+            }
+        }
+    ]
+    if prev_dv < 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    schema_string = json.dumps(snap.schema.jsonValue(), sort_keys=True)
+    if not prior_meta or prior_meta.get("schemaString") != schema_string:
+        actions.append(
+            {
+                "metaData": {
+                    "id": prior_meta.get("id") or str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": prior_meta.get("createdTime", now_ms),
+                }
+            }
+        )
+
+    enc_of = {
+        rel: urllib.parse.quote(rel, safe="/=") for _, rel in rels
+    }
+    live_enc = set(enc_of.values())
+    for path in sorted(set(prior_adds) - live_enc):
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    stats_cols = snap.properties.get("stats_cols") or []
+    new_rels = [
+        (b, rel) for b, rel in rels if enc_of[rel] not in prior_adds
+    ]
+    from datax_spark.lake.iceberg import _record_counts
+
+    abs_of = {rel: os.path.join(location, rel) for _, rel in new_rels}
+    counts = _record_counts(table.spark, list(abs_of.values()))
+    for b, rel in new_rels:
+        apath = abs_of[rel]
+        actions.append(
+            {
+                "add": {
+                    "path": enc_of[rel],
+                    "partitionValues": {},
+                    "size": os.path.getsize(apath),
+                    "modificationTime": int(
+                        os.path.getmtime(apath) * 1000
+                    ),
+                    "dataChange": True,
+                    "stats": _file_stats_json(
+                        counts[apath], rel, b, snap, stats_cols
+                    ),
+                }
+            }
+        )
+
+    # ---- publish: O_EXCL create is the spec's mutual-exclusion
+    # primitive (two racing exporters -> exactly one wins this version)
+    commit_path = _commit_path(location, next_dv)
+    body = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
+    fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    try:
+        os.write(fd, body.encode())
+    finally:
+        os.close(fd)
+
+    if checkpoint_interval and (next_dv + 1) % checkpoint_interval == 0:
+        checkpoint_delta(location)
+    return commit_path
+
+
+# ---------------------------------------------------------------------------
+# checkpoints (spec "Checkpoints": classic single-file parquet)
+# ---------------------------------------------------------------------------
+
+
+def _checkpoint_schema() -> Any:
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field(
+                                        "options",
+                                        pa.map_(pa.string(), pa.string()),
+                                    ),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field(
+                            "partitionColumns", pa.list_(pa.string())
+                        ),
+                        pa.field(
+                            "configuration",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field(
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("deletionTimestamp", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def checkpoint_delta(location: str) -> str:
+    """Write the spec checkpoint for the log's current version:
+    ``<v>.checkpoint.parquet`` holding the complete replay state
+    (protocol + metaData + every live add + unexpired remove
+    tombstones), then point ``_last_checkpoint`` at it. Replay after
+    this is O(commits since here). Driver-side pyarrow write — the
+    checkpoint is O(live files) rows of metadata, the same scale class
+    as the lake's own manifest handling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    location = os.path.abspath(location)
+    protocol, meta, adds, removes, v = _replay(location)
+    now_ms = int(time.time() * 1000)
+    rows: list[dict] = [
+        {"protocol": protocol},
+        {"metaData": {**meta, "format": {
+            "provider": meta["format"]["provider"],
+            "options": list((meta["format"].get("options") or {}).items()),
+        }, "configuration": list((meta.get("configuration") or {}).items()),
+        }},
+    ]
+    for a in adds.values():
+        rows.append(
+            {"add": {**a, "partitionValues": list(
+                (a.get("partitionValues") or {}).items()
+            )}}
+        )
+    for r in removes:
+        if now_ms - r["deletionTimestamp"] <= TOMBSTONE_RETENTION_MS:
+            rows.append({"remove": r})
+    table = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
+    ckpt_path = os.path.join(
+        _log_dir(location), f"{v:020d}.checkpoint.parquet"
+    )
+    tmp = ckpt_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, ckpt_path)
+    hint = os.path.join(_log_dir(location), "_last_checkpoint")
+    with open(hint + ".tmp", "w") as f:
+        json.dump({"version": v, "size": len(rows)}, f)
+    os.replace(hint + ".tmp", hint)
+    return ckpt_path
+
+
+def _read_checkpoint(
+    location: str, version: int
+) -> tuple[dict, dict, dict[str, dict], dict[str, dict]]:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        _log_dir(location), f"{version:020d}.checkpoint.parquet"
+    )
+    protocol: dict = {}
+    meta: dict = {}
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    for row in pq.read_table(path).to_pylist():
+        if row.get("protocol"):
+            protocol = row["protocol"]
+        elif row.get("metaData"):
+            m = dict(row["metaData"])
+            m["format"] = {
+                "provider": m["format"]["provider"],
+                "options": dict(m["format"].get("options") or []),
+            }
+            m["configuration"] = dict(m.get("configuration") or [])
+            meta = m
+        elif row.get("add"):
+            a = dict(row["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            adds[a["path"]] = a
+        elif row.get("remove"):
+            removes[row["remove"]["path"]] = row["remove"]
+    return protocol, meta, adds, removes
+
+
+def clean_delta_log(location: str) -> dict[str, int]:
+    """Delete commit JSONs (and older checkpoints) strictly below the
+    last checkpoint — the ``delta.logRetentionDuration`` cleanup.
+    Readers start at the checkpoint, so current reads and reads of any
+    version >= it are unaffected; time travel BELOW the checkpoint is
+    what's traded away (the spec's own retention semantics). No-op when
+    no checkpoint exists."""
+    location = os.path.abspath(location)
+    ckpt = _last_checkpoint(location)
+    if not ckpt:
+        return {"removed_commits": 0, "removed_checkpoints": 0}
+    cv = int(ckpt["version"])
+    ldir = _log_dir(location)
+    removed_c = removed_k = 0
+    for name in sorted(os.listdir(ldir)):
+        if name.endswith(".json") and name[:20].isdigit():
+            if int(name[:20]) < cv:
+                os.unlink(os.path.join(ldir, name))
+                removed_c += 1
+        elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
+            if int(name[:20]) < cv:
+                os.unlink(os.path.join(ldir, name))
+                removed_k += 1
+    return {"removed_commits": removed_c, "removed_checkpoints": removed_k}
+
+
+# ---------------------------------------------------------------------------
+# read / sync / retention coupling
+# ---------------------------------------------------------------------------
+
+
+def read_delta(
+    spark: SparkSession,
+    location: str,
+    version: int | None = None,
+    lake_version: int | None = None,
+) -> DataFrame:
+    """Read a Delta table location purely from its ``_delta_log`` —
+    time travel by Delta ``version`` or by ``lake_version`` (resolved
+    through the commitInfo mapping this exporter records). The scan is
+    an explicit-file parquet read under the metaData schemaString, so
+    files written before an additive evolution surface NULLs in new
+    columns — the same name-based semantics real minReader-1 Delta
+    readers have."""
+    location = os.path.abspath(location)
+    if lake_version is not None:
+        if version is not None:
+            raise ValueError("pass version OR lake_version, not both")
+        exported = _exported_lake_versions(location)
+        if int(lake_version) not in exported:
+            raise ValueError(
+                f"lake version {lake_version} was never exported "
+                f"(mirrored: {sorted(exported)})"
+            )
+        version = exported[int(lake_version)]
+    _protocol, meta, adds, _removes, _v = _replay(location, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not adds:
+        return spark.createDataFrame([], schema)
+    paths = [
+        os.path.join(location, urllib.parse.unquote(p))
+        for p in sorted(adds)
+    ]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def sync_delta(table, checkpoint_interval: int = 10) -> str | None:
+    """Catch the Delta mirror up to the lake's current version — the
+    continuous-publish form of ``export_delta``, safe as a
+    ``PipelineConfig.on_commit`` hook. No-ops (returns None) when
+    already in sync and on transient unexportable states (live MOR
+    deltas/eq-deletes, retired names in live files) — the mirror
+    catches up at the next exportable commit, e.g. right after
+    ``auto_compact``. Hard misuse (branch table, regressing lake
+    version) still raises."""
+    snap = table.snapshot()
+    location = os.path.abspath(table.path)
+    if _current_delta_version(location) >= 0:
+        exported = _exported_lake_versions(location)
+        if int(snap.version) in exported:
+            return None
+    try:
+        return export_delta(
+            table,
+            version=snap.version,
+            checkpoint_interval=checkpoint_interval,
+        )
+    except DeltaUnexportableState:
+        return None
+
+
+def delta_pinned_versions(location: str) -> set[int]:
+    """Lake versions whose files the Delta mirror's CURRENT version
+    references — lake ``vacuum`` unions these into its retained set so
+    an external reader of the mirror's head never dangles. Older Delta
+    versions are pinned only as far as lake retention reaches: vacuum
+    breaking deep Delta time travel is real Delta VACUUM's own
+    documented contract. Empty when never exported."""
+    location = os.path.abspath(location)
+    latest = _current_delta_version(location)
+    if latest < 0:
+        return set()
+    lv = _lake_version_of(location, latest)
+    return {int(lv)} if lv is not None else set()

@@ -2793,8 +2793,18 @@ class LakeTable:
             if self.branch is None
             else set()
         )
+        # the Delta mirror pins its HEAD the same way (older Delta
+        # versions dangle past lake retention — real Delta VACUUM's own
+        # documented contract); clean via a fresh sync_delta + vacuum
+        from datax_spark.lake.delta import delta_pinned_versions
+
+        delta_pinned = (
+            delta_pinned_versions(self.path) & set(versions)
+            if self.branch is None
+            else set()
+        )
         keep_versions = sorted(
-            set(versions[-keep_last:]) | tagged | ice_pinned
+            set(versions[-keep_last:]) | tagged | ice_pinned | delta_pinned
         )
         referenced: set[str] = set()
         kept_snaps: list[Snapshot] = []

@@ -20,6 +20,14 @@ table maintenance:
     ... --op sync-iceberg     (catch the Iceberg mirror up to the current
                                lake version; no-op when in sync or the
                                state is transiently unexportable)
+    ... --op export-delta | sync-delta
+                              (the Delta Lake twins — publish the
+                               snapshot as the next _delta_log commit;
+                               sync form no-ops when in sync/transient —
+                               lake/delta.py)
+    ... --op checkpoint-delta (write the spec parquet checkpoint +
+                               _last_checkpoint, then delete the
+                               subsumed commit JSONs)
 
 Every op prints ONE JSON line (machine-consumable, cron-friendly).
 fsck/describe/history are driver-side metadata only — no Spark jobs.
@@ -42,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["fsck", "vacuum", "compact", "rewrite",
                             "rebucket", "restore", "describe", "history",
                             "export-iceberg", "expire-iceberg",
-                            "sync-iceberg"])
+                            "sync-iceberg", "export-delta", "sync-delta",
+                            "checkpoint-delta"])
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--min-age-sec", type=float, default=0.0)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
@@ -119,6 +128,25 @@ def main(argv: list[str] | None = None) -> int:
             "synced": meta_path is not None,
             "version": table.current_version(),
         }
+    elif args.op == "export-delta":
+        from datax_spark.lake.delta import export_delta
+
+        out = {"commit": export_delta(table),
+               "lake_version": table.current_version()}
+    elif args.op == "sync-delta":
+        from datax_spark.lake.delta import sync_delta
+
+        commit = sync_delta(table)
+        out = {
+            "commit": commit,
+            "synced": commit is not None,
+            "version": table.current_version(),
+        }
+    elif args.op == "checkpoint-delta":
+        from datax_spark.lake.delta import checkpoint_delta, clean_delta_log
+
+        ckpt = checkpoint_delta(os.path.abspath(args.table))
+        out = {"checkpoint": ckpt, **clean_delta_log(os.path.abspath(args.table))}
     elif args.op == "describe":
         out = table.describe()
     else:  # history

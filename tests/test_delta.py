@@ -1,0 +1,290 @@
+"""Delta Lake transaction-log export / import (lake/delta.py).
+
+The interop claims verified here:
+
+- round trip: ``read_delta`` reconstructs the table from ``_delta_log``
+  ALONE (the lake's own manifests are never consulted) and matches
+  ``table.read()`` value-for-value, including time travel by Delta
+  version and by lake version across incremental exports;
+- the commit JSON carries the spec-required action fields (protocol,
+  metaData with Spark-JSON schemaString, add with URL-encoded relative
+  path + size + stats, remove tombstones, commitInfo), versions are
+  consecutive from 0, and incremental exports emit only the changed
+  files;
+- checkpoints: the parquet checkpoint + ``_last_checkpoint`` replay to
+  the same state as the JSON log, reads work after ``clean_delta_log``
+  removes the subsumed commits;
+- refusals: live MOR deltas / eq-deletes, branches, re-exports, and
+  live files predating a rename all fail loudly;
+- retention coupling: vacuum keeps every file the mirror's head
+  references (delta_pinned_versions).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from datax_spark.lake.delta import (
+    DeltaUnexportableState,
+    _current_delta_version,
+    _read_commit,
+    checkpoint_delta,
+    clean_delta_log,
+    delta_pinned_versions,
+    export_delta,
+    read_delta,
+    sync_delta,
+)
+from datax_spark.lake.mor import MorTable
+from datax_spark.lake.table import LakeTable
+from datax_spark.sources.changelog import generate_changelog
+from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+SCHEMA = StructType(
+    [
+        StructField(c, StringType())
+        for c in ["repo", "path", "commit", "lang", "content"]
+    ]
+)
+KEYS = ["repo", "path", "commit"]
+
+
+def _sorted_rows(df, cols=("repo", "path", "commit", "lang", "content")):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.fixture(scope="module")
+def log_df(spark):
+    df = generate_changelog(
+        spark, n_events=3000, n_keys=400, events_per_segment=1500
+    ).persist()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def exported(spark, log_df, tmp_path_factory):
+    """COW table, two batches, exported after EACH batch (incremental)."""
+    root = str(tmp_path_factory.mktemp("delta_cow"))
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), SCHEMA, KEYS, "repo", num_buckets=4
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(table, log_df.filter(F.col("seq") <= mid), 0)
+    v1 = table.current_version()
+    c1 = export_delta(table)
+    apply_batch(table, log_df.filter(F.col("seq") > mid), 1)
+    c2 = export_delta(table)
+    return {
+        "table": table,
+        "v_first": v1,
+        "commit1": c1,
+        "commit2": c2,
+        "location": os.path.abspath(table.path),
+    }
+
+
+def test_round_trip_current_version(spark, exported):
+    table = exported["table"]
+    got = _sorted_rows(read_delta(spark, exported["location"]))
+    want = _sorted_rows(table.read())
+    assert len(want) > 0
+    assert got == want
+
+
+def test_time_travel_by_delta_and_lake_version(spark, exported):
+    table = exported["table"]
+    want = _sorted_rows(table.read(version=exported["v_first"]))
+    assert (
+        _sorted_rows(read_delta(spark, exported["location"], version=0))
+        == want
+    )
+    assert (
+        _sorted_rows(
+            read_delta(
+                spark,
+                exported["location"],
+                lake_version=exported["v_first"],
+            )
+        )
+        == want
+    )
+
+
+def test_commit_json_spec_fields_and_incrementality(exported):
+    loc = exported["location"]
+    assert exported["commit1"].endswith("00000000000000000000.json")
+    assert exported["commit2"].endswith("00000000000000000001.json")
+    a0 = _read_commit(loc, 0)
+    kinds0 = [next(iter(a)) for a in a0]
+    assert kinds0[0] == "commitInfo"
+    assert "protocol" in kinds0 and "metaData" in kinds0
+    proto = next(a["protocol"] for a in a0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert {f.name for f in schema.fields} >= set(KEYS)
+    adds0 = [a["add"] for a in a0 if "add" in a]
+    assert adds0
+    for add in adds0:
+        assert not os.path.isabs(add["path"])
+        assert add["size"] > 0 and add["modificationTime"] > 0
+        assert json.loads(add["stats"])["numRecords"] > 0
+    # second export: unchanged schema -> no metaData; COW batch rewrites
+    # touched buckets -> removes for replaced files, adds for new ones;
+    # no re-add of genuinely unchanged files
+    a1 = _read_commit(loc, 1)
+    kinds1 = {next(iter(a)) for a in a1}
+    assert "metaData" not in kinds1 and "protocol" not in kinds1
+    adds1 = {a["add"]["path"] for a in a1 if "add" in a}
+    assert adds1 and adds1.isdisjoint({a["path"] for a in adds0})
+    info1 = next(a["commitInfo"] for a in a1 if "commitInfo" in a)
+    assert info1["lakeVersion"] == exported["table"].current_version()
+
+
+def test_reexport_same_and_older_lake_version_refuse(exported):
+    table = exported["table"]
+    with pytest.raises(ValueError, match="already exported"):
+        export_delta(table)
+    with pytest.raises(ValueError, match="older than"):
+        export_delta(table, version=exported["v_first"])
+
+
+def test_sync_delta_noop_and_catch_up(spark, log_df, tmp_path):
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(table, log_df.filter(F.col("seq") <= mid), 0)
+    assert sync_delta(table) is not None
+    assert sync_delta(table) is None  # in sync
+    apply_batch(table, log_df.filter(F.col("seq") > mid), 1)
+    assert sync_delta(table) is not None
+    assert _current_delta_version(os.path.abspath(table.path)) == 1
+    got = _sorted_rows(read_delta(spark, os.path.abspath(table.path)))
+    assert got == _sorted_rows(table.read())
+
+
+def test_mor_live_deltas_refuse_then_compact_exports(spark, log_df, tmp_path):
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    apply_batch(mor, log_df, 0)
+    assert any(mor.snapshot().deltas.values())
+    with pytest.raises(DeltaUnexportableState, match="compact"):
+        export_delta(mor)
+    assert sync_delta(mor) is None  # transient: skipped, not raised
+    mor.compact(max_files_per_bucket=0)
+    assert sync_delta(mor) is not None
+    got = _sorted_rows(read_delta(spark, os.path.abspath(mor.path)))
+    assert got == _sorted_rows(mor.read())
+
+
+def test_branch_refuses(spark, log_df, tmp_path):
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    apply_batch(table, log_df, 0)
+    table.create_branch("audit")
+    branch = LakeTable(spark, table.path, branch="audit")
+    with pytest.raises(ValueError, match="branch"):
+        export_delta(branch)
+
+
+def test_schema_evolution_emits_new_metadata(spark, log_df, tmp_path):
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    apply_batch(table, log_df, 0)
+    export_delta(table)
+    table.add_columns([StructField("stars", LongType())])
+    export_delta(table)
+    loc = os.path.abspath(table.path)
+    a1 = _read_commit(loc, 1)
+    meta = next(a["metaData"] for a in a1 if "metaData" in a)
+    names = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    assert "stars" in names
+    df = read_delta(spark, loc)
+    assert "stars" in df.columns
+    assert df.where(F.col("stars").isNotNull()).count() == 0
+    # metaData id is stable across exports (spec: table identity)
+    a0 = _read_commit(loc, 0)
+    meta0 = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert meta0["id"] == meta["id"]
+
+
+def test_rename_refuses_until_rewrite(spark, log_df, tmp_path):
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    apply_batch(table, log_df, 0)
+    table.rename_column("lang", "language")
+    with pytest.raises(DeltaUnexportableState, match="retired"):
+        export_delta(table)
+    table.rewrite_clustered(["repo"])
+    path = export_delta(table)
+    assert path.endswith("00000000000000000000.json")
+    df = read_delta(spark, os.path.abspath(table.path))
+    assert "language" in df.columns
+    assert df.where(F.col("language").isNull()).count() < df.count()
+
+
+def test_checkpoint_replay_and_log_cleanup(spark, log_df, tmp_path):
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    top = log_df.agg(F.max("seq")).first()[0]
+    bounds = [0] + [int(top * f) for f in (0.25, 0.5, 0.75)] + [top]
+    lake_versions = []
+    for i in range(4):
+        batch = log_df.filter(
+            (F.col("seq") > bounds[i]) & (F.col("seq") <= bounds[i + 1])
+        )
+        apply_batch(table, batch, i)
+        lake_versions.append(table.current_version())
+        export_delta(table, checkpoint_interval=0)
+    loc = os.path.abspath(table.path)
+    want = _sorted_rows(table.read())
+    ckpt = checkpoint_delta(loc)
+    assert ckpt.endswith("00000000000000000003.checkpoint.parquet")
+    hint = json.load(open(os.path.join(loc, "_delta_log", "_last_checkpoint")))
+    assert hint["version"] == 3
+    assert _sorted_rows(read_delta(spark, loc)) == want
+    # pre-checkpoint versions still replay from JSON before cleanup
+    assert _sorted_rows(read_delta(spark, loc, version=0)) == _sorted_rows(
+        table.read(version=lake_versions[0])
+    )
+    removed = clean_delta_log(loc)
+    assert removed["removed_commits"] == 3
+    # current read now starts AT the checkpoint
+    assert _sorted_rows(read_delta(spark, loc)) == want
+
+
+def test_vacuum_keeps_mirror_head_readable(spark, log_df, tmp_path):
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(table, log_df.filter(F.col("seq") <= mid), 0)
+    export_delta(table)
+    loc = os.path.abspath(table.path)
+    assert delta_pinned_versions(loc) == {table.current_version()}
+    apply_batch(table, log_df.filter(F.col("seq") > mid), 1)  # mirror behind
+    table.vacuum(keep_last=1)
+    got = _sorted_rows(read_delta(spark, loc))
+    assert got == _sorted_rows(
+        table.read(version=table.current_version() - 1)
+    )

@@ -93,3 +93,17 @@ def test_all_ops(spark, tmp_path, capsys):
     # sync-iceberg: already in sync after the export above -> no-op
     sync = _run(capsys, "--table", t.path, "--op", "sync-iceberg")
     assert sync["synced"] is False and sync["metadata"] is None
+
+    # the Delta twins: export lands commit 0, sync no-ops, checkpoint
+    # writes the parquet + _last_checkpoint and cleans subsumed commits
+    dexp = _run(capsys, "--table", t.path, "--op", "export-delta")
+    assert dexp["commit"].endswith("00000000000000000000.json")
+    from datax_spark.lake.delta import read_delta
+
+    assert read_delta(spark, os.path.abspath(t.path)).count() == 6
+    dsync = _run(capsys, "--table", t.path, "--op", "sync-delta")
+    assert dsync["synced"] is False and dsync["commit"] is None
+    dck = _run(capsys, "--table", t.path, "--op", "checkpoint-delta")
+    assert os.path.exists(dck["checkpoint"])
+    assert dck["removed_commits"] == 0  # nothing below checkpoint 0
+    assert read_delta(spark, os.path.abspath(t.path)).count() == 6
