@@ -48,14 +48,19 @@ Semantics boundaries (all refuse loudly, never export wrong data):
   is inexpressible — ``compact()`` first, then the key-unique base
   exports. ``sync_delta`` (the ``on_commit`` hook form) skips those
   transient states and catches up at the next compacted commit.
-- Renamed columns: the lake's rename is metadata-only (read-time
-  coalesce over retired physical names, ``LakeTable._read_files``); a
-  plain name-based Delta reader would see NULLs in pre-rename files.
-  Export therefore verifies no LIVE file still carries a retired
-  physical name (one footer pass, only when renames exist) and refuses
-  otherwise — ``rewrite_clustered()``/``compact()`` rewrites make the
-  table exportable again. (Real Delta needs columnMapping=name for
-  this; minReaderVersion 1 readers don't support it.)
+- Renamed columns export through the spec's **column mapping** (mode
+  ``name``): when every live file stores a renamed column under ONE
+  consistent physical name (the metadata-only-rename state — nothing
+  rewritten yet), the export enables ``delta.columnMapping.mode=name``
+  (protocol minReader 2 / minWriter 5), stamps each schema field with
+  ``delta.columnMapping.physicalName``/``.id``, and a mapping-aware
+  reader resolves logical->physical exactly like real Delta. What
+  REFUSES is the mixed-era state — some live files under the retired
+  name, some under the current (the lake's read-time coalesce,
+  ``LakeTable._read_files``, has no Delta equivalent: physical names
+  are per-column, not per-file) — until ``compact()`` /
+  ``rewrite_clustered()`` homogenizes the files. One footer pass, run
+  only when renames exist.
 - Branches refuse (same reason as Iceberg: a branch's version numbers
   are a separate namespace).
 
@@ -199,11 +204,18 @@ def _exported_lake_versions(location: str) -> dict[int, int]:
 
 
 def _file_stats_json(
-    nrec: int, rel: str, bucket: str, snap, stats_cols: list[str]
+    nrec: int,
+    rel: str,
+    bucket: str,
+    snap,
+    stats_cols: list[str],
+    phys_of: dict[str, str] | None = None,
 ) -> str:
     """The add action's ``stats`` JSON (spec "Per-file Statistics"):
     numRecords always; min/maxValues for the table's stats_cols when the
-    lake harvested them (base files only — same source as ``scan``)."""
+    lake harvested them (base files only — same source as ``scan``).
+    Under column mapping the spec keys stats by PHYSICAL name —
+    ``phys_of`` maps logical->physical for renamed columns."""
     stats: dict[str, Any] = {"numRecords": nrec}
     fstats = snap.file_stats.get(bucket, {}).get(rel, {})
     mins = {}
@@ -211,66 +223,120 @@ def _file_stats_json(
     for col in stats_cols:
         mm = fstats.get(col)
         if mm and mm[0] is not None and mm[1] is not None:
-            mins[col] = mm[0]
-            maxs[col] = mm[1]
+            key = (phys_of or {}).get(col, col)
+            mins[key] = mm[0]
+            maxs[key] = mm[1]
     if mins:
         stats["minValues"] = mins
         stats["maxValues"] = maxs
     return json.dumps(stats, sort_keys=True)
 
 
-def _check_no_retired_names(table, snap, rels: list[str]) -> None:
-    """Refuse export while any LIVE file still carries a retired
-    physical column name: a name-based Delta reader would surface NULLs
-    where the lake's read-time coalesce surfaces values. One footer
-    pass over live files, run only when the table has renames."""
+def _physical_names(table, snap, rels: list[str]) -> dict[str, str]:
+    """Per-column physical name consensus over LIVE files, for columns
+    with a rename chain. Returns ``{logical: physical}`` only where the
+    physical name differs (the column-mapping entries the export needs);
+    empty when no mapping is required. Raises DeltaUnexportableState on
+    the mixed-era state — the same logical column stored under two
+    different physical names across live files — which column mapping
+    cannot express (physicalName is per-column, not per-file). One
+    footer pass over live files, run only when the table has renames.
+    A DROPPED column's retired physical name is absent from
+    schemaString, so extra physical columns in files are ignored."""
     live = {f.name for f in snap.schema.fields}
-    renames = snap.properties.get("renames") or {}
-    # only rename chains of LIVE columns matter: a DROPPED column's
-    # retired physical name is absent from schemaString, so a name-based
-    # reader never requests it — extra physical columns are ignored
-    retired = {
-        old
-        for cur, chain in renames.items()
-        if cur in live
-        for old in chain
+    renames = {
+        cur: chain
+        for cur, chain in (snap.properties.get("renames") or {}).items()
+        if cur in live and chain
     }
-    if not retired:
-        return
+    if not renames:
+        return {}
+    # every name that could physically hold a renamed column's values
+    watch = {
+        name: cur
+        for cur, chain in renames.items()
+        for name in [cur, *chain]
+    }
     location = os.path.abspath(table.path)
 
-    def names_of(path: str) -> set[str]:
+    def present(path: str) -> list[str]:
         import pyarrow.parquet as pq
 
-        return set(pq.ParquetFile(path).schema_arrow.names)
+        names = set(pq.ParquetFile(path).schema_arrow.names)
+        return [n for n in watch if n in names]
 
     from datax_spark.lake.stats import FILE_STATS_PARALLEL_THRESHOLD
 
     paths = [os.path.join(location, rel) for rel in rels]
     if len(paths) <= FILE_STATS_PARALLEL_THRESHOLD:
-        hit = sorted(
-            {n for p in paths for n in (names_of(p) & retired)}
-        )
+        seen = {n for p in paths for n in present(p)}
     else:
         sc = table.spark.sparkContext
         n_slices = max(1, min(len(paths) // 8, sc.defaultParallelism))
-        hit = sorted(
-            set(
-                sc.parallelize(paths, n_slices)
-                .flatMap(lambda p: list(names_of(p) & retired))
-                .distinct()
-                .collect()
+        seen = set(
+            sc.parallelize(paths, n_slices)
+            .flatMap(present)
+            .distinct()
+            .collect()
+        )
+    mapping: dict[str, str] = {}
+    for cur, chain in renames.items():
+        present_names = [n for n in [cur, *chain] if n in seen]
+        if len(present_names) > 1:
+            raise DeltaUnexportableState(
+                f"column {cur!r} is stored under {sorted(present_names)} "
+                f"across live files (written on both sides of a rename) "
+                f"— Delta column mapping is per-column, not per-file, so "
+                f"this state is inexpressible. rewrite_clustered() or "
+                f"compact() to homogenize the files, then export"
             )
-        )
-    if hit:
-        raise DeltaUnexportableState(
-            f"live files still carry retired physical column names "
-            f"{hit} (lake renames resolve at read time; a name-based "
-            f"Delta reader cannot — protocol columnMapping is a "
-            f"reader-feature this export targets minReaderVersion 1 "
-            f"without). rewrite_clustered() or compact() to rewrite "
-            f"under current names, then export"
-        )
+        # exactly one physical era (or the column is absent everywhere —
+        # additive evolution; readers surface NULL either way)
+        if present_names and present_names[0] != cur:
+            mapping[cur] = present_names[0]
+    return mapping
+
+
+def _mapped_schema_json(
+    schema: StructType, phys_of: dict[str, str], prior_meta: dict
+) -> tuple[dict, int]:
+    """schemaString JSON with spec column-mapping field metadata
+    (``delta.columnMapping.id`` / ``.physicalName``) on EVERY field, and
+    the resulting maxColumnId. Field ids are stable across exports: a
+    prior export's id is reused when its physical name matches (the
+    anchor that survives a lake rename — logical changes, physical
+    stays) or, failing that, its logical name (the anchor that survives
+    a rewrite — physical flips to current, logical stays); genuinely
+    new columns get maxColumnId+1."""
+    prior_by_phys: dict[str, int] = {}
+    prior_by_logical: dict[str, int] = {}
+    max_id = 0
+    if prior_meta and prior_meta.get("schemaString"):
+        for f in json.loads(prior_meta["schemaString"]).get("fields", []):
+            md = f.get("metadata") or {}
+            fid = md.get("delta.columnMapping.id")
+            if fid is None:
+                continue
+            prior_by_phys[md.get("delta.columnMapping.physicalName", f["name"])] = fid
+            prior_by_logical[f["name"]] = fid
+            max_id = max(max_id, int(fid))
+    fields = []
+    for f in schema.fields:
+        phys = phys_of.get(f.name, f.name)
+        fid = prior_by_phys.get(phys, prior_by_logical.get(f.name))
+        if fid is None:
+            max_id += 1
+            fid = max_id
+        else:
+            max_id = max(max_id, int(fid))
+        j = f.jsonValue()
+        j["metadata"] = {
+            **(j.get("metadata") or {}),
+            "delta.columnMapping.id": int(fid),
+            "delta.columnMapping.physicalName": phys,
+        }
+        fields.append(j)
+    return {"type": "struct", "fields": fields}, max_id
 
 
 def export_delta(
@@ -283,11 +349,16 @@ def export_delta(
     last export produce actions, and every ``checkpoint_interval``-th
     commit writes a spec checkpoint so replay stays O(recent commits).
 
+    Renamed columns whose live files all still carry ONE retired
+    physical name export through spec column mapping (mode ``name``,
+    protocol 2/5) — see ``_physical_names``.
+
     Returns the path of the new commit JSON. Raises
-    DeltaUnexportableState for live MOR deltas/eq-deletes and for live
-    files predating a rename; ValueError for branches, an already
-    exported lake version, or a lake version older than the mirror's
-    newest (the Delta log is linear)."""
+    DeltaUnexportableState for live MOR deltas/eq-deletes and for a
+    renamed column stored under two physical names across live files;
+    ValueError for branches, an already exported lake version, or a
+    lake version older than the mirror's newest (the Delta log is
+    linear)."""
     if getattr(table, "branch", None) is not None:
         raise ValueError(
             "export_delta publishes MAIN versions only: a branch's "
@@ -311,6 +382,7 @@ def export_delta(
     next_dv = prev_dv + 1
     prior_adds: dict[str, dict] = {}
     prior_meta: dict = {}
+    prior_protocol: dict = {}
     if prev_dv >= 0:
         exported = _exported_lake_versions(location)
         if exported and int(snap.version) < max(exported):
@@ -324,14 +396,23 @@ def export_delta(
                 f"lake version {snap.version} already exported as Delta "
                 f"version {exported[int(snap.version)]}"
             )
-        _protocol, prior_meta, prior_adds, _removes, _v = _replay(location)
+        prior_protocol, prior_meta, prior_adds, _removes, _v = _replay(
+            location
+        )
 
     rels = [
         (b, rel)
         for b, files in sorted(snap.buckets.items(), key=lambda kv: int(kv[0]))
         for rel in files
     ]
-    _check_no_retired_names(table, snap, [rel for _, rel in rels])
+    phys_of = _physical_names(table, snap, [rel for _, rel in rels])
+    prior_cfg = (prior_meta.get("configuration") or {}) if prior_meta else {}
+    # column mapping, once enabled, never disables (spec) — even after a
+    # rewrite homogenizes files under current names, later exports keep
+    # mode=name with physicalName == logical
+    mapped = bool(phys_of) or (
+        prior_cfg.get("delta.columnMapping.mode") == "name"
+    )
 
     # ---- actions
     actions: list[dict] = [
@@ -345,12 +426,34 @@ def export_delta(
             }
         }
     ]
-    if prev_dv < 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    protocol = (
+        {"minReaderVersion": 2, "minWriterVersion": 5}
+        if mapped
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    if prev_dv < 0 or (
+        protocol["minReaderVersion"]
+        > prior_protocol.get("minReaderVersion", 0)
+    ):
+        actions.append({"protocol": protocol})
+
+    configuration: dict[str, str] = {}
+    if mapped:
+        schema_json, max_id = _mapped_schema_json(
+            snap.schema, phys_of, prior_meta
         )
-    schema_string = json.dumps(snap.schema.jsonValue(), sort_keys=True)
-    if not prior_meta or prior_meta.get("schemaString") != schema_string:
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(max_id),
+        }
+    else:
+        schema_json = snap.schema.jsonValue()
+    schema_string = json.dumps(schema_json, sort_keys=True)
+    if (
+        not prior_meta
+        or prior_meta.get("schemaString") != schema_string
+        or prior_cfg != configuration
+    ):
         actions.append(
             {
                 "metaData": {
@@ -358,7 +461,7 @@ def export_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": [],
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": prior_meta.get("createdTime", now_ms),
                 }
             }
@@ -399,7 +502,7 @@ def export_delta(
                     ),
                     "dataChange": True,
                     "stats": _file_stats_json(
-                        counts[apath], rel, b, snap, stats_cols
+                        counts[apath], rel, b, snap, stats_cols, phys_of
                     ),
                 }
             }
@@ -631,14 +734,43 @@ def read_delta(
             )
         version = exported[int(lake_version)]
     _protocol, meta, adds, _removes, _v = _replay(location, version)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    schema_json = json.loads(meta["schemaString"])
+    schema = StructType.fromJson(schema_json)
+    mapped = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name"
     if not adds:
-        return spark.createDataFrame([], schema)
+        out_schema = StructType(
+            [
+                type(f)(f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
     paths = [
         os.path.join(location, urllib.parse.unquote(p))
         for p in sorted(adds)
     ]
-    return spark.read.schema(schema).parquet(*paths)
+    if not mapped:
+        return spark.read.schema(schema).parquet(*paths)
+    # column mapping mode=name: request the PHYSICAL names from parquet,
+    # surface the LOGICAL names — exactly what a mapping-aware reader does
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField
+
+    phys_fields = []
+    selects = []
+    for f, j in zip(schema.fields, schema_json["fields"]):
+        phys = (j.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        phys_fields.append(StructField(phys, f.dataType, True))
+        selects.append(F.col(phys).alias(f.name))
+    return (
+        spark.read.schema(StructType(phys_fields))
+        .parquet(*paths)
+        .select(*selects)
+    )
 
 
 def sync_delta(table, checkpoint_interval: int = 10) -> str | None:

@@ -14,8 +14,10 @@ The interop claims verified here:
 - checkpoints: the parquet checkpoint + ``_last_checkpoint`` replay to
   the same state as the JSON log, reads work after ``clean_delta_log``
   removes the subsumed commits;
-- refusals: live MOR deltas / eq-deletes, branches, re-exports, and
-  live files predating a rename all fail loudly;
+- refusals: live MOR deltas / eq-deletes, branches, re-exports fail
+  loudly; renamed columns export via spec column mapping (mode=name)
+  when live files agree on ONE physical name, and the mixed-era state
+  refuses until a rewrite;
 - retention coupling: vacuum keeps every file the mirror's head
   references (delta_pinned_versions).
 """
@@ -31,6 +33,7 @@ from datax_spark.lake.delta import (
     DeltaUnexportableState,
     _current_delta_version,
     _read_commit,
+    _replay,
     checkpoint_delta,
     clean_delta_log,
     delta_pinned_versions,
@@ -223,21 +226,88 @@ def test_schema_evolution_emits_new_metadata(spark, log_df, tmp_path):
     assert meta0["id"] == meta["id"]
 
 
-def test_rename_refuses_until_rewrite(spark, log_df, tmp_path):
+def test_rename_exports_via_column_mapping(spark, log_df, tmp_path):
+    """Metadata-only rename exports through spec column mapping
+    (mode=name, protocol 2/5): live files still store the retired
+    physical name, the schemaString maps logical->physical, and the
+    reader resolves it. The MIXED state (files on both sides of the
+    rename) refuses until a rewrite homogenizes; after the rewrite the
+    mapping stays enabled (spec: never disables) with physicalName
+    flipped to the current name, ids stable."""
     table = LakeTable.create(
         spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
         num_buckets=4,
     )
-    apply_batch(table, log_df, 0)
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(table, log_df.filter(F.col("seq") <= mid), 0)
     table.rename_column("lang", "language")
-    with pytest.raises(DeltaUnexportableState, match="retired"):
-        export_delta(table)
-    table.rewrite_clustered(["repo"])
+    loc = os.path.abspath(table.path)
+
+    # pure metadata-rename state: exports with column mapping
     path = export_delta(table)
     assert path.endswith("00000000000000000000.json")
-    df = read_delta(spark, os.path.abspath(table.path))
-    assert "language" in df.columns
+    a0 = _read_commit(loc, 0)
+    proto = next(a["protocol"] for a in a0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = {
+        f["name"]: f["metadata"]
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+    assert fields["language"]["delta.columnMapping.physicalName"] == "lang"
+    assert fields["repo"]["delta.columnMapping.physicalName"] == "repo"
+    ids = {m["delta.columnMapping.id"] for m in fields.values()}
+    assert len(ids) == len(fields)  # unique, all stamped
+    df = read_delta(spark, loc)
+    assert "language" in df.columns and "lang" not in df.columns
     assert df.where(F.col("language").isNull()).count() < df.count()
+    cols = ("repo", "path", "commit", "language", "content")
+    assert _sorted_rows(df, cols) == _sorted_rows(table.read(), cols)
+
+    # second batch touches ONE repo (= one bucket): its bucket rewrites
+    # under the NEW name while the others keep retired-name files ->
+    # the mixed-era state refuses
+    one_repo = log_df.filter(F.col("seq") > mid).select("repo").first()[0]
+    apply_batch(
+        table,
+        log_df.filter(
+            (F.col("seq") > mid) & (F.col("repo") == one_repo)
+        ).withColumnRenamed("lang", "language"),
+        1,
+    )
+    with pytest.raises(DeltaUnexportableState, match="both sides"):
+        export_delta(table)
+    assert sync_delta(table) is None  # transient: hook skips
+
+    # rewrite homogenizes; mapping stays on, physicalName flips forward
+    table.rewrite_clustered(["repo"])
+    export_delta(table)
+    v1 = _current_delta_version(loc)
+    _protocol, meta1, _adds, _removes, _v = _replay(loc)
+    f1 = {
+        f["name"]: f["metadata"]
+        for f in json.loads(meta1["schemaString"])["fields"]
+    }
+    assert f1["language"]["delta.columnMapping.physicalName"] == "language"
+    assert (
+        f1["language"]["delta.columnMapping.id"]
+        == fields["language"]["delta.columnMapping.id"]
+    )
+    assert meta1["configuration"]["delta.columnMapping.mode"] == "name"
+    got = read_delta(spark, loc)
+    assert _sorted_rows(got, cols) == _sorted_rows(table.read(), cols)
+    # time travel to the pre-rewrite mapped version still resolves
+    old = read_delta(spark, loc, version=0)
+    assert "language" in old.columns
+    assert old.count() > 0 and v1 >= 1
+
+    # checkpoint under mapping: the non-empty configuration + mapped
+    # schemaString survive the pyarrow map round-trip
+    checkpoint_delta(loc)
+    clean_delta_log(loc)
+    again = read_delta(spark, loc)
+    assert _sorted_rows(again, cols) == _sorted_rows(table.read(), cols)
 
 
 def test_checkpoint_replay_and_log_cleanup(spark, log_df, tmp_path):
