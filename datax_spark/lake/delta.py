@@ -42,12 +42,21 @@ reconstructs every version of the table without the lake's manifests.
 
 Semantics boundaries (all refuse loudly, never export wrong data):
 
-- MOR snapshots with live deltas / equality-deletes do NOT export:
-  Delta has no equality deletes at all (its deletion vectors are
-  positional bitmaps), so the engine's row-seq latest-wins resolution
-  is inexpressible — ``compact()`` first, then the key-unique base
-  exports. ``sync_delta`` (the ``on_commit`` hook form) skips those
-  transient states and catches up at the next compacted commit.
+- MOR snapshots with live deltas / equality-deletes export through the
+  spec's **deletion vectors** (protocol 3/7, readerFeatures
+  ``deletionVectors``): delta files ride as data files and every row
+  the engine's resolved read hides — superseded base rows, non-latest
+  delta rows, inline tombstones, eq-deleted rows — masks out by file
+  position. Positions come from ``_metadata.row_index``; the bitmaps
+  are RFC-1924-Base85 / portable-RoaringBitmap / RoaringBitmapArray
+  per the spec, the 32-bit layer byte-verified against
+  org.roaringbitmap on Spark's classpath. Unlike the Iceberg mirror's
+  file-sequence model this handles INLINE tombstones and NULL-seq bulk
+  rows too — the only MOR refusal left is patch (partial-column)
+  deltas, whose column-coalescing resolution a row-removal mask cannot
+  express; ``sync_delta`` skips that transient state and catches up at
+  the next compacted commit. MOR mirrors expose the RESOLVED schema
+  (payload only — never the private ``_seq``/``_op``/``_patch``).
 - Renamed columns export through the spec's **column mapping** (mode
   ``name``): when every live file stores a renamed column under ONE
   consistent physical name (the metadata-only-rename state — nothing
@@ -91,6 +100,254 @@ LOG_DIR = "_delta_log"
 # spec: remove tombstones stay in checkpoints until this age has passed
 # (delta.deletedFileRetentionDuration default: 1 week)
 TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — encoding primitives
+#
+# The spec's DV stack, bottom-up (PROTOCOL.md "Deletion Vectors"):
+#   RFC-1924 Base85 (UUIDs / inline DVs in pathOrInlineDv)
+#   -> portable 32-bit RoaringBitmap (RoaringFormatSpec — the format
+#      org.roaringbitmap serializes; the jar ships with pyspark and the
+#      test suite cross-verifies these bytes against it)
+#   -> RoaringBitmapArray "portable" framing (Delta's 64-bit wrapper:
+#      magic 1681511377 LE, u64 bitmap count, then each 32-bit bitmap's
+#      portable bytes in dense index order)
+#   -> DV file: 1 version byte (=1), then per DV
+#      [u32 BE size][bitmap-array bytes][u32 BE crc32 of those bytes];
+#      the add action's descriptor offset points at the size field.
+# ---------------------------------------------------------------------------
+
+_B85_ALPHABET = (
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+)
+_B85_INDEX = {c: i for i, c in enumerate(_B85_ALPHABET)}
+_DV_MAGIC = 1681511377  # RoaringBitmapArray portable magic
+_SERIAL_COOKIE_NO_RUN = 12346  # RoaringFormatSpec
+_SERIAL_COOKIE_RUN = 12347
+_NO_OFFSET_THRESHOLD = 4
+_DV_DIR = "_dv"  # random-prefix slot of the 'u' storageType
+
+
+def _b85_encode(data: bytes) -> str:
+    """RFC-1924 Base85 (the alphabet Delta's Base85Codec uses). Input
+    length must be a multiple of 4 (UUIDs and 4-byte-aligned DV blobs)."""
+    if len(data) % 4:
+        raise ValueError("base85 input must be 4-byte aligned")
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            n, r = divmod(n, 85)
+            chunk.append(_B85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _b85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError("base85 input must be 5-char aligned")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        n = 0
+        for c in s[i : i + 5]:
+            n = n * 85 + _B85_INDEX[c]
+        out += n.to_bytes(4, "big")
+    return bytes(out)
+
+
+def serialize_roaring32(values) -> bytes:
+    """Portable serialization of a 32-bit roaring bitmap holding
+    ``values`` (iterable of ints in [0, 2^32)) — byte-identical to
+    org.roaringbitmap's no-run-container format (writers may always
+    choose array/bitmap containers; the test suite pins equality against
+    the Java reference on Spark's classpath)."""
+    import struct
+
+    containers: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    header = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    desc = b"".join(
+        struct.pack("<HH", k, len(containers[k]) - 1) for k in keys
+    )
+    # container payloads
+    blobs: list[bytes] = []
+    for k in keys:
+        vals = containers[k]
+        if len(vals) > 4096:  # bitmap container
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            blobs.append(bytes(bits))
+        else:  # array container
+            blobs.append(struct.pack(f"<{len(vals)}H", *vals))
+    # offset header (always present with the no-run cookie): byte offset
+    # of each container from the START of the stream
+    base = len(header) + len(desc) + 4 * n
+    offsets = []
+    at = base
+    for b in blobs:
+        offsets.append(at)
+        at += len(b)
+    off = struct.pack(f"<{n}I", *offsets) if n else b""
+    return header + desc + off + b"".join(blobs)
+
+
+def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
+    """Inverse of ``serialize_roaring32``; also reads the with-run
+    cookie and run containers (a conforming reader must). Returns
+    (sorted values, next offset)."""
+    import struct
+
+    start = pos
+    cookie = struct.unpack_from("<I", buf, pos)[0]
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        pos += 4
+        run_bits = buf[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        n = struct.unpack_from("<I", buf, pos + 4)[0]
+        pos += 8
+        run_bits = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+    desc = [
+        struct.unpack_from("<HH", buf, pos + 4 * i) for i in range(n)
+    ]
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n  # trust sequential layout; offsets are redundant
+    values: list[int] = []
+    for i, (key, card_m1) in enumerate(desc):
+        card = card_m1 + 1
+        hi = key << 16
+        if run_bits[i >> 3] & (1 << (i & 7)):  # run container
+            n_runs = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            for _ in range(n_runs):
+                s, ln = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(hi | v for v in range(s, s + ln + 1))
+        elif card > 4096:  # bitmap container
+            chunk = buf[pos : pos + 8192]
+            pos += 8192
+            for byte_i, byte in enumerate(chunk):
+                while byte:
+                    low = byte & -byte
+                    values.append(hi | (byte_i << 3) | low.bit_length() - 1)
+                    byte ^= low
+        else:  # array container
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(hi | v for v in vals)
+    del start
+    return values, pos
+
+
+def serialize_dv(positions) -> bytes:
+    """Delta RoaringBitmapArray, portable framing: the 64-bit position
+    space splits into 32-bit chunks, each a portable roaring bitmap,
+    stored densely for indexes 0..max_chunk."""
+    import struct
+
+    by_chunk: dict[int, list[int]] = {}
+    for p in positions:
+        by_chunk.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n = (max(by_chunk) + 1) if by_chunk else 0
+    out = struct.pack("<IQ", _DV_MAGIC, n)
+    for i in range(n):
+        out += serialize_roaring32(by_chunk.get(i, []))
+    return out
+
+
+def deserialize_dv(data: bytes) -> list[int]:
+    import struct
+
+    magic, n = struct.unpack_from("<IQ", data, 0)
+    if magic != _DV_MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    pos = 12
+    values: list[int] = []
+    for i in range(n):
+        vals, pos = deserialize_roaring32(data, pos)
+        values.extend((i << 32) | v for v in vals)
+    return values
+
+
+def _write_dv_file(
+    location: str, blobs: dict[str, bytes]
+) -> tuple[str, dict[str, tuple[int, int]]]:
+    """Write ONE deletion-vector file holding every (rel -> serialized
+    RoaringBitmapArray) of this export, per the spec's on-disk format.
+    Returns (pathOrInlineDv for the descriptors, {rel: (offset, size)}).
+    """
+    import struct
+    import zlib
+
+    dv_uuid = uuid.uuid4()
+    os.makedirs(os.path.join(location, _DV_DIR), exist_ok=True)
+    fname = f"deletion_vector_{dv_uuid}.bin"
+    path = os.path.join(location, _DV_DIR, fname)
+    offsets: dict[str, tuple[int, int]] = {}
+    with open(path, "wb") as f:
+        f.write(b"\x01")  # format version
+        at = 1
+        for rel in sorted(blobs):
+            data = blobs[rel]
+            offsets[rel] = (at, len(data))
+            f.write(struct.pack(">I", len(data)))
+            f.write(data)
+            f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            at += 4 + len(data) + 4
+    return _DV_DIR + _b85_encode(dv_uuid.bytes), offsets
+
+
+def _dv_abs_path(location: str, path_or_inline: str) -> str:
+    """Resolve a 'u' descriptor: the last 20 chars are the Base85 UUID,
+    anything before is the random prefix (a child dir of the table)."""
+    prefix, enc = path_or_inline[:-20], path_or_inline[-20:]
+    dv_uuid = uuid.UUID(bytes=_b85_decode(enc))
+    parts = [location] + ([prefix] if prefix else [])
+    return os.path.join(*parts, f"deletion_vector_{dv_uuid}.bin")
+
+
+def _read_dv_positions(location: str, desc: dict) -> list[int]:
+    """Dead row positions from an add action's deletionVector descriptor
+    (storageType 'u' file slice or 'i' inline)."""
+    import struct
+    import zlib
+
+    st = desc["storageType"]
+    if st == "i":
+        data = _b85_decode(desc["pathOrInlineDv"])
+        return deserialize_dv(data[: desc["sizeInBytes"]])
+    if st in ("u", "p"):
+        path = (
+            desc["pathOrInlineDv"]
+            if st == "p"
+            else _dv_abs_path(location, desc["pathOrInlineDv"])
+        )
+        with open(path, "rb") as f:
+            f.seek(desc["offset"])
+            (size,) = struct.unpack(">I", f.read(4))
+            if size != desc["sizeInBytes"]:
+                raise ValueError(
+                    f"DV size mismatch at {path}:{desc['offset']}: "
+                    f"{size} != {desc['sizeInBytes']}"
+                )
+            data = f.read(size)
+            (crc,) = struct.unpack(">I", f.read(4))
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"DV checksum mismatch at {path}")
+        return deserialize_dv(data)
+    raise ValueError(f"unknown DV storageType {st!r}")
 
 
 class DeltaUnexportableState(ValueError):
@@ -297,6 +554,131 @@ def _physical_names(table, snap, rels: list[str]) -> dict[str, str]:
     return mapping
 
 
+def _mor_file_masks(table, snap) -> dict[str, tuple[bytes, int]]:
+    """Per-file DEAD row positions of a live MOR state, as
+    ``{rel_path: (serialized RoaringBitmapArray, cardinality)}`` —
+    exactly the rows ``MorTable.read()`` would not surface:
+
+    - a base row dies when any delta row exists for its key, when an
+      equality delete covers it (delete_seq >= coalesce(seq, -inf)),
+      or when it is itself a tombstone;
+    - a delta row dies unless it is its key's max-seq delta row, and
+      even then to an eq-delete or its own delete op (inline tombstones
+      mask out IN their own file — the encoding Iceberg's file-sequence
+      model cannot express, DVs can).
+
+    One job: scan base+delta with ``_metadata.row_index``, one hash
+    exchange on the key columns (the window), one on file path (the
+    bitmap build, an Arrow-batched applyInPandas running the pure-Python
+    roaring writer on executors). Output is O(live files) driver rows;
+    mask volume is bounded by data superseded since the last compaction
+    — the same rows a compaction would drop, which is what DV generation
+    inherently costs in any engine."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.window import Window
+
+    from datax_spark.lake.mor import DELETE_OP, OP_META, SEQ_META, eq_delete_schema
+
+    spark = table.spark
+    location = os.path.abspath(table.path)
+    key_cols = snap.properties["key_cols"]
+    key_fields = [f for f in snap.schema.fields if f.name in key_cols]
+    scan_schema = StructType(
+        list(key_fields)
+        + [StructField(SEQ_META, LongType()), StructField(OP_META, StringType())]
+    )
+
+    def scan(files: list[str], side: str):
+        return (
+            spark.read.schema(scan_schema)
+            .parquet(*files)
+            .select(
+                *key_cols,
+                F.col(SEQ_META).alias("_s"),
+                F.col(OP_META).alias("_o"),
+                F.lit(side).alias("_side"),
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+        )
+
+    base_files = table._abs_files(snap, None, "base")
+    delta_files = table._abs_files(snap, None, "delta")
+    rows = None
+    if base_files:
+        rows = scan(base_files, "b")
+    if delta_files:
+        d = scan(delta_files, "d")
+        rows = d if rows is None else rows.unionByName(d)
+    if rows is None:
+        return {}
+
+    eq_files = table._abs_files(snap, None, "eq")
+    if eq_files:
+        eq = spark.read.schema(
+            eq_delete_schema(snap.schema, key_cols)
+        ).parquet(*eq_files)
+        dmax = eq.groupBy(*key_cols).agg(F.max(SEQ_META).alias("_dmax"))
+        rows = rows.join(F.broadcast(dmax), on=key_cols, how="left")
+    else:
+        rows = rows.withColumn("_dmax", F.lit(None).cast("long"))
+
+    w = Window.partitionBy(*key_cols)
+    delta_win = F.max(
+        F.when(F.col("_side") == "d", F.col("_s"))
+    ).over(w)
+    not_eq_killed = F.col("_dmax").isNull() | (
+        F.coalesce(F.col("_s"), F.lit(-(1 << 62))) > F.col("_dmax")
+    )
+    not_tombstone = F.coalesce(F.col("_o") != DELETE_OP, F.lit(True))
+    wins = F.when(
+        F.col("_side") == "b", delta_win.isNull()
+    ).otherwise(F.col("_s") == delta_win)
+    alive = F.coalesce(wins & not_eq_killed & not_tombstone, F.lit(False))
+    dead = (
+        rows.withColumn("_alive", alive)
+        .filter(~F.col("_alive"))
+        .select("_fp", "_pos")
+    )
+
+    def build(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            for fp, grp in pdf.groupby("_fp"):
+                pos = sorted(int(p) for p in grp["_pos"])
+                yield pd.DataFrame(
+                    {
+                        "fp": [fp],
+                        "dv": [serialize_dv(pos)],
+                        "card": [len(pos)],
+                    }
+                )
+
+    per_file = (
+        dead.repartition("_fp")
+        .mapInPandas(build, "fp string, dv binary, card long")
+        .collect()
+    )
+    prefix = location + "/"
+    out: dict[str, tuple[bytes, int]] = {}
+    for r in per_file:
+        fp = r["fp"]
+        rel = fp[len(prefix):] if fp.startswith(prefix) else fp
+        if rel in out:  # same file split across arrow batches: merge
+            prev, _ = out[rel]
+            merged = sorted(
+                set(deserialize_dv(prev)) | set(deserialize_dv(r["dv"]))
+            )
+            out[rel] = (serialize_dv(merged), len(merged))
+        else:
+            out[rel] = (bytes(r["dv"]), int(r["card"]))
+    return out
+
+
 def _mapped_schema_json(
     schema: StructType, phys_of: dict[str, str], prior_meta: dict
 ) -> tuple[dict, int]:
@@ -366,12 +748,13 @@ def export_delta(
             "first, then export"
         )
     snap = table.snapshot(version)
-    if any(snap.deltas.values()) or any(snap.eq_deletes.values()):
+    mor_live = any(snap.deltas.values()) or any(snap.eq_deletes.values())
+    if mor_live and snap.properties.get("mor_patch"):
         raise DeltaUnexportableState(
-            "live MOR delta/equality-delete files: Delta Lake has no "
-            "equality deletes (deletion vectors are positional), so "
-            "row-seq latest-wins resolution is inexpressible — "
-            "compact() first, then export the key-unique base"
+            "patch (partial-column) deltas are live: a Delta data file "
+            "row is a full image and deletion vectors only REMOVE rows, "
+            "so column-coalescing patch resolution is inexpressible — "
+            "compact() to fold the patches, then export"
         )
     location = os.path.abspath(table.path)
     ldir = _log_dir(location)
@@ -404,6 +787,10 @@ def export_delta(
         (b, rel)
         for b, files in sorted(snap.buckets.items(), key=lambda kv: int(kv[0]))
         for rel in files
+    ] + [
+        (b, rel)
+        for b, files in sorted(snap.deltas.items(), key=lambda kv: int(kv[0]))
+        for rel in files
     ]
     phys_of = _physical_names(table, snap, [rel for _, rel in rels])
     prior_cfg = (prior_meta.get("configuration") or {}) if prior_meta else {}
@@ -413,6 +800,25 @@ def export_delta(
     mapped = bool(phys_of) or (
         prior_cfg.get("delta.columnMapping.mode") == "name"
     )
+    # live-MOR: deletion vectors mask every row the resolved read hides
+    # (superseded base rows, non-latest delta rows, inline tombstones,
+    # eq-deleted rows); delta files ride as data files. Like column
+    # mapping, the feature never downgrades once the log has used it.
+    masks = _mor_file_masks(table, snap) if mor_live else {}
+    dv_mode = bool(masks) or "deletionVectors" in (
+        prior_protocol.get("readerFeatures") or []
+    )
+
+    # MOR tables mirror the RESOLVED view: payload columns only — the
+    # engine's _seq/_op/_patch markers are private (read() drops them)
+    if snap.properties.get("table_mode") == "mor":
+        from datax_spark.lake.mor import META_COLS
+
+        export_schema = StructType(
+            [f for f in snap.schema.fields if f.name not in META_COLS]
+        )
+    else:
+        export_schema = snap.schema
 
     # ---- actions
     actions: list[dict] = [
@@ -426,28 +832,38 @@ def export_delta(
             }
         }
     ]
-    protocol = (
-        {"minReaderVersion": 2, "minWriterVersion": 5}
-        if mapped
-        else {"minReaderVersion": 1, "minWriterVersion": 2}
-    )
-    if prev_dv < 0 or (
-        protocol["minReaderVersion"]
-        > prior_protocol.get("minReaderVersion", 0)
-    ):
+    if dv_mode:
+        rf = set(prior_protocol.get("readerFeatures") or [])
+        wf = set(prior_protocol.get("writerFeatures") or [])
+        rf.add("deletionVectors")
+        wf.update({"appendOnly", "invariants", "deletionVectors"})
+        if mapped:
+            rf.add("columnMapping")
+            wf.add("columnMapping")
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf),
+            "writerFeatures": sorted(wf),
+        }
+    elif mapped:
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if prev_dv < 0 or protocol != prior_protocol:
         actions.append({"protocol": protocol})
 
-    configuration: dict[str, str] = {}
+    configuration: dict[str, str] = dict(prior_cfg)
     if mapped:
         schema_json, max_id = _mapped_schema_json(
-            snap.schema, phys_of, prior_meta
+            export_schema, phys_of, prior_meta
         )
-        configuration = {
-            "delta.columnMapping.mode": "name",
-            "delta.columnMapping.maxColumnId": str(max_id),
-        }
+        configuration["delta.columnMapping.mode"] = "name"
+        configuration["delta.columnMapping.maxColumnId"] = str(max_id)
     else:
-        schema_json = snap.schema.jsonValue()
+        schema_json = export_schema.jsonValue()
+    if dv_mode:
+        configuration["delta.enableDeletionVectors"] = "true"
     schema_string = json.dumps(schema_json, sort_keys=True)
     if (
         not prior_meta
@@ -481,6 +897,22 @@ def export_delta(
                 }
             }
         )
+    # ---- one DV file per export holding every mask; descriptors point
+    # at per-DV offsets inside it ('u' storageType, table-relative)
+    dv_descs: dict[str, dict] = {}
+    if masks:
+        path_or_inline, offs = _write_dv_file(
+            location, {rel: dv for rel, (dv, _c) in masks.items()}
+        )
+        for rel, (_dv, card) in masks.items():
+            off, size = offs[rel]
+            dv_descs[rel] = {
+                "storageType": "u",
+                "pathOrInlineDv": path_or_inline,
+                "offset": off,
+                "sizeInBytes": size,
+                "cardinality": card,
+            }
     stats_cols = snap.properties.get("stats_cols") or []
     new_rels = [
         (b, rel) for b, rel in rels if enc_of[rel] not in prior_adds
@@ -491,22 +923,40 @@ def export_delta(
     counts = _record_counts(table.spark, list(abs_of.values()))
     for b, rel in new_rels:
         apath = abs_of[rel]
-        actions.append(
-            {
-                "add": {
-                    "path": enc_of[rel],
-                    "partitionValues": {},
-                    "size": os.path.getsize(apath),
-                    "modificationTime": int(
-                        os.path.getmtime(apath) * 1000
-                    ),
-                    "dataChange": True,
-                    "stats": _file_stats_json(
-                        counts[apath], rel, b, snap, stats_cols, phys_of
-                    ),
+        add = {
+            "path": enc_of[rel],
+            "partitionValues": {},
+            "size": os.path.getsize(apath),
+            "modificationTime": int(os.path.getmtime(apath) * 1000),
+            "dataChange": True,
+            "stats": _file_stats_json(
+                counts[apath], rel, b, snap, stats_cols, phys_of
+            ),
+        }
+        if rel in dv_descs:
+            add["deletionVector"] = dv_descs[rel]
+        actions.append({"add": add})
+    # previously-exported files whose mask GREW (a new batch superseded
+    # more of their rows) re-emit with the new descriptor; masks are
+    # monotone until a rewrite swaps the file, so equal cardinality
+    # means equal mask and the prior descriptor stays valid
+    for _b, rel in rels:
+        enc = enc_of[rel]
+        if enc not in prior_adds or rel not in dv_descs:
+            continue
+        prior_card = (
+            prior_adds[enc].get("deletionVector") or {}
+        ).get("cardinality")
+        if prior_card != dv_descs[rel]["cardinality"]:
+            actions.append(
+                {
+                    "add": {
+                        **prior_adds[enc],
+                        "deletionVector": dv_descs[rel],
+                        "dataChange": True,
+                    }
                 }
-            }
-        )
+            )
 
     # ---- publish: O_EXCL create is the spec's mutual-exclusion
     # primitive (two racing exporters -> exactly one wins this version)
@@ -539,6 +989,8 @@ def _checkpoint_schema() -> Any:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -584,6 +1036,18 @@ def _checkpoint_schema() -> Any:
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int64()),
+                                    pa.field("sizeInBytes", pa.int64()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -660,7 +1124,11 @@ def _read_checkpoint(
     removes: dict[str, dict] = {}
     for row in pq.read_table(path).to_pylist():
         if row.get("protocol"):
-            protocol = row["protocol"]
+            # strip the Nones pyarrow fills for absent optional fields so
+            # the dict compares equal to its commit-JSON form
+            protocol = {
+                k: v for k, v in row["protocol"].items() if v is not None
+            }
         elif row.get("metaData"):
             m = dict(row["metaData"])
             m["format"] = {
@@ -672,6 +1140,8 @@ def _read_checkpoint(
         elif row.get("add"):
             a = dict(row["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or [])
+            if a.get("deletionVector") is None:
+                a.pop("deletionVector", None)
             adds[a["path"]] = a
         elif row.get("remove"):
             removes[row["remove"]["path"]] = row["remove"]
@@ -747,41 +1217,65 @@ def read_delta(
             ]
         )
         return spark.createDataFrame([], out_schema)
-    paths = [
-        os.path.join(location, urllib.parse.unquote(p))
+    abs_of = {
+        p: os.path.join(location, urllib.parse.unquote(p))
         for p in sorted(adds)
-    ]
-    if not mapped:
-        return spark.read.schema(schema).parquet(*paths)
-    # column mapping mode=name: request the PHYSICAL names from parquet,
-    # surface the LOGICAL names — exactly what a mapping-aware reader does
+    }
+    paths = [abs_of[p] for p in sorted(adds)]
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField
 
+    # physical scan schema + logical selects: identity without column
+    # mapping, physicalName-resolved under mode=name
     phys_fields = []
     selects = []
     for f, j in zip(schema.fields, schema_json["fields"]):
-        phys = (j.get("metadata") or {}).get(
-            "delta.columnMapping.physicalName", f.name
+        phys = (
+            (j.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            if mapped
+            else f.name
         )
         phys_fields.append(StructField(phys, f.dataType, True))
         selects.append(F.col(phys).alias(f.name))
-    return (
-        spark.read.schema(StructType(phys_fields))
-        .parquet(*paths)
-        .select(*selects)
+    reader = spark.read.schema(StructType(phys_fields))
+
+    dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
+    if not dv_adds:
+        return reader.parquet(*paths).select(*selects)
+    # deletion vectors: anti-join the masked (file, row position) pairs.
+    # The pair list is driver-built from the DV bitmaps — its volume is
+    # the data superseded since the last compaction (what a real reader
+    # also materializes as per-file position masks during the scan).
+    dead_pairs = [
+        (abs_of[p], int(pos))
+        for p, a in dv_adds.items()
+        for pos in _read_dv_positions(location, a["deletionVector"])
+    ]
+    dead_df = spark.createDataFrame(dead_pairs, "_fp string, _pos long")
+    df = reader.parquet(*paths).select(
+        *selects,
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+            "_fp"
+        ),
+        F.col("_metadata.row_index").alias("_pos"),
     )
+    return df.join(
+        F.broadcast(dead_df), on=["_fp", "_pos"], how="left_anti"
+    ).drop("_fp", "_pos")
 
 
 def sync_delta(table, checkpoint_interval: int = 10) -> str | None:
     """Catch the Delta mirror up to the lake's current version — the
     continuous-publish form of ``export_delta``, safe as a
     ``PipelineConfig.on_commit`` hook. No-ops (returns None) when
-    already in sync and on transient unexportable states (live MOR
-    deltas/eq-deletes, retired names in live files) — the mirror
-    catches up at the next exportable commit, e.g. right after
-    ``auto_compact``. Hard misuse (branch table, regressing lake
-    version) still raises."""
+    already in sync and on transient unexportable states (live patch
+    deltas, mixed-era renamed files) — the mirror catches up at the
+    next exportable commit, e.g. right after ``auto_compact`` or a
+    rewrite. Ordinary live-MOR states export directly (deletion
+    vectors). Hard misuse (branch table, regressing lake version)
+    still raises."""
     snap = table.snapshot()
     location = os.path.abspath(table.path)
     if _current_delta_version(location) >= 0:

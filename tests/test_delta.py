@@ -173,20 +173,131 @@ def test_sync_delta_noop_and_catch_up(spark, log_df, tmp_path):
     assert got == _sorted_rows(table.read())
 
 
-def test_mor_live_deltas_refuse_then_compact_exports(spark, log_df, tmp_path):
+def test_roaring_serialization_matches_java_reference(spark):
+    """The portable 32-bit roaring bytes must be byte-identical to
+    org.roaringbitmap (the format real Delta DV readers parse; the jar
+    ships with pyspark) — array containers, a bitmap container
+    (cardinality > 4096), multi-container, empty."""
+    import random
+
+    from datax_spark.lake.delta import (
+        deserialize_dv,
+        deserialize_roaring32,
+        serialize_dv,
+        serialize_roaring32,
+    )
+
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+
+    def java_bytes(values):
+        arr = gw.new_array(jvm.int, len(values))
+        for i, v in enumerate(values):
+            arr[i] = v
+        bm = jvm.org.roaringbitmap.RoaringBitmap.bitmapOf(arr)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        bm.serialize(jvm.java.io.DataOutputStream(baos))
+        return bytes(baos.toByteArray())
+
+    rng = random.Random(7)
+    cases = [
+        [],
+        [0],
+        [65535, 65536],
+        sorted(rng.sample(range(1 << 20), 500)),
+        sorted(rng.sample(range(1 << 16), 6000)),  # bitmap container
+        sorted(rng.sample(range(1 << 31), 3000)),
+    ]
+    for vals in cases:
+        assert serialize_roaring32(vals) == java_bytes(vals)
+        assert deserialize_roaring32(serialize_roaring32(vals))[0] == vals
+    # the 64-bit RoaringBitmapArray framing round-trips incl. >2^32
+    for vals in [[], [0, (1 << 32) + 7, (3 << 32) + 5]]:
+        assert sorted(deserialize_dv(serialize_dv(vals))) == vals
+
+
+def test_mor_live_deltas_export_with_deletion_vectors(spark, log_df, tmp_path):
+    """Live MOR (inline tombstones) exports as data files + DVs masking
+    every row the resolved read hides; protocol upgrades to 3/7 with the
+    deletionVectors feature; incremental exports grow the masks;
+    checkpoints carry the descriptors; compaction swaps the files."""
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    assert any(mor.snapshot().deltas.values())
+    loc = os.path.abspath(mor.path)
+    export_delta(mor)
+    a0 = _read_commit(loc, 0)
+    proto = next(a["protocol"] for a in a0 if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    meta = next(a["metaData"] for a in a0 if "metaData" in a)
+    assert meta["configuration"]["delta.enableDeletionVectors"] == "true"
+    # the mirror exposes the RESOLVED schema: no private meta columns
+    names = [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
+    assert "_seq" not in names and "_op" not in names
+    dv_adds = [
+        a["add"] for a in a0 if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dv_adds, "live deltas must produce masked files"
+    d = dv_adds[0]["deletionVector"]
+    assert d["storageType"] == "u" and d["cardinality"] >= 1
+    assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
+
+    # incremental export: new batch supersedes more rows -> masks grow,
+    # re-emitted adds carry new descriptors, state still matches
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1)
+    export_delta(mor)
+    assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
+
+    # checkpoint + log-clean keep the DV descriptors
+    checkpoint_delta(loc)
+    clean_delta_log(loc)
+    assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
+
+    # compaction swaps the file set; the next export removes the old
+    # masked files and the masks disappear (key-unique base)
+    mor.compact(max_files_per_bucket=0)
+    assert sync_delta(mor) is not None
+    assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_mor_eq_deletes_export_with_deletion_vectors(spark, log_df, tmp_path):
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(delete_encoding="eq")
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    assert any(mor.snapshot().eq_deletes.values())
+    loc = os.path.abspath(mor.path)
+    export_delta(mor)
+    assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_mor_patch_deltas_still_refuse(spark, log_df, tmp_path):
     mor = MorTable.create(
         spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
         num_buckets=4,
     )
     apply_batch(mor, log_df, 0)
-    assert any(mor.snapshot().deltas.values())
-    with pytest.raises(DeltaUnexportableState, match="compact"):
+    mor.compact(max_files_per_bucket=0)
+    patch = PipelineConfig(write_mode="update")
+    upd = (
+        log_df.limit(50)
+        .withColumn("content", F.lit(None).cast("string"))
+        .withColumn("seq", F.col("seq") + 10_000_000)
+    )
+    apply_batch(mor, upd, 1, patch)
+    assert mor.snapshot().properties.get("mor_patch")
+    with pytest.raises(DeltaUnexportableState, match="patch"):
         export_delta(mor)
     assert sync_delta(mor) is None  # transient: skipped, not raised
-    mor.compact(max_files_per_bucket=0)
-    assert sync_delta(mor) is not None
-    got = _sorted_rows(read_delta(spark, os.path.abspath(mor.path)))
-    assert got == _sorted_rows(mor.read())
 
 
 def test_branch_refuses(spark, log_df, tmp_path):
