@@ -1720,6 +1720,48 @@ def q_cdc_delta_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdc_delta_mor_live(spark, sf_dir):
+    """Delta Lake deletion-vector interop (lake/delta.py): apply the
+    two-batch changelog into an eq-encoded MOR table with ``sync_delta``
+    as the on_commit hook — each batch mirrors as a Delta commit with NO
+    compaction. Live delta files ride as data files; every row the
+    engine's resolved read hides (superseded base rows, non-latest delta
+    rows, inline tombstones, eq-deleted keys) is masked by a spec
+    deletion vector (protocol 3/7 ``deletionVectors``, portable 64-bit
+    RoaringBitmapArray whose 32-bit buckets are byte-identical to
+    org.roaringbitmap serialization — Java-cross-checked in
+    tests/test_delta.py). The final state reads back purely from
+    _delta_log, applying the masks positionally. Equality against the
+    straight replay oracle proves the positional-mask model reproduces
+    the engine's row-seq latest-wins resolution."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.delta import read_delta, sync_delta
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_delta_mor_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    mor = MorTable.create(
+        spark, os.path.join(root, "m"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(
+        quarantine_dir=os.path.join(root, "q"),
+        delete_encoding="eq",
+        on_commit=[lambda m: sync_delta(mor)],
+    )
+    apply_batch(mor, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, chg.filter(F.col("seq") > mid), 1, cfg)
+    return read_delta(spark, os.path.abspath(mor.path)).select(
+        "repo", "path", "commit", "content"
+    )
+
+
 def q_cdc_snapshot_sync(spark, sf_dir):
     """Captureless CDC — snapshot-diff change capture
     (operators/snapshot_sync.py): the table holds the first half of the
@@ -3265,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_iceberg_roundtrip": q_cdc_iceberg_roundtrip,
         "cdc_iceberg_mor_live": q_cdc_iceberg_mor_live,
         "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
+        "cdc_delta_mor_live": q_cdc_delta_mor_live,
     }
 
 
@@ -3759,6 +3802,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_iceberg_roundtrip"] = _lake_final
     sql["cdc_iceberg_mor_live"] = _lake_final
     sql["cdc_delta_roundtrip"] = _lake_final
+    sql["cdc_delta_mor_live"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final
