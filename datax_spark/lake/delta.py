@@ -1148,17 +1148,69 @@ def _read_checkpoint(
     return protocol, meta, adds, removes
 
 
-def clean_delta_log(location: str) -> dict[str, int]:
+def _referenced_dv_files(location: str) -> set[str]:
+    """Absolute paths of every DV file any still-readable log artifact
+    references: all surviving commit JSONs plus all surviving
+    checkpoints (time travel to any version >= the last checkpoint
+    replays intermediate commits, so intermediate descriptors count)."""
+    refs: set[str] = set()
+
+    def take(action_body: dict | None):
+        d = (action_body or {}).get("deletionVector")
+        if not d:
+            return
+        st = d.get("storageType")
+        if st == "u":
+            refs.add(os.path.abspath(_dv_abs_path(location, d["pathOrInlineDv"])))
+        elif st == "p":
+            refs.add(os.path.abspath(d["pathOrInlineDv"]))
+
+    ldir = _log_dir(location)
+    for name in os.listdir(ldir):
+        if name.endswith(".json") and name[:20].isdigit():
+            for action in _read_commit(location, int(name[:20])):
+                take(action.get("add"))
+                take(action.get("remove"))
+        elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
+            _p, _m, adds, removes = _read_checkpoint(
+                location, int(name[:20])
+            )
+            for a in adds.values():
+                take(a)
+            for r in removes.values():
+                take(r)
+    return refs
+
+
+def clean_delta_log(
+    location: str, dv_min_age_sec: float = 0.0
+) -> dict[str, int]:
     """Delete commit JSONs (and older checkpoints) strictly below the
     last checkpoint — the ``delta.logRetentionDuration`` cleanup.
     Readers start at the checkpoint, so current reads and reads of any
     version >= it are unaffected; time travel BELOW the checkpoint is
     what's traded away (the spec's own retention semantics). No-op when
-    no checkpoint exists."""
+    no checkpoint exists.
+
+    Also reclaims DELETION-VECTOR files no surviving log artifact
+    references (real Delta VACUUM's DV cleanup): under continuous
+    ``sync_delta`` each export with live masks writes one DV file, and
+    the next export supersedes its descriptors — without this the
+    ``_dv/`` directory grows one file per batch forever. An in-flight
+    export stages its DV file BEFORE its commit JSON publishes, so a
+    clean racing a live exporter must set ``dv_min_age_sec`` above the
+    worst-case stage->publish latency (the lake ``vacuum`` min-age
+    contract); 0 is only safe with exports quiesced."""
+    import time as _time
+
     location = os.path.abspath(location)
     ckpt = _last_checkpoint(location)
     if not ckpt:
-        return {"removed_commits": 0, "removed_checkpoints": 0}
+        return {
+            "removed_commits": 0,
+            "removed_checkpoints": 0,
+            "removed_dv_files": 0,
+        }
     cv = int(ckpt["version"])
     ldir = _log_dir(location)
     removed_c = removed_k = 0
@@ -1171,7 +1223,28 @@ def clean_delta_log(location: str) -> dict[str, int]:
             if int(name[:20]) < cv:
                 os.unlink(os.path.join(ldir, name))
                 removed_k += 1
-    return {"removed_commits": removed_c, "removed_checkpoints": removed_k}
+    removed_dv = 0
+    dv_dir = os.path.join(location, _DV_DIR)
+    if os.path.isdir(dv_dir):
+        refs = _referenced_dv_files(location)
+        now = _time.time()
+        for name in sorted(os.listdir(dv_dir)):
+            if not name.startswith("deletion_vector_"):
+                continue
+            path = os.path.join(dv_dir, name)
+            if os.path.abspath(path) in refs:
+                continue
+            if dv_min_age_sec > 0 and (
+                now - os.path.getmtime(path) < dv_min_age_sec
+            ):
+                continue
+            os.unlink(path)
+            removed_dv += 1
+    return {
+        "removed_commits": removed_c,
+        "removed_checkpoints": removed_k,
+        "removed_dv_files": removed_dv,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -26,8 +26,10 @@ table maintenance:
                                sync form no-ops when in sync/transient —
                                lake/delta.py)
     ... --op checkpoint-delta (write the spec parquet checkpoint +
-                               _last_checkpoint, then delete the
-                               subsumed commit JSONs)
+                               _last_checkpoint, delete the subsumed
+                               commit JSONs, and reclaim deletion-vector
+                               files nothing references any more —
+                               --min-age-sec guards racing exporters)
 
 Every op prints ONE JSON line (machine-consumable, cron-friendly).
 fsck/describe/history are driver-side metadata only — no Spark jobs.
@@ -146,7 +148,13 @@ def main(argv: list[str] | None = None) -> int:
         from datax_spark.lake.delta import checkpoint_delta, clean_delta_log
 
         ckpt = checkpoint_delta(os.path.abspath(args.table))
-        out = {"checkpoint": ckpt, **clean_delta_log(os.path.abspath(args.table))}
+        out = {
+            "checkpoint": ckpt,
+            **clean_delta_log(
+                os.path.abspath(args.table),
+                dv_min_age_sec=args.min_age_sec,
+            ),
+        }
     elif args.op == "describe":
         out = table.describe()
     else:  # history

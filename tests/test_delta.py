@@ -469,3 +469,45 @@ def test_vacuum_keeps_mirror_head_readable(spark, log_df, tmp_path):
     assert got == _sorted_rows(
         table.read(version=table.current_version() - 1)
     )
+
+
+def test_dv_files_reclaimed_by_log_clean(spark, log_df, tmp_path):
+    """Continuous DV exports accumulate one _dv/ file per masked export;
+    clean_delta_log reclaims the ones no surviving log artifact
+    references, keeps every referenced one (multiple DV files can be
+    live at once — unchanged masks keep their prior descriptor), honors
+    the min-age guard, and reads stay exact throughout."""
+    from datax_spark.lake.delta import _referenced_dv_files
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    third = log_df.agg(F.floor(F.max("seq") / 3)).first()[0]
+    parts = [
+        log_df.filter(F.col("seq") <= third),
+        log_df.filter((F.col("seq") > third) & (F.col("seq") <= 2 * third)),
+        log_df.filter(F.col("seq") > 2 * third),
+    ]
+    for i, p in enumerate(parts):
+        apply_batch(mor, p, i)
+        export_delta(mor)
+    loc = os.path.abspath(mor.path)
+    dv_dir = os.path.join(loc, "_dv")
+    before = set(os.listdir(dv_dir))
+    assert len(before) >= 2, "each masked export writes a DV file"
+
+    checkpoint_delta(loc)
+    # min-age guard: nothing young enough gets reclaimed
+    res = clean_delta_log(loc, dv_min_age_sec=3600)
+    assert res["removed_dv_files"] == 0
+    assert set(os.listdir(dv_dir)) == before
+
+    res = clean_delta_log(loc)
+    assert res["removed_dv_files"] >= 1
+    remaining = {
+        os.path.abspath(os.path.join(dv_dir, n)) for n in os.listdir(dv_dir)
+    }
+    assert remaining, "the current masks' DV file(s) survive"
+    assert remaining <= _referenced_dv_files(loc)
+    assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
