@@ -554,10 +554,12 @@ def _physical_names(table, snap, rels: list[str]) -> dict[str, str]:
     return mapping
 
 
-def _mor_file_masks(table, snap) -> dict[str, tuple[bytes, int]]:
-    """Per-file DEAD row positions of a live MOR state, as
-    ``{rel_path: (serialized RoaringBitmapArray, cardinality)}`` —
-    exactly the rows ``MorTable.read()`` would not surface:
+def _dead_rows_frame(table, snap):
+    """The (file path, row position) frame of every DEAD row in a live
+    MOR state — the distributed half of ``_mor_file_masks``, split out
+    so its physical plan can be pinned (PLANS.md §15): one key-window
+    hash exchange, a broadcast join for eq-delete max-seq, never a
+    sort-merge join. Returns None when the snapshot lists no files.
 
     - a base row dies when any delta row exists for its key, when an
       equality delete covers it (delete_seq >= coalesce(seq, -inf)),
@@ -567,13 +569,9 @@ def _mor_file_masks(table, snap) -> dict[str, tuple[bytes, int]]:
       mask out IN their own file — the encoding Iceberg's file-sequence
       model cannot express, DVs can).
 
-    One job: scan base+delta with ``_metadata.row_index``, one hash
-    exchange on the key columns (the window), one on file path (the
-    bitmap build, an Arrow-batched applyInPandas running the pure-Python
-    roaring writer on executors). Output is O(live files) driver rows;
-    mask volume is bounded by data superseded since the last compaction
-    — the same rows a compaction would drop, which is what DV generation
-    inherently costs in any engine."""
+    The scan is key-projected (never the payload columns) and reads
+    ``_metadata.row_index`` — Spark's native parquet row index, the
+    positions real Delta DV readers use."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StringType, StructField
     from pyspark.sql.window import Window
@@ -614,7 +612,7 @@ def _mor_file_masks(table, snap) -> dict[str, tuple[bytes, int]]:
         d = scan(delta_files, "d")
         rows = d if rows is None else rows.unionByName(d)
     if rows is None:
-        return {}
+        return None
 
     eq_files = table._abs_files(snap, None, "eq")
     if eq_files:
@@ -638,11 +636,29 @@ def _mor_file_masks(table, snap) -> dict[str, tuple[bytes, int]]:
         F.col("_side") == "b", delta_win.isNull()
     ).otherwise(F.col("_s") == delta_win)
     alive = F.coalesce(wins & not_eq_killed & not_tombstone, F.lit(False))
-    dead = (
+    return (
         rows.withColumn("_alive", alive)
         .filter(~F.col("_alive"))
         .select("_fp", "_pos")
     )
+
+
+def _mor_file_masks(table, snap) -> dict[str, tuple[bytes, int]]:
+    """Per-file DEAD row positions of a live MOR state, as
+    ``{rel_path: (serialized RoaringBitmapArray, cardinality)}`` —
+    exactly the rows ``MorTable.read()`` would not surface (see
+    ``_dead_rows_frame`` for the liveness rules and plan shape).
+
+    One job: the dead-rows frame, then one exchange on file path for
+    the bitmap build (an Arrow-batched mapInPandas running the
+    pure-Python roaring writer on executors). Output is O(live files)
+    driver rows; mask volume is bounded by data superseded since the
+    last compaction — the same rows a compaction would drop, which is
+    what DV generation inherently costs in any engine."""
+    location = os.path.abspath(table.path)
+    dead = _dead_rows_frame(table, snap)
+    if dead is None:
+        return {}
 
     def build(pdfs):
         import pandas as pd

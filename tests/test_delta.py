@@ -511,3 +511,32 @@ def test_dv_files_reclaimed_by_log_clean(spark, log_df, tmp_path):
     assert remaining, "the current masks' DV file(s) survive"
     assert remaining <= _referenced_dv_files(loc)
     assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_dv_mask_job_plan_shape(spark, log_df, tmp_path):
+    """The DV mask computation must stay shaped for 100 TB: exactly two
+    hash exchanges — the key window over the base+delta scan and the
+    eq-delete keys' partial-aggregated max-seq (delta-sized) — with the
+    dmax join BROADCAST, no sort-merge join, and a key-projected scan
+    that never reads the payload columns."""
+    from datax_spark.lake.delta import _dead_rows_frame
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(delete_encoding="eq")
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    assert any(mor.snapshot().deltas.values())
+    assert any(mor.snapshot().eq_deletes.values())
+    dead = _dead_rows_frame(mor, mor.snapshot())
+    dead.collect()  # let AQE finalize the executed plan
+    plan = dead._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final
+    assert "partial_max" in final, "delete keys must combine map-side"
+    assert "content" not in final, "payload columns must not be scanned"
