@@ -1672,6 +1672,48 @@ def q_cdc_iceberg_mor_live(spark, sf_dir):
     )
 
 
+def q_cdc_iceberg_pos_live(spark, sf_dir):
+    """Iceberg v2 position-delete interop (lake/iceberg.py): apply the
+    two-batch changelog into a DEFAULT (inline-tombstone) MOR table
+    with ``sync_iceberg(delete_files='pos')`` as the on_commit hook —
+    the state the equality-delete encoding refuses. Each batch mirrors
+    with NO compaction: live delta files ride as data files and every
+    row the engine's resolved read hides (superseded base rows,
+    non-latest delta rows, inline tombstones) lands in ONE spec
+    position-delete file (reserved field ids 2147483546/2147483545,
+    sorted by (file_path, pos)) at the snapshot's sequence number,
+    computed by the same distributed dead-rows job as the Delta
+    deletion-vector export. The final state reads back purely from the
+    Iceberg metadata, applying the deletes positionally with both
+    small sides broadcast. Equality against the straight replay oracle
+    proves the positional model reproduces row-seq latest-wins."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.iceberg import read_iceberg, sync_iceberg
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_iceberg_pos_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    mor = MorTable.create(
+        spark, os.path.join(root, "m"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(
+        quarantine_dir=os.path.join(root, "q"),
+        on_commit=[lambda m: sync_iceberg(mor, delete_files="pos")],
+    )
+    apply_batch(mor, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, chg.filter(F.col("seq") > mid), 1, cfg)
+    return read_iceberg(spark, os.path.abspath(mor.path)).select(
+        "repo", "path", "commit", "content"
+    )
+
+
 def q_cdc_delta_roundtrip(spark, sf_dir):
     """Delta Lake interop (lake/delta.py): MERGE-apply the two-batch
     changelog into a COW lake table with ``sync_delta`` as the
@@ -3306,6 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_kafka_apply": q_cdc_kafka_apply,
         "cdc_iceberg_roundtrip": q_cdc_iceberg_roundtrip,
         "cdc_iceberg_mor_live": q_cdc_iceberg_mor_live,
+        "cdc_iceberg_pos_live": q_cdc_iceberg_pos_live,
         "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
         "cdc_delta_mor_live": q_cdc_delta_mor_live,
     }
@@ -3801,6 +3844,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_kafka_apply"] = _lake_final
     sql["cdc_iceberg_roundtrip"] = _lake_final
     sql["cdc_iceberg_mor_live"] = _lake_final
+    sql["cdc_iceberg_pos_live"] = _lake_final
     sql["cdc_delta_roundtrip"] = _lake_final
     sql["cdc_delta_mor_live"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final

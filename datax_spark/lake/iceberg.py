@@ -661,6 +661,74 @@ def _synth_delete_file(
     return out, t.num_rows
 
 
+# spec: reserved field ids of the position-delete file columns
+_POS_DELETE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
+
+
+def _synth_pos_delete_file(
+    mdir: str, table, snap, snapshot_id: int
+) -> tuple[str, int] | None:
+    """Write the Iceberg v2 POSITION-delete parquet for a live MOR
+    state: every row the engine's resolved read hides becomes a
+    (file_path, pos) record — computed by the same distributed job as
+    the Delta deletion-vector export (``lake/delta.py::
+    _dead_rows_frame``, PLANS.md §15: one key-window exchange, eq-side
+    broadcast, key-projected scan). Unlike the equality-delete
+    encoding this expresses inline tombstones (a row masks out IN its
+    own file) and NULL-``_seq`` bulk rows (liveness is decided by the
+    engine's own rules, not the file-sequence correspondence).
+
+    Spec conformance: columns ``file_path`` (field id 2147483546) and
+    ``pos`` (2147483545), rows sorted by (file_path, pos), paths
+    byte-equal to the manifests' data-file paths. Driver materializes
+    the dead set once (the same bound the DV exporter documents: data
+    superseded since the last compaction). Returns None when nothing
+    is dead; deterministic name per snapshot so a crashed export
+    retries idempotently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_spark.lake.delta import _dead_rows_frame
+
+    dead = _dead_rows_frame(table, snap)
+    if dead is None:
+        return None
+    pdf = dead.toPandas()
+    if len(pdf) == 0:
+        return None
+    pdf = pdf.sort_values(["_fp", "_pos"], kind="mergesort")
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_PATH_ID).encode()},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_POS_ID).encode()},
+            ),
+        ]
+    )
+    t = pa.table(
+        {
+            "file_path": pdf["_fp"].tolist(),
+            "pos": pdf["_pos"].tolist(),
+        },
+        schema=schema,
+    )
+    out = os.path.join(mdir, f"posdel-{snapshot_id}.parquet")
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out)
+    return out, t.num_rows
+
+
 def _check_no_null_seq_after(
     location: str, rels_with_versions: list[tuple[str, int]], min_delete_v: int
 ) -> None:
@@ -690,7 +758,9 @@ def _check_no_null_seq_after(
                 )
 
 
-def export_iceberg(table, version: int | None = None) -> str:
+def export_iceberg(
+    table, version: int | None = None, delete_files: str = "eq"
+) -> str:
     """Publish ``table``'s snapshot as Apache Iceberg v2 metadata under
     ``<table.path>/metadata/`` (in-place: data files are referenced
     where they already live). Repeat calls after further lake commits
@@ -712,8 +782,24 @@ def export_iceberg(table, version: int | None = None) -> str:
     (partial-column) deltas, NULL-seq bulk loads newer than a live
     delete, vacuumed early lineage.
 
+    ``delete_files='pos'`` encodes live states as one **POSITION-delete
+    file** instead (the spec's other delete encoding, what real
+    compaction-averse writers emit): every row the resolved read hides
+    becomes a (file_path, pos) record at the snapshot's sequence
+    number, which by the spec's "position deletes apply to data files
+    with sequence number <= theirs" rule masks them in every rider.
+    Because the dead set is computed by the engine's OWN resolution,
+    this expresses the states the equality encoding refuses — inline
+    tombstones and post-delete NULL-seq bulk rows — leaving only
+    patch deltas unexportable. Sequence numbering stays flat (no
+    witnessed add-version walk needed).
+
     Returns the path of the new ``vN.metadata.json``.
     """
+    if delete_files not in ("eq", "pos"):
+        raise ValueError(
+            f"delete_files must be 'eq' or 'pos', got {delete_files!r}"
+        )
     if getattr(table, "branch", None) is not None:
         raise ValueError(
             "export_iceberg publishes MAIN versions only: a branch's "
@@ -807,7 +893,9 @@ def export_iceberg(table, version: int | None = None) -> str:
     col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     col_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
     addv = (
-        _file_add_versions(table, snap) if (live_deltas or live_eq) else None
+        _file_add_versions(table, snap)
+        if (live_deltas or live_eq) and delete_files == "eq"
+        else None
     )
     rels = [
         (b, rel)
@@ -890,7 +978,34 @@ def export_iceberg(table, version: int | None = None) -> str:
     del_entries = []
     del_added = del_existing = 0
     del_rows_added = del_rows_existing = 0
-    if addv is not None:
+    if (live_deltas or live_eq) and delete_files == "pos":
+        synth = _synth_pos_delete_file(mdir, table, snap, snapshot_id)
+        if synth is not None:
+            dpath, nrec = synth
+            del_added += 1
+            del_rows_added += nrec
+            del_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq_num,
+                    "file_sequence_number": seq_num,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": dpath,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": nrec,
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "split_offsets": None,
+                        "equality_ids": None,
+                        "sort_order_id": None,
+                    },
+                }
+            )
+    elif addv is not None:
         key_cols = snap.properties["key_cols"]
         eq_ids = [col_ids[k] for k in key_cols]
         min_delete_v = min(addv[rel] for rel in live_deltas + live_eq)
@@ -1032,9 +1147,11 @@ def export_iceberg(table, version: int | None = None) -> str:
                 {
                     "added-delete-files": str(del_added),
                     "total-delete-files": str(del_added + del_existing),
-                    "total-equality-deletes": str(
-                        del_rows_added + del_rows_existing
-                    ),
+                    (
+                        "total-position-deletes"
+                        if delete_files == "pos"
+                        else "total-equality-deletes"
+                    ): str(del_rows_added + del_rows_existing),
                 }
                 if del_entries
                 else {}
@@ -1106,7 +1223,7 @@ def export_iceberg(table, version: int | None = None) -> str:
     return meta_path
 
 
-def sync_iceberg(table) -> str | None:
+def sync_iceberg(table, delete_files: str = "eq") -> str | None:
     """Catch the Iceberg metadata up to the lake's current version —
     the continuous-publish form of ``export_iceberg``, safe to wire as
     a ``PipelineConfig.on_commit`` hook (``lambda m: sync_iceberg(t)``)
@@ -1122,6 +1239,11 @@ def sync_iceberg(table) -> str | None:
     mirrors every batch without waiting for compaction. Export cost is
     O(files added since the last sync): unchanged files ride along as
     EXISTING entries without re-reading footers.
+
+    ``delete_files='pos'`` mirrors live states as position-delete
+    files instead (see ``export_iceberg``) — that mode also exports
+    inline-tombstone states, so a default-encoded (inline) CDC stream
+    mirrors every batch too; only patch deltas stay transient.
 
     Retention couples to lake ``vacuum`` through
     ``iceberg_pinned_versions``: vacuum treats every exported Iceberg
@@ -1139,7 +1261,9 @@ def sync_iceberg(table) -> str | None:
         ):
             return None
     try:
-        return export_iceberg(table, version=snap.version)
+        return export_iceberg(
+            table, version=snap.version, delete_files=delete_files
+        )
     except IcebergUnexportableState:
         return None
 
@@ -1279,9 +1403,8 @@ def iceberg_plan(
 ) -> dict[str, Any]:
     """Plan a scan from Iceberg metadata alone: resolve the snapshot,
     walk its manifest list and manifests, return schema + live data
-    files (with per-file sequence numbers) + equality-delete files.
-    Raises on POSITION delete files (this exporter never writes them;
-    refusing loudly beats silently wrong results on foreign tables)."""
+    files (with per-file sequence numbers) + equality-delete files +
+    position-delete files."""
     meta = _load_metadata(location)
     snap_id = (
         snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
@@ -1314,6 +1437,7 @@ def iceberg_plan(
     files: list[str] = []
     data_seq: dict[str, int] = {}
     eq_deletes: list[tuple[str, int, list[int]]] = []
+    pos_deletes: list[tuple[str, int]] = []
     total_rows = 0
     _, manifests = read_container(snap["manifest-list"])
     for m in manifests:
@@ -1334,9 +1458,11 @@ def iceberg_plan(
                 eq_deletes.append(
                     (df["file_path"], e["sequence_number"], df["equality_ids"])
                 )
+            elif df["content"] == 1:
+                pos_deletes.append((df["file_path"], e["sequence_number"]))
             else:
                 raise NotImplementedError(
-                    "position delete files are not supported by this reader"
+                    f"unknown delete-file content {df['content']!r}"
                 )
     return {
         "snapshot_id": snap_id,
@@ -1345,6 +1471,7 @@ def iceberg_plan(
         "files": files,
         "data_seq": data_seq,
         "eq_deletes": eq_deletes,
+        "pos_deletes": pos_deletes,
         "total_rows": total_rows,
         "metadata": meta,
     }
@@ -1407,8 +1534,95 @@ def read_iceberg(
             )
         else:
             cols.append(F.col(f.name))
-    if not plan["eq_deletes"]:
+    if not plan["eq_deletes"] and not plan["pos_deletes"]:
         return df.select(*cols)
+
+    if plan["pos_deletes"]:
+        # ---- position-delete application (+ equality if both present):
+        # a data row dies iff some position-delete file with sequence
+        # number >= its data file's lists its (file_path, pos). The
+        # delete side collapses to a per-(file,pos) max sequence and
+        # BROADCASTS (bounded by mask volume — data superseded since
+        # the last compaction); the data side reads `_metadata`
+        # (file_path + row_index) and never shuffles.
+        fpath = F.url_decode(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^[a-z]+:(//)?", ""
+            )
+        )
+        seq_rows = [(p, int(s)) for p, s in plan["data_seq"].items()]
+        seq_df = spark.createDataFrame(
+            seq_rows, T.StructType([
+                T.StructField("_fpath", T.StringType()),
+                T.StructField("_fseq", T.LongType()),
+            ])
+        )
+        data = df.select(
+            *cols,
+            fpath.alias("_fpath"),
+            F.col("_metadata.row_index").alias("_pos"),
+        ).join(F.broadcast(seq_df), "_fpath", "left")
+        pschema = T.StructType([
+            T.StructField("file_path", T.StringType()),
+            T.StructField("pos", T.LongType()),
+        ])
+        pdel = None
+        for p, s in plan["pos_deletes"]:
+            d = spark.read.schema(pschema).parquet(p).select(
+                F.col("file_path").alias("_fpath"),
+                F.col("pos").alias("_pos"),
+                F.lit(int(s)).cast("long").alias("_pdseq"),
+            )
+            pdel = d if pdel is None else pdel.unionByName(d)
+        pmax = pdel.groupBy("_fpath", "_pos").agg(
+            F.max("_pdseq").alias("_pdmax")
+        )
+        joined = data.join(
+            F.broadcast(pmax), on=["_fpath", "_pos"], how="left"
+        )
+        checked = F.coalesce(
+            F.assert_true(
+                F.col("_fseq").isNotNull(),
+                F.lit("read_iceberg: _metadata.file_path did not match "
+                      "any manifest file_path"),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+        alive = checked & (
+            F.col("_pdmax").isNull() | (F.col("_pdmax") < F.col("_fseq"))
+        )
+        if plan["eq_deletes"]:
+            id_sets = {tuple(ids) for _, _, ids in plan["eq_deletes"]}
+            if len(id_sets) != 1:
+                raise NotImplementedError(
+                    "heterogeneous equality_ids across delete files"
+                )
+            id_to_name = {
+                fld["id"]: fld["name"]
+                for fld in plan["iceberg_schema"]["fields"]
+            }
+            key_names = [id_to_name[i] for i in plan["eq_deletes"][0][2]]
+            by_name = {f.name: f for f in schema.fields}
+            key_schema = T.StructType([by_name[k] for k in key_names])
+            dels = None
+            for p, s, _ids in plan["eq_deletes"]:
+                d = spark.read.schema(key_schema).parquet(p).select(
+                    *key_names,
+                    F.lit(int(s)).cast("long").alias("_dseq"),
+                )
+                dels = d if dels is None else dels.unionByName(d)
+            dmax = dels.groupBy(*key_names).agg(
+                F.max("_dseq").alias("_dmax")
+            )
+            joined = joined.join(
+                F.broadcast(dmax), on=key_names, how="left"
+            )
+            alive = alive & (
+                F.col("_dmax").isNull() | (F.col("_fseq") >= F.col("_dmax"))
+            )
+        return joined.filter(alive).select(
+            *[f.name for f in schema.fields]
+        )
 
     # ---- equality-delete application (file-sequence rule)
     id_sets = {tuple(ids) for _, _, ids in plan["eq_deletes"]}

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "sync-iceberg", "export-delta", "sync-delta",
                             "checkpoint-delta"])
     p.add_argument("--keep-last", type=int, default=2)
+    p.add_argument("--delete-files", choices=["eq", "pos"], default="eq",
+                   help="live-MOR Iceberg export encoding: equality "
+                        "deletes (eq) or one position-delete file (pos; "
+                        "also expresses inline-tombstone states)")
     p.add_argument("--min-age-sec", type=float, default=0.0)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
     p.add_argument("--cols", nargs="+", help="rewrite sort/z-order columns")
@@ -109,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.op == "export-iceberg":
         from datax_spark.lake.iceberg import export_iceberg, iceberg_plan
 
-        meta_path = export_iceberg(table)
+        meta_path = export_iceberg(table, delete_files=args.delete_files)
         plan = iceberg_plan(os.path.abspath(args.table))
         out = {
             "metadata": meta_path,
@@ -124,7 +128,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.op == "sync-iceberg":
         from datax_spark.lake.iceberg import sync_iceberg
 
-        meta_path = sync_iceberg(table)
+        meta_path = sync_iceberg(table, delete_files=args.delete_files)
         out = {
             "metadata": meta_path,
             "synced": meta_path is not None,

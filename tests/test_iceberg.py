@@ -630,3 +630,120 @@ def test_empty_table_round_trips(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "repo", "path", "commit", "lang", "content"
     ]
+
+
+def test_live_inline_mor_exports_with_position_deletes(
+    spark, log_df, tmp_path
+):
+    """delete_files='pos': the default (inline-tombstone) encoding —
+    which the equality encoding refuses — exports as ONE spec
+    position-delete file (reserved field ids, rows sorted by
+    (file_path, pos), paths byte-equal to the manifests') and the
+    Iceberg read equals the engine's resolved read exactly."""
+    import pyarrow.parquet as pq
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1)
+    assert any(v for v in mor.snapshot().deltas.values())
+    export_iceberg(mor, delete_files="pos")
+
+    loc = os.path.abspath(mor.path)
+    plan = iceberg_plan(loc)
+    assert len(plan["pos_deletes"]) == 1
+    ppath, pseq = plan["pos_deletes"][0]
+    assert pseq == mor.current_version()
+    pf = pq.read_table(ppath)
+    assert pf.schema.names == ["file_path", "pos"]
+    assert pf.schema.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert pf.schema.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    rows = list(zip(pf.column("file_path").to_pylist(),
+                    pf.column("pos").to_pylist()))
+    assert rows == sorted(rows), "spec: sorted by (file_path, pos)"
+    assert {p for p, _ in rows} <= set(plan["data_seq"]), (
+        "delete paths must match manifest data-file paths byte-for-byte"
+    )
+    meta = _load_metadata(loc)
+    s = meta["snapshots"][-1]
+    assert int(s["summary"]["total-delete-files"]) == 1
+    assert int(s["summary"]["total-position-deletes"]) == len(rows)
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_pos_sync_incremental_and_time_travel(spark, log_df, tmp_path):
+    """sync_iceberg(delete_files='pos') per commit on the DEFAULT
+    inline-encoded stream: every batch lands as a snapshot (no
+    compaction, no skips), and time travel to the mid-stream snapshot
+    applies that snapshot's own position-delete file."""
+    from datax_spark.lake.iceberg import sync_iceberg
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(
+        on_commit=[lambda m: sync_iceberg(mor, delete_files="pos")]
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    v1 = mor.current_version()
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    meta = _load_metadata(mor.path)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [
+        v1, mor.current_version()
+    ]
+    loc = os.path.abspath(mor.path)
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+    assert _sorted_rows(read_iceberg(spark, loc, snapshot_id=v1)) == (
+        _sorted_rows(mor.read(version=v1))
+    )
+
+
+def test_pos_export_of_eq_encoded_state(spark, log_df, tmp_path):
+    """An eq-encoded table exports through the position encoding too
+    (the dead set subsumes eq-deleted rows), and no equality-delete
+    files are emitted in pos mode."""
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(delete_encoding="eq")
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    assert any(v for v in mor.snapshot().eq_deletes.values())
+    export_iceberg(mor, delete_files="pos")
+    loc = os.path.abspath(mor.path)
+    plan = iceberg_plan(loc)
+    assert plan["pos_deletes"] and not plan["eq_deletes"]
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_pos_delete_read_never_shuffles_data(spark, log_df, tmp_path):
+    """The position-delete application must broadcast both small sides
+    (path->seq map and the (file,pos) delete set): no hash exchange
+    anywhere in the read plan."""
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1)
+    export_iceberg(mor, delete_files="pos")
+    df = read_iceberg(spark, os.path.abspath(mor.path))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    data_side = final.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in data_side, (
+        "the data side of the position-delete read must not shuffle"
+    )
+    assert "SortMergeJoin" not in final
