@@ -554,12 +554,45 @@ def _physical_names(table, snap, rels: list[str]) -> dict[str, str]:
     return mapping
 
 
-def _dead_rows_frame(table, snap):
+def _changed_buckets(snap, prior_snap) -> list[int] | None:
+    """Bucket ids whose base/delta/eq-delete file lists differ between
+    two snapshots — the ONLY buckets whose masks can have changed,
+    because a key's rows, deltas and deletes all hash to one bucket.
+    None (= recompute everything) when there is no prior snapshot or
+    the bucket counts differ (a rebucket re-keys every file)."""
+    if prior_snap is None:
+        return None
+    if snap.properties.get("num_buckets") != prior_snap.properties.get(
+        "num_buckets"
+    ):
+        return None
+    changed = []
+    for b in (
+        set(snap.buckets) | set(snap.deltas) | set(snap.eq_deletes)
+        | set(prior_snap.buckets) | set(prior_snap.deltas)
+        | set(prior_snap.eq_deletes)
+    ):
+        if (
+            snap.buckets.get(b) != prior_snap.buckets.get(b)
+            or snap.deltas.get(b) != prior_snap.deltas.get(b)
+            or snap.eq_deletes.get(b) != prior_snap.eq_deletes.get(b)
+        ):
+            changed.append(int(b))
+    return sorted(changed)
+
+
+def _dead_rows_frame(table, snap, buckets: list[int] | None = None):
     """The (file path, row position) frame of every DEAD row in a live
     MOR state — the distributed half of ``_mor_file_masks``, split out
     so its physical plan can be pinned (PLANS.md §15): one key-window
     hash exchange, a broadcast join for eq-delete max-seq, never a
     sort-merge join. Returns None when the snapshot lists no files.
+
+    ``buckets`` restricts the scan to those bucket ids — sound because
+    liveness is a per-key property and every key's base rows, delta
+    rows and eq-deletes hash to ONE bucket. Incremental exports pass
+    the changed-bucket set (``_changed_buckets``) so per-batch mask
+    cost is O(changed buckets), not O(table).
 
     - a base row dies when any delta row exists for its key, when an
       equality delete covers it (delete_seq >= coalesce(seq, -inf)),
@@ -603,8 +636,8 @@ def _dead_rows_frame(table, snap):
             )
         )
 
-    base_files = table._abs_files(snap, None, "base")
-    delta_files = table._abs_files(snap, None, "delta")
+    base_files = table._abs_files(snap, buckets, "base")
+    delta_files = table._abs_files(snap, buckets, "delta")
     rows = None
     if base_files:
         rows = scan(base_files, "b")
@@ -614,7 +647,7 @@ def _dead_rows_frame(table, snap):
     if rows is None:
         return None
 
-    eq_files = table._abs_files(snap, None, "eq")
+    eq_files = table._abs_files(snap, buckets, "eq")
     if eq_files:
         eq = spark.read.schema(
             eq_delete_schema(snap.schema, key_cols)
@@ -643,7 +676,9 @@ def _dead_rows_frame(table, snap):
     )
 
 
-def _mor_file_masks(table, snap) -> dict[str, tuple[bytes, int]]:
+def _mor_file_masks(
+    table, snap, buckets: list[int] | None = None
+) -> dict[str, tuple[bytes, int]]:
     """Per-file DEAD row positions of a live MOR state, as
     ``{rel_path: (serialized RoaringBitmapArray, cardinality)}`` —
     exactly the rows ``MorTable.read()`` would not surface (see
@@ -656,7 +691,7 @@ def _mor_file_masks(table, snap) -> dict[str, tuple[bytes, int]]:
     last compaction — the same rows a compaction would drop, which is
     what DV generation inherently costs in any engine."""
     location = os.path.abspath(table.path)
-    dead = _dead_rows_frame(table, snap)
+    dead = _dead_rows_frame(table, snap, buckets)
     if dead is None:
         return {}
 
@@ -782,8 +817,10 @@ def export_delta(
     prior_adds: dict[str, dict] = {}
     prior_meta: dict = {}
     prior_protocol: dict = {}
+    prior_lake_v: int | None = None
     if prev_dv >= 0:
         exported = _exported_lake_versions(location)
+        prior_lake_v = max(exported) if exported else None
         if exported and int(snap.version) < max(exported):
             raise ValueError(
                 f"lake version {snap.version} is older than the newest "
@@ -820,7 +857,22 @@ def export_delta(
     # (superseded base rows, non-latest delta rows, inline tombstones,
     # eq-deleted rows); delta files ride as data files. Like column
     # mapping, the feature never downgrades once the log has used it.
-    masks = _mor_file_masks(table, snap) if mor_live else {}
+    # Incremental exports recompute masks only for buckets whose file
+    # lists changed since the last mirrored lake version — unchanged
+    # buckets keep their prior descriptors (O(changed buckets), not
+    # O(table), per batch; full recompute when the prior snapshot was
+    # vacuumed away).
+    masks: dict[str, tuple[bytes, int]] = {}
+    if mor_live:
+        changed = None
+        if prior_lake_v is not None:
+            try:
+                changed = _changed_buckets(
+                    snap, table.snapshot(prior_lake_v)
+                )
+            except Exception:
+                changed = None
+        masks = _mor_file_masks(table, snap, changed)
     dv_mode = bool(masks) or "deletionVectors" in (
         prior_protocol.get("readerFeatures") or []
     )

@@ -667,7 +667,8 @@ _POS_DELETE_POS_ID = 2147483545
 
 
 def _synth_pos_delete_file(
-    mdir: str, table, snap, snapshot_id: int
+    mdir: str, table, snap, snapshot_id: int,
+    buckets: list[int] | None = None,
 ) -> tuple[str, int] | None:
     """Write the Iceberg v2 POSITION-delete parquet for a live MOR
     state: every row the engine's resolved read hides becomes a
@@ -691,7 +692,7 @@ def _synth_pos_delete_file(
 
     from datax_spark.lake.delta import _dead_rows_frame
 
-    dead = _dead_rows_frame(table, snap)
+    dead = _dead_rows_frame(table, snap, buckets)
     if dead is None:
         return None
     pdf = dead.toPandas()
@@ -979,7 +980,51 @@ def export_iceberg(
     del_added = del_existing = 0
     del_rows_added = del_rows_existing = 0
     if (live_deltas or live_eq) and delete_files == "pos":
-        synth = _synth_pos_delete_file(mdir, table, snap, snapshot_id)
+        # incremental: recompute dead rows only for buckets whose file
+        # lists changed since the last exported snapshot; earlier
+        # snapshots' position-delete files ride along as EXISTING
+        # entries below (death is monotone while a file survives, and
+        # stale rows for replaced files don't join). Full recompute
+        # when the prior lake snapshot is gone (vacuumed) or the table
+        # was rebucketed.
+        from datax_spark.lake.delta import _changed_buckets
+
+        changed = None
+        prior_has_eq = any(
+            p["data_file"]["content"] == 2 for p in prior_files.values()
+        )
+        if (
+            prev_meta
+            and prev_meta.get("snapshots")
+            and not prior_has_eq  # eq->pos switch: the dropped equality
+            # files covered unchanged buckets too — full recompute
+        ):
+            prior_lake_v = max(
+                int(s["snapshot-id"]) for s in prev_meta["snapshots"]
+            )
+            try:
+                changed = _changed_buckets(
+                    snap, table.snapshot(prior_lake_v)
+                )
+            except Exception:
+                changed = None
+        synth = _synth_pos_delete_file(
+            mdir, table, snap, snapshot_id, changed
+        )
+        for path, prior in prior_files.items():
+            if prior["data_file"]["content"] != 1:
+                continue
+            del_existing += 1
+            del_rows_existing += prior["data_file"]["record_count"]
+            del_entries.append(
+                {
+                    "status": 0,  # EXISTING
+                    "snapshot_id": prior["snapshot_id"],
+                    "sequence_number": prior["sequence_number"],
+                    "file_sequence_number": prior["sequence_number"],
+                    "data_file": prior["data_file"],
+                }
+            )
         if synth is not None:
             dpath, nrec = synth
             del_added += 1

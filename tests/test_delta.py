@@ -540,3 +540,50 @@ def test_dv_mask_job_plan_shape(spark, log_df, tmp_path):
     assert "BroadcastHashJoin" in final
     assert "partial_max" in final, "delete keys must combine map-side"
     assert "content" not in final, "payload columns must not be scanned"
+
+
+def test_dv_export_is_incremental_per_changed_bucket(
+    spark, log_df, tmp_path
+):
+    """The second DV export recomputes masks ONLY for buckets whose
+    file lists changed: the new commit's DV-bearing add actions all
+    reference changed buckets' files, unchanged buckets keep their
+    prior descriptors, and the read stays exact."""
+    import urllib.parse
+
+    from datax_spark.lake.delta import _changed_buckets
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    export_delta(mor)
+    snap1 = mor.snapshot()
+    one_repo = (
+        log_df.filter((F.col("seq") > mid) & F.col("repo").isNotNull())
+        .select("repo").distinct().orderBy("repo").first()[0]
+    )
+    apply_batch(
+        mor,
+        log_df.filter((F.col("seq") > mid) & (F.col("repo") == one_repo)),
+        1,
+    )
+    snap2 = mor.snapshot()
+    changed = _changed_buckets(snap2, snap1)
+    assert changed is not None and 0 < len(changed) < 4
+    export_delta(mor)
+
+    loc = os.path.abspath(mor.path)
+    changed_rels = set()
+    for b in changed:
+        changed_rels.update(snap2.buckets.get(str(b), []))
+        changed_rels.update(snap2.deltas.get(str(b), []))
+    dv_rels = {
+        urllib.parse.unquote(a["add"]["path"])
+        for a in _read_commit(loc, 1)
+        if "add" in a and a["add"].get("deletionVector")
+    }
+    assert dv_rels and dv_rels <= changed_rels
+    assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())

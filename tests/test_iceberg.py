@@ -747,3 +747,70 @@ def test_pos_delete_read_never_shuffles_data(spark, log_df, tmp_path):
         "the data side of the position-delete read must not shuffle"
     )
     assert "SortMergeJoin" not in final
+
+
+def test_pos_export_is_incremental_per_changed_bucket(
+    spark, log_df, tmp_path
+):
+    """The second pos export recomputes dead rows ONLY for buckets whose
+    file lists changed: its position-delete file references changed
+    buckets' files only, the first export's pos file rides along as an
+    EXISTING delete entry, and the read still equals the engine's."""
+    import pyarrow.parquet as pq
+
+    from datax_spark.lake.delta import _changed_buckets
+    from datax_spark.lake.iceberg import read_container
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    v1 = mor.current_version()
+    export_iceberg(mor, delete_files="pos")
+    snap1 = mor.snapshot()
+
+    # second batch touches ONE repo -> a strict subset of buckets
+    one_repo = (
+        log_df.filter((F.col("seq") > mid) & F.col("repo").isNotNull())
+        .select("repo").distinct().orderBy("repo").first()[0]
+    )
+    apply_batch(
+        mor, log_df.filter((F.col("seq") > mid) & (F.col("repo") == one_repo)), 1
+    )
+    snap2 = mor.snapshot()
+    changed = _changed_buckets(snap2, snap1)
+    assert changed is not None and 0 < len(changed) < 4
+    export_iceberg(mor, delete_files="pos")
+
+    loc = os.path.abspath(mor.path)
+    plan = iceberg_plan(loc)
+    # both pos files live in the current snapshot's delete manifest
+    assert len(plan["pos_deletes"]) == 2
+    newest = max(plan["pos_deletes"], key=lambda ps: ps[1])
+    oldest = min(plan["pos_deletes"], key=lambda ps: ps[1])
+    assert oldest[1] == v1  # carried EXISTING keeps its sequence
+    # the new file only references changed buckets' data files
+    changed_rels = set()
+    for b in changed:
+        changed_rels.update(snap2.buckets.get(str(b), []))
+        changed_rels.update(snap2.deltas.get(str(b), []))
+    changed_paths = {os.path.join(loc, r) for r in changed_rels}
+    new_paths = set(pq.read_table(newest[0]).column("file_path").to_pylist())
+    assert new_paths and new_paths <= changed_paths
+    # the EXISTING carry is status 0 in the manifest
+    meta = _load_metadata(loc)
+    _, manifests = read_container(meta["snapshots"][-1]["manifest-list"])
+    del_entries = [
+        e
+        for m in manifests
+        if m["content"] == 1
+        for _, ents in [read_container(m["manifest_path"])]
+        for e in ents
+    ]
+    statuses = {
+        e["data_file"]["file_path"]: e["status"] for e in del_entries
+    }
+    assert statuses[oldest[0]] == 0 and statuses[newest[0]] == 1
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
