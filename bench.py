@@ -147,8 +147,9 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     mor_times: list[float] = []
     eq_times: list[float] = []
     eqice_times: list[float] = []
+    dvd_times: list[float] = []
     scd2_times: list[float] = []
-    mor = eq = eqice = None
+    mor = eq = eqice = dvd = None
     for rep in range(reps):
         table = LakeTable.create(
             spark, os.path.join(root, f"lake{rep}"), schema,
@@ -199,6 +200,28 @@ def bench_cdc_apply(spark, sf: float) -> dict:
         )
         eqice_times.append(time.monotonic() - t0)
 
+        # default (inline) apply + CONTINUOUS Delta mirror with deletion
+        # vectors (sync_delta on_commit hook, no compaction gate): the
+        # gap vs mor_apply_sec is the per-batch cost of the DV mask job
+        # (changed buckets only, PLANS.md §15c) + log publish. The same
+        # dead-rows job powers the Iceberg position-delete mirror, so
+        # this one number covers both positional encodings.
+        from datax_spark.lake.delta import sync_delta
+
+        dvd = MorTable.create(
+            spark, os.path.join(root, f"dvd{rep}"), schema,
+            ["repo", "path", "commit"], "repo", 32,
+        )
+        _d = dvd
+        t0 = time.monotonic()
+        apply_segments(
+            spark, dvd, logdir,
+            config=PipelineConfig(
+                on_commit=[lambda m, _d=_d: sync_delta(_d)],
+            ),
+        )
+        dvd_times.append(time.monotonic() - t0)
+
         # SCD2 history mode over the same log: every event becomes an
         # interval (no dedup) — the write-amplified mode, interleaved in
         # the same rep protocol since round 4 (the r3 single-shot number
@@ -215,8 +238,10 @@ def bench_cdc_apply(spark, sf: float) -> dict:
     mor_dt = min(mor_times)
     eq_dt = min(eq_times)
     eqice_dt = min(eqice_times)
+    dvd_dt = min(dvd_times)
     scd2_dt = min(scd2_times)
     # the mirror must actually have landed one Iceberg snapshot per batch
+    from datax_spark.lake.delta import _current_delta_version
     from datax_spark.lake.iceberg import _load_metadata
 
     n_ice_snaps = len(_load_metadata(eqice.path)["snapshots"])
@@ -251,6 +276,12 @@ def bench_cdc_apply(spark, sf: float) -> dict:
         "eqice_apply_sec_reps": [round(t, 2) for t in eqice_times],
         "eqice_events_per_sec": round(n_events / eqice_dt),
         "eqice_snapshots": n_ice_snaps,
+        "dvd_apply_sec": round(dvd_dt, 2),
+        "dvd_apply_sec_reps": [round(t, 2) for t in dvd_times],
+        "dvd_events_per_sec": round(n_events / dvd_dt),
+        "dvd_delta_version": _current_delta_version(
+            os.path.abspath(dvd.path)
+        ),
         "scd2_apply_sec": round(scd2_dt, 2),
         "scd2_apply_sec_reps": [round(t, 2) for t in scd2_times],
         "scd2_events_per_sec": round(n_events / scd2_dt),
