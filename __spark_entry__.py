@@ -1672,6 +1672,45 @@ def q_cdc_iceberg_mor_live(spark, sf_dir):
     )
 
 
+def q_cdc_delta_cdf(spark, sf_dir):
+    """Delta Change Data Feed interop (lake/delta.py): apply the
+    two-batch changelog with ``sync_delta(change_data=True)`` as the
+    on_commit hook — every mirror commit records its row-level diff as
+    spec change-data files (``_change_data/`` parquet with
+    ``_change_type``, referenced by ``cdc`` actions,
+    ``delta.enableChangeDataFeed`` set). Then ``read_delta_changes``
+    reconstructs batch 2's changes purely from the log + feed files.
+    The oracle recomputes the same diff from the two replayed states in
+    SQL (identical to the cdc_change_feed oracle — the mirror's feed
+    must equal the engine's own read_changes value-for-value)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.delta import read_delta_changes, sync_delta
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_delta_cdf_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(root, "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(
+        quarantine_dir=os.path.join(root, "q"),
+        on_commit=[lambda m: sync_delta(table, change_data=True)],
+    )
+    apply_batch(table, chg.filter(F.col("seq") <= mid), 0, cfg)
+    v_after_first = table.current_version()
+    apply_batch(table, chg.filter(F.col("seq") > mid), 1, cfg)
+    return read_delta_changes(
+        spark, os.path.abspath(table.path), from_lake_version=v_after_first
+    ).select("repo", "path", "commit", "content", "_change_type")
+
+
 def q_cdc_iceberg_pos_live(spark, sf_dir):
     """Iceberg v2 position-delete interop (lake/iceberg.py): apply the
     two-batch changelog into a DEFAULT (inline-tombstone) MOR table
@@ -3351,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_iceberg_pos_live": q_cdc_iceberg_pos_live,
         "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
         "cdc_delta_mor_live": q_cdc_delta_mor_live,
+        "cdc_delta_cdf": q_cdc_delta_cdf,
     }
 
 
@@ -4091,6 +4131,9 @@ def oracle_sql() -> dict[str, str]:
                content, _change_type
         FROM feed
     """
+    # Delta CDF mirror: the exported change-data feed must equal the
+    # engine's own read_changes — same oracle as cdc_change_feed.
+    sql["cdc_delta_cdf"] = sql["cdc_change_feed"]
     # Outbound Debezium emit -> parse-back: the envelope trip is value-
     # lossless, so the parsed rows equal the net-change feed with
     # Debezium image semantics (delete carries the BEFORE image, update

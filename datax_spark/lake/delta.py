@@ -127,6 +127,7 @@ _SERIAL_COOKIE_NO_RUN = 12346  # RoaringFormatSpec
 _SERIAL_COOKIE_RUN = 12347
 _NO_OFFSET_THRESHOLD = 4
 _DV_DIR = "_dv"  # random-prefix slot of the 'u' storageType
+CDF_DIR = "_change_data"  # spec: change data files directory
 
 
 def _b85_encode(data: bytes) -> str:
@@ -772,8 +773,56 @@ def _mapped_schema_json(
     return {"type": "struct", "fields": fields}, max_id
 
 
+def _write_cdf_files(
+    table, location: str, prior_lake_v: int, snap, next_dv: int,
+    phys_of: dict[str, str] | None = None,
+) -> list[dict]:
+    """Write the spec CHANGE DATA files for this export — the row-level
+    changes between the last mirrored lake version and this one
+    (``LakeTable.read_changes``: diffs only buckets whose manifests
+    changed), as parquet under ``_change_data/`` with the table columns
+    plus ``_change_type`` in (insert, delete, update_preimage,
+    update_postimage) — the exact vocabulary real Delta CDF readers
+    expect (the lake's own feed already speaks it). Returns the commit's
+    ``cdc`` actions (one per part file; Spark-parallel write, no driver
+    materialization). An export spanning several lake commits folds
+    their per-commit changes into this one mirror commit's feed."""
+    from pyspark.sql import functions as F
+
+    changes = table.read_changes(prior_lake_v, int(snap.version)).drop(
+        "_commit_version"
+    )
+    for logical, physical in (phys_of or {}).items():
+        if logical in changes.columns:
+            changes = changes.withColumnRenamed(logical, physical)
+    out_dir = os.path.join(location, CDF_DIR, f"cdf-{next_dv:020d}")
+    changes.write.mode("overwrite").parquet(out_dir)
+    del F
+    actions: list[dict] = []
+    for name in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, name)
+        if not name.endswith(".parquet"):
+            os.unlink(full)  # _SUCCESS / .crc droppings
+            continue
+        rel = f"{CDF_DIR}/cdf-{next_dv:020d}/{name}"
+        actions.append(
+            {
+                "cdc": {
+                    "path": urllib.parse.quote(rel, safe="/=-"),
+                    "partitionValues": {},
+                    "size": os.path.getsize(full),
+                    "dataChange": False,
+                }
+            }
+        )
+    return actions
+
+
 def export_delta(
-    table, version: int | None = None, checkpoint_interval: int = 10
+    table,
+    version: int | None = None,
+    checkpoint_interval: int = 10,
+    change_data: bool = False,
 ) -> str:
     """Publish ``table``'s snapshot as the next Delta Lake commit under
     ``<table.path>/_delta_log/`` (in-place: data files referenced where
@@ -932,6 +981,14 @@ def export_delta(
         schema_json = export_schema.jsonValue()
     if dv_mode:
         configuration["delta.enableDeletionVectors"] = "true"
+    # CDF: once the table property is set it stays (real Delta keeps the
+    # property until explicitly unset) — later exports keep emitting
+    # change data even when the caller forgets the flag
+    cdf_mode = change_data or (
+        prior_cfg.get("delta.enableChangeDataFeed") == "true"
+    )
+    if cdf_mode:
+        configuration["delta.enableChangeDataFeed"] = "true"
     schema_string = json.dumps(schema_json, sort_keys=True)
     if (
         not prior_meta
@@ -1025,6 +1082,18 @@ def export_delta(
                     }
                 }
             )
+
+    # ---- change data files (CDF): the bootstrap export writes none —
+    # a reader derives its inserts from the version-0 add actions (the
+    # spec's append-only fallback); every later export records the
+    # row-level diff explicitly
+    if cdf_mode and prior_lake_v is not None:
+        actions.extend(
+            _write_cdf_files(
+                table, location, prior_lake_v, snap, next_dv,
+                phys_of if mapped else None,
+            )
+        )
 
     # ---- publish: O_EXCL create is the spec's mutual-exclusion
     # primitive (two racing exporters -> exactly one wins this version)
@@ -1292,10 +1361,10 @@ def clean_delta_log(
                 os.unlink(os.path.join(ldir, name))
                 removed_k += 1
     removed_dv = 0
+    now = _time.time()
     dv_dir = os.path.join(location, _DV_DIR)
     if os.path.isdir(dv_dir):
         refs = _referenced_dv_files(location)
-        now = _time.time()
         for name in sorted(os.listdir(dv_dir)):
             if not name.startswith("deletion_vector_"):
                 continue
@@ -1308,10 +1377,49 @@ def clean_delta_log(
                 continue
             os.unlink(path)
             removed_dv += 1
+    # change-data files: referenced only by commit JSONs (checkpoints
+    # never carry cdc actions, per spec) — cleaning commits below the
+    # checkpoint bounds table_changes to log retention and frees their
+    # feed files here
+    removed_cdf = 0
+    cdf_root = os.path.join(location, CDF_DIR)
+    if os.path.isdir(cdf_root):
+        cdf_refs: set[str] = set()
+        for name in os.listdir(ldir):
+            if name.endswith(".json") and name[:20].isdigit():
+                for action in _read_commit(location, int(name[:20])):
+                    if "cdc" in action:
+                        cdf_refs.add(
+                            os.path.abspath(
+                                os.path.join(
+                                    location,
+                                    urllib.parse.unquote(
+                                        action["cdc"]["path"]
+                                    ),
+                                )
+                            )
+                        )
+        for sub in sorted(os.listdir(cdf_root)):
+            subdir = os.path.join(cdf_root, sub)
+            if not os.path.isdir(subdir):
+                continue
+            for fname in sorted(os.listdir(subdir)):
+                fpath = os.path.join(subdir, fname)
+                if os.path.abspath(fpath) in cdf_refs:
+                    continue
+                if dv_min_age_sec > 0 and (
+                    now - os.path.getmtime(fpath) < dv_min_age_sec
+                ):
+                    continue
+                os.unlink(fpath)
+                removed_cdf += 1
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
     return {
         "removed_commits": removed_c,
         "removed_checkpoints": removed_k,
         "removed_dv_files": removed_dv,
+        "removed_cdf_files": removed_cdf,
     }
 
 
@@ -1407,7 +1515,151 @@ def read_delta(
     ).drop("_fp", "_pos")
 
 
-def sync_delta(table, checkpoint_interval: int = 10) -> str | None:
+def read_delta_changes(
+    spark: SparkSession,
+    location: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    from_lake_version: int | None = None,
+) -> DataFrame:
+    """The spec CDF read (``table_changes``): row-level changes for the
+    Delta versions in ``(from_version, to_version]``, purely from
+    ``_delta_log`` + ``_change_data/``. Returns the table columns plus
+    ``_change_type`` ('insert' | 'delete' | 'update_preimage' |
+    'update_postimage'), ``_commit_version`` (the Delta version) and
+    ``_lake_version`` (the mirrored lake version, this exporter's
+    commitInfo extension).
+
+    Per commit: explicit ``cdc`` actions are authoritative when present
+    (the exporter writes them for every post-bootstrap commit once
+    ``delta.enableChangeDataFeed`` is set); a commit WITHOUT them
+    derives inserts from its add actions iff it is append-shaped (no
+    removes, no deletion-vector descriptors) — the spec's append-only
+    fallback, which covers the bootstrap export. Anything else raises:
+    CDF was not enabled for that commit. Commits cleaned below a
+    checkpoint are unreadable (real Delta's log-retention bound on
+    ``table_changes``).
+
+    ``from_version`` is EXCLUSIVE (changes AFTER that version), matching
+    ``LakeTable.read_changes`` — pass ``from_lake_version`` to give the
+    boundary in lake versions instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    location = os.path.abspath(location)
+    latest = _current_delta_version(location)
+    if from_lake_version is not None:
+        if from_version is not None:
+            raise ValueError(
+                "pass from_version OR from_lake_version, not both"
+            )
+        exported = _exported_lake_versions(location)
+        if int(from_lake_version) not in exported:
+            raise ValueError(
+                f"lake version {from_lake_version} was never exported "
+                f"(mirrored: {sorted(exported)})"
+            )
+        from_version = exported[int(from_lake_version)]
+    if from_version is None:
+        from_version = -1
+    to_version = latest if to_version is None else int(to_version)
+    out: DataFrame | None = None
+    for v in range(int(from_version) + 1, to_version + 1):
+        if not os.path.exists(_commit_path(location, v)):
+            raise ValueError(
+                f"Delta commit {v} was cleaned below a checkpoint — "
+                "change-data reads are bounded by log retention"
+            )
+        commit = _read_commit(location, v)
+        lake_v = next(
+            (
+                a["commitInfo"].get("lakeVersion")
+                for a in commit
+                if "commitInfo" in a
+            ),
+            None,
+        )
+        # schema + mapping as of THIS version
+        _p, meta, _adds, _rm, _ = _replay(location, v)
+        schema_json = json.loads(meta["schemaString"])
+        schema = StructType.fromJson(schema_json)
+        mapped = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "name"
+        phys_fields, selects = [], []
+        for f, j in zip(schema.fields, schema_json["fields"]):
+            phys = (
+                (j.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if mapped
+                else f.name
+            )
+            phys_fields.append(StructField(phys, f.dataType, True))
+            selects.append(F.col(phys).alias(f.name))
+
+        cdc_paths = [
+            os.path.join(
+                location, urllib.parse.unquote(a["cdc"]["path"])
+            )
+            for a in commit
+            if "cdc" in a
+        ]
+        if cdc_paths:
+            scan_schema = StructType(
+                phys_fields + [StructField("_change_type", StringType())]
+            )
+            df = spark.read.schema(scan_schema).parquet(*cdc_paths).select(
+                *selects, F.col("_change_type")
+            )
+        else:
+            adds = [a["add"] for a in commit if "add" in a]
+            if (
+                any("remove" in a for a in commit)
+                or any(a.get("deletionVector") for a in adds)
+            ):
+                raise ValueError(
+                    f"Delta commit {v} has no change-data actions and is "
+                    "not append-shaped — delta.enableChangeDataFeed was "
+                    "not set when it was written"
+                )
+            if not adds:
+                continue
+            paths = [
+                os.path.join(location, urllib.parse.unquote(a["path"]))
+                for a in adds
+            ]
+            df = (
+                spark.read.schema(StructType(phys_fields))
+                .parquet(*paths)
+                .select(*selects, F.lit("insert").alias("_change_type"))
+            )
+        df = df.withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        ).withColumn(
+            "_lake_version",
+            F.lit(lake_v).cast("long"),
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is not None:
+        return out
+    # empty range: schema of the head version + the CDF columns
+    _p, meta, _a, _r, _ = _replay(location, min(to_version, latest))
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    empty = StructType(
+        list(schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+            StructField("_lake_version", LongType()),
+        ]
+    )
+    return spark.createDataFrame([], empty)
+
+
+def sync_delta(
+    table, checkpoint_interval: int = 10, change_data: bool = False
+) -> str | None:
     """Catch the Delta mirror up to the lake's current version — the
     continuous-publish form of ``export_delta``, safe as a
     ``PipelineConfig.on_commit`` hook. No-ops (returns None) when
@@ -1428,6 +1680,7 @@ def sync_delta(table, checkpoint_interval: int = 10) -> str | None:
             table,
             version=snap.version,
             checkpoint_interval=checkpoint_interval,
+            change_data=change_data,
         )
     except DeltaUnexportableState:
         return None

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "sync-iceberg", "export-delta", "sync-delta",
                             "checkpoint-delta"])
     p.add_argument("--keep-last", type=int, default=2)
+    p.add_argument("--change-data", action="store_true",
+                   help="export-delta/sync-delta: write spec change-data "
+                        "files (delta.enableChangeDataFeed) per export")
     p.add_argument("--delete-files", choices=["eq", "pos"], default="eq",
                    help="live-MOR Iceberg export encoding: equality "
                         "deletes (eq) or one position-delete file (pos; "
@@ -137,12 +140,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.op == "export-delta":
         from datax_spark.lake.delta import export_delta
 
-        out = {"commit": export_delta(table),
+        out = {"commit": export_delta(table, change_data=args.change_data),
                "lake_version": table.current_version()}
     elif args.op == "sync-delta":
         from datax_spark.lake.delta import sync_delta
 
-        commit = sync_delta(table)
+        commit = sync_delta(table, change_data=args.change_data)
         out = {
             "commit": commit,
             "synced": commit is not None,

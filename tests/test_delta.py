@@ -587,3 +587,120 @@ def test_dv_export_is_incremental_per_changed_bucket(
     }
     assert dv_rels and dv_rels <= changed_rels
     assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_change_data_feed_roundtrip(spark, log_df, tmp_path):
+    """Spec CDF: sync_delta(change_data=True) writes _change_data files
+    + cdc actions per post-bootstrap commit; read_delta_changes equals
+    LakeTable.read_changes value-for-value, the bootstrap commit
+    derives inserts from its adds (the spec's append-only fallback),
+    metaData carries delta.enableChangeDataFeed, and cdc actions mark
+    dataChange=false."""
+    from datax_spark.lake.delta import read_delta_changes
+
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(
+        on_commit=[lambda m: sync_delta(table, change_data=True)]
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(table, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    v1 = table.current_version()
+    apply_batch(table, log_df.filter(F.col("seq") > mid), 1, cfg)
+    loc = os.path.abspath(table.path)
+
+    def chrows(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "repo", "path", "commit", "content", "_change_type"
+            ).collect()
+        )
+
+    assert chrows(
+        read_delta_changes(spark, loc, from_lake_version=v1)
+    ) == chrows(table.read_changes(v1))
+    # bootstrap: version 0 derives inserts from add actions
+    boot = chrows(read_delta_changes(spark, loc, to_version=0))
+    want0 = sorted(
+        tuple(r) + ("insert",)
+        for r in table.read(version=v1)
+        .select("repo", "path", "commit", "content")
+        .collect()
+    )
+    assert boot == want0
+    a1 = _read_commit(loc, 1)
+    cdcs = [a["cdc"] for a in a1 if "cdc" in a]
+    assert cdcs and all(c["dataChange"] is False for c in cdcs)
+    assert all(c["path"].startswith("_change_data/") for c in cdcs)
+    meta = next(
+        a["metaData"] for a in _read_commit(loc, 0) if "metaData" in a
+    )
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+
+
+def test_change_data_feed_on_mor_dv_table(spark, log_df, tmp_path):
+    """CDF composes with the deletion-vector mirror: a live MOR stream
+    syncing with change_data=True produces both DV-masked state AND a
+    change feed, each matching the engine's own."""
+    from datax_spark.lake.delta import read_delta_changes
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(
+        on_commit=[lambda m: sync_delta(mor, change_data=True)]
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    v1 = mor.current_version()
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    loc = os.path.abspath(mor.path)
+
+    def chrows(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "repo", "path", "commit", "content", "_change_type"
+            ).collect()
+        )
+
+    assert chrows(
+        read_delta_changes(spark, loc, from_lake_version=v1)
+    ) == chrows(mor.read_changes(v1))
+    assert _sorted_rows(read_delta(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_cdf_files_reclaimed_and_range_bounded_by_retention(
+    spark, log_df, tmp_path
+):
+    """Cleaning commits below a checkpoint reclaims their change-data
+    files and bounds read_delta_changes to log retention (real Delta's
+    table_changes contract); the surviving range still reads."""
+    from datax_spark.lake.delta import read_delta_changes
+
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(
+        on_commit=[lambda m: sync_delta(table, change_data=True)]
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(table, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(table, log_df.filter(F.col("seq") > mid), 1, cfg)
+    upd = (
+        log_df.filter(F.col("seq") > mid).limit(200)
+        .withColumn("seq", F.col("seq") + 10_000_000)
+    )
+    apply_batch(table, upd, 2, cfg)
+    loc = os.path.abspath(table.path)
+    checkpoint_delta(loc)
+    res = clean_delta_log(loc)
+    assert res["removed_commits"] >= 2 and res["removed_cdf_files"] >= 1
+    with pytest.raises(ValueError, match="cleaned below"):
+        read_delta_changes(spark, loc, to_version=1)
+    assert read_delta_changes(spark, loc, from_version=1).count() > 0
