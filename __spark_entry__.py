@@ -1711,6 +1711,50 @@ def q_cdc_delta_cdf(spark, sf_dir):
     ).select("repo", "path", "commit", "content", "_change_type")
 
 
+def q_cdc_delta_relay(spark, sf_dir):
+    """Exactly-once CDC FROM a Delta table (lake/delta.py::
+    apply_delta_changes — the Delta-format twin of the Kafka relay):
+    lake A applies the two-batch changelog with a CDF-enabled Delta
+    mirror per commit; lake B then consumes the mirror's Change Data
+    Feed commit-by-commit, each Delta version as one fenced batch
+    (batch id = Delta version, seq = Delta version — a commit's feed
+    nets to one change per key so commit order IS replay order; the
+    destination's own stream fence is the resume cursor, no external
+    checkpoint). Interleaved to prove incrementality: relay after
+    batch 1, apply batch 2, relay again, plus an idempotent re-run.
+    B's final state must equal the straight replay oracle."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.delta import apply_delta_changes, sync_delta
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_delta_relay_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    a = LakeTable.create(
+        spark, os.path.join(root, "a"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(
+        quarantine_dir=os.path.join(root, "q"),
+        on_commit=[lambda m: sync_delta(a, change_data=True)],
+    )
+    b = LakeTable.create(
+        spark, os.path.join(root, "b"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    apply_batch(a, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_delta_changes(spark, b, a.path)
+    apply_batch(a, chg.filter(F.col("seq") > mid), 1, cfg)
+    apply_delta_changes(spark, b, a.path)
+    apply_delta_changes(spark, b, a.path)  # idempotent no-op
+    return b.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_iceberg_pos_live(spark, sf_dir):
     """Iceberg v2 position-delete interop (lake/iceberg.py): apply the
     two-batch changelog into a DEFAULT (inline-tombstone) MOR table
@@ -3391,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
         "cdc_delta_mor_live": q_cdc_delta_mor_live,
         "cdc_delta_cdf": q_cdc_delta_cdf,
+        "cdc_delta_relay": q_cdc_delta_relay,
     }
 
 
@@ -3887,6 +3932,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_iceberg_pos_live"] = _lake_final
     sql["cdc_delta_roundtrip"] = _lake_final
     sql["cdc_delta_mor_live"] = _lake_final
+    sql["cdc_delta_relay"] = _lake_final
     sql["cdc_canal_apply"] = _lake_final
     sql["cdc_maxwell_apply"] = _lake_final
     sql["cdc_rebucket_apply"] = _lake_final

@@ -774,7 +774,7 @@ def _mapped_schema_json(
 
 
 def _write_cdf_files(
-    table, location: str, prior_lake_v: int, snap, next_dv: int,
+    table, location: str, prior_lake_v: int | None, snap, next_dv: int,
     phys_of: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write the spec CHANGE DATA files for this export — the row-level
@@ -789,9 +789,17 @@ def _write_cdf_files(
     their per-commit changes into this one mirror commit's feed."""
     from pyspark.sql import functions as F
 
-    changes = table.read_changes(prior_lake_v, int(snap.version)).drop(
-        "_commit_version"
-    )
+    if prior_lake_v is None:
+        # masked bootstrap (a MOR first export): the resolved state IS
+        # the insert set — the add-derivation fallback can't be used
+        # because the adds carry deletion vectors
+        changes = table.read(version=int(snap.version)).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    else:
+        changes = table.read_changes(prior_lake_v, int(snap.version)).drop(
+            "_commit_version"
+        )
     for logical, physical in (phys_of or {}).items():
         if logical in changes.columns:
             changes = changes.withColumnRenamed(logical, physical)
@@ -1083,11 +1091,11 @@ def export_delta(
                 }
             )
 
-    # ---- change data files (CDF): the bootstrap export writes none —
-    # a reader derives its inserts from the version-0 add actions (the
-    # spec's append-only fallback); every later export records the
-    # row-level diff explicitly
-    if cdf_mode and prior_lake_v is not None:
+    # ---- change data files (CDF): an append-shaped bootstrap export
+    # writes none — a reader derives its inserts from the version-0 add
+    # actions (the spec's append-only fallback); a MASKED bootstrap
+    # (MOR with DVs) and every later export record the feed explicitly
+    if cdf_mode and (prior_lake_v is not None or masks):
         actions.extend(
             _write_cdf_files(
                 table, location, prior_lake_v, snap, next_dv,
@@ -1684,6 +1692,62 @@ def sync_delta(
         )
     except DeltaUnexportableState:
         return None
+
+
+def apply_delta_changes(
+    spark: SparkSession,
+    table,
+    location: str,
+    config=None,
+) -> list:
+    """Exactly-once CDC **from** a Delta table: consume its Change Data
+    Feed commit-by-commit and MERGE-apply into a lake table — the
+    inverse leg of the mirror, and the Delta-format twin of the Kafka
+    relay (``streaming/relay.py``). Lake A -> ``sync_delta(...,
+    change_data=True)`` -> Delta log -> ``apply_delta_changes`` ->
+    lake B converges B on A's state through any crash/replay.
+
+    Each Delta version applies as one fenced batch with ``batch_id`` =
+    the Delta version (the engine's version-fence makes replays
+    committed no-ops), and ``seq`` = the Delta version for every event
+    (a commit's feed nets to at most one change per key, so
+    cross-commit order IS the replay order — the same contract the
+    ingest side relies on). Resume needs no external checkpoint: the
+    destination table's own stream fence (``last_batch_id``) says which
+    Delta version was consumed last. ``update_preimage`` rows drop
+    (the post-image carries the payload); insert/update map to upserts,
+    delete to deletes.
+
+    Feed reads are bounded by log retention: resuming past a
+    ``clean_delta_log`` horizon raises (the cleaned commits' changes
+    are gone — re-seed from ``read_delta`` instead)."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    cfg = config or PipelineConfig()
+    location = os.path.abspath(location)
+    latest = _current_delta_version(location)
+    resume = table.last_batch_id(cfg.stream_id)
+    start = 0 if resume is None else int(resume) + 1
+    metrics = []
+    for v in range(start, latest + 1):
+        feed = read_delta_changes(
+            spark, location, from_version=v - 1, to_version=v
+        )
+        events = (
+            feed.filter(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("delete"))
+                .when(F.col("_change_type") == "insert", F.lit("insert"))
+                .otherwise(F.lit("update")),
+            )
+            .withColumn("seq", F.lit(v).cast("long"))
+            .drop("_change_type", "_commit_version", "_lake_version")
+        )
+        metrics.append(apply_batch(table, events, v, cfg))
+    return metrics
 
 
 def delta_pinned_versions(location: str) -> set[int]:

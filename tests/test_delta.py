@@ -704,3 +704,57 @@ def test_cdf_files_reclaimed_and_range_bounded_by_retention(
     with pytest.raises(ValueError, match="cleaned below"):
         read_delta_changes(spark, loc, to_version=1)
     assert read_delta_changes(spark, loc, from_version=1).count() > 0
+
+
+def test_delta_cdf_relay_converges_exactly_once(spark, log_df, tmp_path):
+    """The inverse leg: lake A -> CDF-enabled Delta mirror ->
+    apply_delta_changes -> lake B. B converges on A after the seed and
+    after an incremental commit; re-running is a no-op (the destination
+    fence IS the cursor — no external checkpoint); a MOR source with
+    deletion vectors relays the same way."""
+    from datax_spark.lake.delta import apply_delta_changes
+
+    def rows(t):
+        return _sorted_rows(t.read())
+
+    a = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "a"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(
+        on_commit=[lambda m: sync_delta(a, change_data=True)]
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(a, log_df.filter(F.col("seq") <= mid), 0, cfg)
+
+    b = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "b"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    m1 = apply_delta_changes(spark, b, a.path)
+    assert [m.applied for m in m1] == [True]
+    assert rows(b) == rows(a)
+
+    apply_batch(a, log_df.filter(F.col("seq") > mid), 1, cfg)
+    m2 = apply_delta_changes(spark, b, a.path)
+    assert [m.batch_id for m in m2] == [1] and m2[0].applied
+    assert rows(b) == rows(a)
+    assert apply_delta_changes(spark, b, a.path) == []  # in sync
+
+    # MOR source: DV-masked state + CDF relays identically
+    ma = MorTable.create(
+        spark, os.path.join(str(tmp_path), "ma"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mcfg = PipelineConfig(
+        on_commit=[lambda m: sync_delta(ma, change_data=True)]
+    )
+    apply_batch(ma, log_df.filter(F.col("seq") <= mid), 0, mcfg)
+    apply_batch(ma, log_df.filter(F.col("seq") > mid), 1, mcfg)
+    mb = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "mb"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    ms = apply_delta_changes(spark, mb, ma.path)
+    assert [m.applied for m in ms] == [True, True]
+    assert rows(mb) == rows(ma)
