@@ -758,3 +758,49 @@ def test_delta_cdf_relay_converges_exactly_once(spark, log_df, tmp_path):
     ms = apply_delta_changes(spark, mb, ma.path)
     assert [m.applied for m in ms] == [True, True]
     assert rows(mb) == rows(ma)
+
+
+def test_uniform_both_mirrors_on_one_table(spark, log_df, tmp_path):
+    """The UniForm pattern: ONE MOR table continuously mirrored as BOTH
+    open formats in the same stream (sync_iceberg with position deletes
+    + sync_delta with DVs and CDF) — external Iceberg and Delta readers
+    and the engine all see the same rows at every commit."""
+    from datax_spark.lake.delta import read_delta_changes
+    from datax_spark.lake.iceberg import read_iceberg, sync_iceberg
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(
+        on_commit=[
+            lambda m: sync_iceberg(mor, delete_files="pos"),
+            lambda m: sync_delta(mor, change_data=True),
+        ]
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    v1 = mor.current_version()
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    loc = os.path.abspath(mor.path)
+    want = _sorted_rows(mor.read())
+    assert _sorted_rows(read_iceberg(spark, loc)) == want
+    assert _sorted_rows(read_delta(spark, loc)) == want
+    # time travel agrees across formats too
+    want1 = _sorted_rows(mor.read(version=v1))
+    assert _sorted_rows(read_iceberg(spark, loc, snapshot_id=v1)) == want1
+    assert _sorted_rows(read_delta(spark, loc, lake_version=v1)) == want1
+    # and the Delta CDF matches the engine's own feed
+    got = sorted(
+        tuple(r)
+        for r in read_delta_changes(spark, loc, from_lake_version=v1)
+        .select("repo", "path", "commit", "content", "_change_type")
+        .collect()
+    )
+    want_chg = sorted(
+        tuple(r)
+        for r in mor.read_changes(v1)
+        .select("repo", "path", "commit", "content", "_change_type")
+        .collect()
+    )
+    assert got == want_chg
