@@ -1797,6 +1797,48 @@ def q_cdc_iceberg_pos_live(spark, sf_dir):
     )
 
 
+def q_cdc_iceberg_dv_live(spark, sf_dir):
+    """Iceberg FORMAT-VERSION-3 deletion-vector interop
+    (lake/iceberg.py + lake/puffin.py): the same no-compaction CDC
+    mirror as cdc_iceberg_pos_live, but each batch's dead rows publish
+    as spec v3 DELETION VECTORS — Puffin ``delete-vector-v1`` roaring
+    bitmaps (byte-identical to Delta's DV serialization, which the v3
+    spec adopted), one blob per masked data file, referenced from the
+    delete manifest via referenced_data_file/content_offset/
+    content_size_in_bytes, with v3 row lineage (next-row-id /
+    first-row-id) maintained across the incremental exports. Masks
+    recompute only for changed buckets; unchanged buckets' DVs ride as
+    EXISTING entries into their original Puffin files. The final state
+    reads back purely from the v3 metadata; equality against the
+    straight replay oracle proves the DV model reproduces row-seq
+    latest-wins."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.iceberg import read_iceberg, sync_iceberg
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_iceberg_dv_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    mor = MorTable.create(
+        spark, os.path.join(root, "m"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(
+        quarantine_dir=os.path.join(root, "q"),
+        on_commit=[lambda m: sync_iceberg(mor, delete_files="dv")],
+    )
+    apply_batch(mor, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(mor, chg.filter(F.col("seq") > mid), 1, cfg)
+    return read_iceberg(spark, os.path.abspath(mor.path)).select(
+        "repo", "path", "commit", "content"
+    )
+
+
 def q_cdc_delta_roundtrip(spark, sf_dir):
     """Delta Lake interop (lake/delta.py): MERGE-apply the two-batch
     changelog into a COW lake table with ``sync_delta`` as the
@@ -3432,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_iceberg_roundtrip": q_cdc_iceberg_roundtrip,
         "cdc_iceberg_mor_live": q_cdc_iceberg_mor_live,
         "cdc_iceberg_pos_live": q_cdc_iceberg_pos_live,
+        "cdc_iceberg_dv_live": q_cdc_iceberg_dv_live,
         "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
         "cdc_delta_mor_live": q_cdc_delta_mor_live,
         "cdc_delta_cdf": q_cdc_delta_cdf,
@@ -3930,6 +3973,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_iceberg_roundtrip"] = _lake_final
     sql["cdc_iceberg_mor_live"] = _lake_final
     sql["cdc_iceberg_pos_live"] = _lake_final
+    sql["cdc_iceberg_dv_live"] = _lake_final
     sql["cdc_delta_roundtrip"] = _lake_final
     sql["cdc_delta_mor_live"] = _lake_final
     sql["cdc_delta_relay"] = _lake_final

@@ -315,7 +315,41 @@ def _int_map(name: str, key_id: int, value_id: int, value_type: str) -> dict:
     }
 
 
-def _data_file_schema() -> dict:
+def _data_file_schema(v3: bool = False) -> dict:
+    """``data_file`` record. ``v3`` adds the format-version-3 fields:
+    row lineage (``first_row_id``, field id 142) and deletion-vector
+    references (``referenced_data_file`` 143, ``content_offset`` 144,
+    ``content_size_in_bytes`` 145)."""
+    extra = (
+        [
+            {
+                "name": "first_row_id",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 142,
+            },
+            {
+                "name": "referenced_data_file",
+                "type": _opt("string"),
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 145,
+            },
+        ]
+        if v3
+        else []
+    )
     return {
         "type": "record",
         "name": "data_file",
@@ -362,11 +396,12 @@ def _data_file_schema() -> dict:
                 "default": None,
                 "field-id": 140,
             },
-        ],
+        ]
+        + extra,
     }
 
 
-def _manifest_entry_schema() -> dict:
+def _manifest_entry_schema(v3: bool = False) -> dict:
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -390,12 +425,30 @@ def _manifest_entry_schema() -> dict:
                 "default": None,
                 "field-id": 4,
             },
-            {"name": "data_file", "type": _data_file_schema(), "field-id": 2},
+            {
+                "name": "data_file",
+                "type": _data_file_schema(v3),
+                "field-id": 2,
+            },
         ],
     }
 
 
-def _manifest_list_schema() -> dict:
+def _manifest_list_schema(v3: bool = False) -> dict:
+    extra = (
+        [
+            {
+                # v3 row lineage: starting row id for data files that
+                # inherit (null for delete manifests)
+                "name": "first_row_id",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 520,
+            }
+        ]
+        if v3
+        else []
+    )
     return {
         "type": "record",
         "name": "manifest_file",
@@ -453,7 +506,8 @@ def _manifest_list_schema() -> dict:
                 "default": None,
                 "field-id": 507,
             },
-        ],
+        ]
+        + extra,
     }
 
 
@@ -536,28 +590,60 @@ def _load_metadata(location: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def _prior_file_index(location: str, meta: dict) -> dict[str, dict]:
-    """file_path -> {snapshot_id, sequence_number, record_count, ...} for
-    every live file of the previous current snapshot (so re-exported
-    files keep their original lineage as EXISTING entries)."""
+def _prior_file_index(
+    location: str, meta: dict
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Index the previous current snapshot's live entries so re-exports
+    keep their original lineage as EXISTING entries. Returns
+    ``(files, dvs)``:
+
+    - ``files``: file_path -> {snapshot_id, sequence_number, data_file}
+      for data files and non-DV delete files (their path is unique);
+    - ``dvs``: referenced_data_file -> the same dict, for v3 deletion
+      vectors (several DV entries share ONE Puffin ``file_path``, so
+      the referenced data file is the natural key — the spec allows at
+      most one DV per data file).
+
+    v3 row lineage is reconstructed on the way through: a data entry
+    with a null ``first_row_id`` inherits ``manifest.first_row_id``
+    plus the record counts of the null entries before it (the spec's
+    reader-side assignment), and the derived value is written back
+    into the returned ``data_file`` dict so the next export can emit
+    it EXPLICITLY — keeping every row's id stable across manifest
+    rewrites."""
     snap_id = meta.get("current-snapshot-id")
     if snap_id is None or snap_id == -1:
-        return {}
+        return {}, {}
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
     out: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
     _, manifests = read_container(snap["manifest-list"])
     for m in manifests:
         _, entries = read_container(m["manifest_path"])
+        mf_first = m.get("first_row_id")
+        assigned = 0
         for e in entries:
             if e["status"] == 2:  # deleted
                 continue
             df = e["data_file"]
-            out[df["file_path"]] = {
+            if (
+                df["content"] == 0
+                and df.get("first_row_id") is None
+                and mf_first is not None
+            ):
+                df = dict(df)
+                df["first_row_id"] = mf_first + assigned
+                assigned += df["record_count"]
+            rec = {
                 "snapshot_id": e["snapshot_id"],
                 "sequence_number": e["sequence_number"],
                 "data_file": df,
             }
-    return out
+            if df["content"] == 1 and df.get("referenced_data_file"):
+                dvs[df["referenced_data_file"]] = rec
+            else:
+                out[df["file_path"]] = rec
+    return out, dvs
 
 
 class IcebergUnexportableState(ValueError):
@@ -730,6 +816,85 @@ def _synth_pos_delete_file(
     return out, t.num_rows
 
 
+def _synth_dv_file(
+    mdir: str,
+    table,
+    snap,
+    snapshot_id: int,
+    buckets: list[int] | None = None,
+) -> tuple[str, list[tuple[str, int, int, int]]] | None:
+    """Write the **Iceberg v3 deletion vectors** of a live MOR state:
+    one Puffin file holding one ``delete-vector-v1`` blob per data file
+    with dead rows — the masks computed by the same distributed job as
+    the position-delete and Delta-DV exports (``lake/delta.py::
+    _mor_file_masks``; PLANS.md §15: key-projected scan, one key-window
+    exchange, broadcast eq-side, roaring build in Arrow-batched
+    ``mapInPandas``). The serialized bitmaps are byte-identical to
+    Delta's (the v3 spec adopted Delta's RoaringBitmapArray layout),
+    so the org.roaringbitmap cross-check in tests/test_delta.py covers
+    this path too.
+
+    Returns ``(puffin_path, [(referenced_abs_path, offset, length,
+    cardinality), ...])`` or None when nothing is dead. ``buckets``
+    restricts recomputation to changed buckets (incremental sync);
+    deterministic file name per snapshot, and a crashed export retries
+    idempotently by re-reading the existing Puffin's footer instead of
+    rewriting it."""
+    from datax_spark.lake.delta import _mor_file_masks
+    from datax_spark.lake.puffin import (
+        frame_dv_payload,
+        read_puffin_footer,
+        write_puffin,
+    )
+
+    location = os.path.abspath(table.path)
+    out = os.path.join(mdir, f"dv-{snapshot_id}.puffin")
+    if os.path.exists(out):  # crashed-export retry: reuse, don't rewrite
+        metas = read_puffin_footer(out)["blobs"]
+        return out, [
+            (
+                m["properties"]["referenced-data-file"],
+                m["offset"],
+                m["length"],
+                int(m["properties"]["cardinality"]),
+            )
+            for m in metas
+        ]
+    masks = _mor_file_masks(table, snap, buckets)
+    if not masks:
+        return None
+    blobs = []
+    for rel in sorted(masks):
+        payload, card = masks[rel]
+        blobs.append(
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                # the manifest entry is the authority for snapshot and
+                # sequence — the reference DV writer stamps -1 here
+                "snapshot-id": -1,
+                "sequence-number": -1,
+                "data": frame_dv_payload(payload),
+                "properties": {
+                    "referenced-data-file": os.path.join(location, rel),
+                    "cardinality": str(card),
+                },
+            }
+        )
+    metas = write_puffin(
+        out, blobs, {"created-by": "datax-spark iceberg exporter"}
+    )
+    return out, [
+        (
+            m["properties"]["referenced-data-file"],
+            m["offset"],
+            m["length"],
+            int(m["properties"]["cardinality"]),
+        )
+        for m in metas
+    ]
+
+
 def _check_no_null_seq_after(
     location: str, rels_with_versions: list[tuple[str, int]], min_delete_v: int
 ) -> None:
@@ -795,11 +960,27 @@ def export_iceberg(
     patch deltas unexportable. Sequence numbering stays flat (no
     witnessed add-version walk needed).
 
+    ``delete_files='dv'`` publishes **format-version 3** metadata and
+    encodes the same dead-row set as spec v3 **deletion vectors**: one
+    Puffin file per export holding a ``delete-vector-v1`` roaring
+    bitmap per masked data file (lake/puffin.py — byte-identical to
+    Delta's DV serialization, which the v3 spec adopted), referenced
+    from the delete manifest via ``referenced_data_file`` /
+    ``content_offset`` / ``content_size_in_bytes`` (field ids 143-145)
+    with at most one DV per data file. v3's required row lineage is
+    maintained: the table tracks ``next-row-id``, each snapshot its
+    ``first-row-id``, and data files get stable ``first_row_id``
+    assignments (null = spec inheritance for newly added files;
+    explicit re-emission for EXISTING files across manifest rewrites).
+    Once a table publishes v3 it never downgrades, and v3 refuses
+    ``delete_files='pos'`` (the spec replaced position-delete files
+    with DVs); ``'eq'`` stays legal at both versions.
+
     Returns the path of the new ``vN.metadata.json``.
     """
-    if delete_files not in ("eq", "pos"):
+    if delete_files not in ("eq", "pos", "dv"):
         raise ValueError(
-            f"delete_files must be 'eq' or 'pos', got {delete_files!r}"
+            f"delete_files must be 'eq', 'pos' or 'dv', got {delete_files!r}"
         )
     if getattr(table, "branch", None) is not None:
         raise ValueError(
@@ -827,9 +1008,22 @@ def export_iceberg(
 
     prev_version = _current_metadata_version(location)
     prev_meta = _load_metadata(location, prev_version) if prev_version else None
-    prior_files = (
-        _prior_file_index(location, prev_meta) if prev_meta else {}
+    prior_files, prior_dvs = (
+        _prior_file_index(location, prev_meta) if prev_meta else ({}, {})
     )
+
+    # ---- format version: 'dv' needs v3 (deletion vectors + row
+    # lineage), and a table once exported at v3 never downgrades (the
+    # spec forbids it); v3 in turn bans position-delete FILES — DVs
+    # replaced them — while equality deletes stay legal in both.
+    prior_fv = int(prev_meta.get("format-version", 2)) if prev_meta else 2
+    v3 = delete_files == "dv" or prior_fv >= 3
+    if v3 and delete_files == "pos":
+        raise ValueError(
+            "format-version 3 tables cannot add position-delete files "
+            "(the v3 spec replaced them with deletion vectors) — use "
+            "delete_files='dv'"
+        )
 
     # ---- schema (stable field ids across exports)
     prior_ids: dict[str, int] = {}
@@ -1050,6 +1244,96 @@ def export_iceberg(
                     },
                 }
             )
+    elif (live_deltas or live_eq) and delete_files == "dv":
+        # ---- Iceberg v3 deletion vectors. Incremental like the pos
+        # and Delta-DV paths: masks recompute only for buckets whose
+        # file lists changed since the prior exported snapshot, and
+        # the unchanged buckets' DVs ride along as EXISTING entries
+        # still pointing into their original Puffin files (sound
+        # because a key's rows, deltas and deletes all hash to one
+        # bucket — a file's mask can only change with its bucket).
+        # Full recompute when the prior export used a different delete
+        # encoding (its delete files covered unchanged buckets too),
+        # when the prior lake snapshot is gone, or on a rebucket.
+        from datax_spark.lake.delta import _changed_buckets
+
+        changed = None
+        prior_other_deletes = any(
+            p["data_file"]["content"] in (1, 2)
+            for p in prior_files.values()
+        )
+        if (
+            prev_meta
+            and prev_meta.get("snapshots")
+            and not prior_other_deletes
+        ):
+            prior_lake_v = max(
+                int(s["snapshot-id"]) for s in prev_meta["snapshots"]
+            )
+            try:
+                changed = _changed_buckets(
+                    snap, table.snapshot(prior_lake_v)
+                )
+            except Exception:
+                changed = None
+        if changed is not None and prior_dvs:
+            changed_set = set(changed)
+            live_abs = set(abs_of.values())
+            bucket_of: dict[str, int] = {}
+            for section in ("buckets", "deltas"):
+                for b, fl in getattr(snap, section).items():
+                    for rel in fl:
+                        bucket_of[os.path.join(location, rel)] = int(b)
+            for ref in sorted(prior_dvs):
+                prior = prior_dvs[ref]
+                if (
+                    ref not in live_abs
+                    or bucket_of.get(ref) is None
+                    or bucket_of[ref] in changed_set
+                ):
+                    continue  # referenced file gone or mask recomputed
+                del_existing += 1
+                del_rows_existing += prior["data_file"]["record_count"]
+                del_entries.append(
+                    {
+                        "status": 0,  # EXISTING
+                        "snapshot_id": prior["snapshot_id"],
+                        "sequence_number": prior["sequence_number"],
+                        "file_sequence_number": prior["sequence_number"],
+                        "data_file": prior["data_file"],
+                    }
+                )
+        synth_dv = _synth_dv_file(mdir, table, snap, snapshot_id, changed)
+        if synth_dv is not None:
+            dpath, dv_info = synth_dv
+            dsize = os.path.getsize(dpath)
+            for ref, off, ln, card in dv_info:
+                del_added += 1
+                del_rows_added += card
+                del_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq_num,
+                        "file_sequence_number": seq_num,
+                        "data_file": {
+                            "content": 1,  # POSITION_DELETES (as a DV)
+                            "file_path": dpath,
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": card,
+                            "file_size_in_bytes": dsize,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "split_offsets": None,
+                            "equality_ids": None,
+                            "sort_order_id": None,
+                            "referenced_data_file": ref,
+                            "content_offset": off,
+                            "content_size_in_bytes": ln,
+                        },
+                    }
+                )
     elif addv is not None:
         key_cols = snap.properties["key_cols"]
         eq_ids = [col_ids[k] for k in key_cols]
@@ -1110,22 +1394,41 @@ def export_iceberg(
         )
         write_container(
             p,
-            _manifest_entry_schema(),
+            _manifest_entry_schema(v3),
             ents,
             meta={
                 "schema": json.dumps(ice_schema),
                 "schema-id": str(schema_id),
                 "partition-spec": "[]",
                 "partition-spec-id": "0",
-                "format-version": "2",
+                "format-version": "3" if v3 else "2",
                 "content": kind,
             },
         )
         return p
 
+    # ---- v3 row lineage: this snapshot's id block starts at the
+    # table's next-row-id; entries written with a NULL first_row_id
+    # (newly added files, plus files first exported under v2 — their
+    # ids assign lazily on upgrade, per the spec) inherit
+    # manifest.first_row_id + the record counts of the null entries
+    # before them, so the block advances by exactly the null entries'
+    # rows. EXISTING files re-emit their reconstructed assignment
+    # explicitly (_prior_file_index), keeping ids stable across the
+    # per-export manifest rewrites.
+    base_row_id = (
+        int(prev_meta.get("next-row-id", 0)) if prev_meta else 0
+    )
+    assigned_rows = sum(
+        e["data_file"]["record_count"]
+        for e in entries
+        if e["data_file"].get("first_row_id") is None
+    )
+
     manifest_path = _write_manifest_avro("data", entries)
     list_rows = [
         {
+            "first_row_id": base_row_id if v3 else None,
             "manifest_path": manifest_path,
             "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": 0,
@@ -1148,6 +1451,7 @@ def export_iceberg(
         del_manifest_path = _write_manifest_avro("deletes", del_entries)
         list_rows.append(
             {
+                "first_row_id": None,  # row ids are for data manifests
                 "manifest_path": del_manifest_path,
                 "manifest_length": os.path.getsize(del_manifest_path),
                 "partition_spec_id": 0,
@@ -1171,9 +1475,9 @@ def export_iceberg(
     )
     write_container(
         manifest_list_path,
-        _manifest_list_schema(),
+        _manifest_list_schema(v3),
         list_rows,
-        meta={"format-version": "2"},
+        meta={"format-version": "3" if v3 else "2"},
     )
 
     # ---- metadata.json
@@ -1194,7 +1498,7 @@ def export_iceberg(
                     "total-delete-files": str(del_added + del_existing),
                     (
                         "total-position-deletes"
-                        if delete_files == "pos"
+                        if delete_files in ("pos", "dv")
                         else "total-equality-deletes"
                     ): str(del_rows_added + del_rows_existing),
                 }
@@ -1204,6 +1508,8 @@ def export_iceberg(
         },
         "schema-id": schema_id,
     }
+    if v3:
+        snapshot_entry["first-row-id"] = base_row_id
     table_uuid = (
         prev_meta["table-uuid"]
         if prev_meta
@@ -1226,9 +1532,10 @@ def export_iceberg(
             }
         )
     meta = {
-        "format-version": 2,
+        "format-version": 3 if v3 else 2,
         "table-uuid": table_uuid,
         "location": location,
+        **({"next-row-id": base_row_id + assigned_rows} if v3 else {}),
         "last-sequence-number": seq_num,
         "last-updated-ms": now_ms,
         "last-column-id": last_column_id,
@@ -1289,6 +1596,9 @@ def sync_iceberg(table, delete_files: str = "eq") -> str | None:
     files instead (see ``export_iceberg``) — that mode also exports
     inline-tombstone states, so a default-encoded (inline) CDC stream
     mirrors every batch too; only patch deltas stay transient.
+    ``delete_files='dv'`` does the same with format-version-3
+    deletion vectors (Puffin roaring bitmaps, incremental per changed
+    bucket) — the modern encoding real v3 writers emit.
 
     Retention couples to lake ``vacuum`` through
     ``iceberg_pinned_versions``: vacuum treats every exported Iceberg
@@ -1483,6 +1793,7 @@ def iceberg_plan(
     data_seq: dict[str, int] = {}
     eq_deletes: list[tuple[str, int, list[int]]] = []
     pos_deletes: list[tuple[str, int]] = []
+    dvs: list[dict[str, Any]] = []
     total_rows = 0
     _, manifests = read_container(snap["manifest-list"])
     for m in manifests:
@@ -1491,7 +1802,26 @@ def iceberg_plan(
             if e["status"] == 2:
                 continue
             df = e["data_file"]
-            if df["file_format"].upper() != "PARQUET":
+            fmt = df["file_format"].upper()
+            if df["content"] == 1 and fmt == "PUFFIN":
+                # v3 deletion vector: one blob slice per referenced file
+                if not df.get("referenced_data_file"):
+                    raise ValueError(
+                        f"PUFFIN delete entry without referenced_data_file "
+                        f"in {m['manifest_path']}"
+                    )
+                dvs.append(
+                    {
+                        "puffin": df["file_path"],
+                        "offset": df["content_offset"],
+                        "length": df["content_size_in_bytes"],
+                        "referenced": df["referenced_data_file"],
+                        "cardinality": df["record_count"],
+                        "seq": e["sequence_number"],
+                    }
+                )
+                continue
+            if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"file format {df['file_format']!r} not supported"
                 )
@@ -1509,6 +1839,14 @@ def iceberg_plan(
                 raise NotImplementedError(
                     f"unknown delete-file content {df['content']!r}"
                 )
+    seen_refs: set[str] = set()
+    for d in dvs:
+        if d["referenced"] in seen_refs:
+            raise ValueError(
+                f"multiple deletion vectors reference {d['referenced']} "
+                "(the v3 spec allows at most one per data file)"
+            )
+        seen_refs.add(d["referenced"])
     return {
         "snapshot_id": snap_id,
         "schema": _from_iceberg_type(ice_schema),
@@ -1517,6 +1855,7 @@ def iceberg_plan(
         "data_seq": data_seq,
         "eq_deletes": eq_deletes,
         "pos_deletes": pos_deletes,
+        "dvs": dvs,
         "total_rows": total_rows,
         "metadata": meta,
     }
@@ -1579,10 +1918,14 @@ def read_iceberg(
             )
         else:
             cols.append(F.col(f.name))
-    if not plan["eq_deletes"] and not plan["pos_deletes"]:
+    if (
+        not plan["eq_deletes"]
+        and not plan["pos_deletes"]
+        and not plan["dvs"]
+    ):
         return df.select(*cols)
 
-    if plan["pos_deletes"]:
+    if plan["pos_deletes"] or plan["dvs"]:
         # ---- position-delete application (+ equality if both present):
         # a data row dies iff some position-delete file with sequence
         # number >= its data file's lists its (file_path, pos). The
@@ -1619,6 +1962,41 @@ def read_iceberg(
                 F.lit(int(s)).cast("long").alias("_pdseq"),
             )
             pdel = d if pdel is None else pdel.unionByName(d)
+        if plan["dvs"]:
+            # v3 deletion vectors: decode the Puffin blob slices
+            # driver-side (bounded by mask volume — the same rows a
+            # compaction would drop) and ride the same broadcast
+            # anti-join. A DV kills its positions in the referenced
+            # file UNCONDITIONALLY (the manifest ties it to the file),
+            # encoded here as a +inf delete sequence.
+            from datax_spark.lake.puffin import (
+                dv_positions_from_blob,
+                read_puffin_blob,
+            )
+
+            dv_rows = []
+            for d in plan["dvs"]:
+                blob = read_puffin_blob(
+                    d["puffin"], d["offset"], d["length"]
+                )
+                positions = dv_positions_from_blob(blob)
+                if len(positions) != d["cardinality"]:
+                    raise ValueError(
+                        f"DV cardinality mismatch for {d['referenced']}: "
+                        f"{len(positions)} != {d['cardinality']}"
+                    )
+                dv_rows.extend(
+                    (d["referenced"], int(p), 1 << 62) for p in positions
+                )
+            dvf = spark.createDataFrame(
+                dv_rows,
+                T.StructType([
+                    T.StructField("_fpath", T.StringType()),
+                    T.StructField("_pos", T.LongType()),
+                    T.StructField("_pdseq", T.LongType()),
+                ]),
+            )
+            pdel = dvf if pdel is None else pdel.unionByName(dvf)
         pmax = pdel.groupBy("_fpath", "_pos").agg(
             F.max("_pdseq").alias("_pdmax")
         )

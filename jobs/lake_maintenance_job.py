@@ -58,10 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--change-data", action="store_true",
                    help="export-delta/sync-delta: write spec change-data "
                         "files (delta.enableChangeDataFeed) per export")
-    p.add_argument("--delete-files", choices=["eq", "pos"], default="eq",
+    p.add_argument("--delete-files", choices=["eq", "pos", "dv"],
+                   default="eq",
                    help="live-MOR Iceberg export encoding: equality "
-                        "deletes (eq) or one position-delete file (pos; "
-                        "also expresses inline-tombstone states)")
+                        "deletes (eq), one position-delete file (pos; "
+                        "also expresses inline-tombstone states), or "
+                        "format-version-3 deletion vectors (dv: Puffin "
+                        "roaring bitmaps, incremental per changed bucket)")
     p.add_argument("--min-age-sec", type=float, default=0.0)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
     p.add_argument("--cols", nargs="+", help="rewrite sort/z-order columns")

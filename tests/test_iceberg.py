@@ -814,3 +814,345 @@ def test_pos_export_is_incremental_per_changed_bucket(
     }
     assert statuses[oldest[0]] == 0 and statuses[newest[0]] == 1
     assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+
+# ---------------------------------------------------------------------------
+# format-version 3 deletion vectors (delete_files='dv')
+# ---------------------------------------------------------------------------
+
+
+def test_live_mor_exports_v3_deletion_vectors(spark, log_df, tmp_path):
+    """delete_files='dv': a live inline-tombstone MOR state publishes
+    format-version-3 metadata whose dead rows are Puffin deletion
+    vectors — one ``delete-vector-v1`` roaring blob per masked data
+    file, referenced from the delete manifest by the v3 fields
+    (referenced_data_file / content_offset / content_size_in_bytes) —
+    and the Iceberg read equals the engine's resolved read exactly."""
+    from datax_spark.lake.puffin import (
+        DV_MAGIC_BYTES,
+        MAGIC,
+        dv_positions_from_blob,
+        read_puffin_blob,
+        read_puffin_footer,
+    )
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1)
+    assert any(v for v in mor.snapshot().deltas.values())
+    export_iceberg(mor, delete_files="dv")
+
+    loc = os.path.abspath(mor.path)
+    meta = _load_metadata(loc)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] > 0
+    assert meta["snapshots"][-1]["first-row-id"] == 0
+    s = meta["snapshots"][-1]["summary"]
+    assert int(s["total-delete-files"]) >= 1
+
+    plan = iceberg_plan(loc)
+    assert plan["dvs"] and not plan["pos_deletes"] and not plan["eq_deletes"]
+    # every DV references a live data file; at most one per file is
+    # enforced by iceberg_plan itself
+    assert {d["referenced"] for d in plan["dvs"]} <= set(plan["data_seq"])
+    total_dead = 0
+    for d in plan["dvs"]:
+        # the Puffin container framing is spec-shaped
+        with open(d["puffin"], "rb") as f:
+            raw = f.read()
+        assert raw[:4] == MAGIC and raw[-4:] == MAGIC
+        foot = read_puffin_footer(d["puffin"])
+        blob_meta = next(
+            b
+            for b in foot["blobs"]
+            if b["properties"]["referenced-data-file"] == d["referenced"]
+        )
+        assert blob_meta["type"] == "deletion-vector-v1"
+        assert blob_meta["offset"] == d["offset"]
+        assert blob_meta["length"] == d["length"]
+        assert blob_meta["snapshot-id"] == -1  # manifest is the authority
+        # the blob itself: len + D1 33 39 64 magic + roaring + crc32
+        blob = read_puffin_blob(d["puffin"], d["offset"], d["length"])
+        assert blob[4:8] == DV_MAGIC_BYTES
+        positions = dv_positions_from_blob(blob)  # verifies the CRC
+        assert len(positions) == d["cardinality"]
+        assert positions == sorted(set(positions))
+        total_dead += len(positions)
+    assert int(s["total-position-deletes"]) == total_dead
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_dv_blob_framing_is_deltas():
+    """The bytes inside a v3 DV blob are EXACTLY one record of Delta's
+    deletion-vector file format (the v3 spec adopted Delta's
+    RoaringBitmapArray serialization, so engines share readers — and
+    this repo's serializer is cross-checked byte-for-byte against
+    org.roaringbitmap in tests/test_delta.py)."""
+    import struct
+    import zlib
+
+    from datax_spark.lake.delta import serialize_dv
+    from datax_spark.lake.puffin import dv_blob_data, dv_positions_from_blob
+
+    positions = [0, 1, 5, 4096, (3 << 32) | 7]
+    blob, card = dv_blob_data(positions)
+    assert card == len(positions)
+    payload = serialize_dv(sorted(positions))
+    assert blob == (
+        struct.pack(">I", len(payload))
+        + payload
+        + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+    )
+    assert dv_positions_from_blob(blob) == sorted(positions)
+    # corruption is caught by the CRC, not silently decoded
+    bad = bytearray(blob)
+    bad[10] ^= 0xFF
+    with pytest.raises(ValueError):
+        dv_positions_from_blob(bytes(bad))
+
+
+def test_dv_export_is_incremental_per_changed_bucket(
+    spark, log_df, tmp_path
+):
+    """The second dv export recomputes masks ONLY for changed buckets:
+    unchanged buckets' DVs ride along as EXISTING delete entries still
+    pointing into the FIRST export's Puffin file, the new Puffin only
+    references changed buckets' files, and reads stay exact."""
+    from datax_spark.lake.delta import _changed_buckets
+    from datax_spark.lake.iceberg import read_container
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    v1 = mor.current_version()
+    export_iceberg(mor, delete_files="dv")
+    snap1 = mor.snapshot()
+
+    one_repo = (
+        log_df.filter((F.col("seq") > mid) & F.col("repo").isNotNull())
+        .select("repo").distinct().orderBy("repo").first()[0]
+    )
+    apply_batch(
+        mor,
+        log_df.filter((F.col("seq") > mid) & (F.col("repo") == one_repo)),
+        1,
+    )
+    snap2 = mor.snapshot()
+    changed = _changed_buckets(snap2, snap1)
+    assert changed is not None and 0 < len(changed) < 4
+    export_iceberg(mor, delete_files="dv")
+
+    loc = os.path.abspath(mor.path)
+    mdir = os.path.join(loc, "metadata")
+    plan = iceberg_plan(loc)
+    puffins = {d["puffin"] for d in plan["dvs"]}
+    assert puffins == {
+        os.path.join(mdir, f"dv-{v1}.puffin"),
+        os.path.join(mdir, f"dv-{mor.current_version()}.puffin"),
+    }
+    changed_rels = set()
+    for b in changed:
+        changed_rels.update(snap2.buckets.get(str(b), []))
+        changed_rels.update(snap2.deltas.get(str(b), []))
+    changed_paths = {os.path.join(loc, r) for r in changed_rels}
+    new_puffin = os.path.join(mdir, f"dv-{mor.current_version()}.puffin")
+    for d in plan["dvs"]:
+        if d["puffin"] == new_puffin:
+            assert d["referenced"] in changed_paths
+            assert d["seq"] == mor.current_version()
+        else:
+            assert d["referenced"] not in changed_paths
+            assert d["seq"] == v1  # EXISTING keeps its sequence
+    meta = _load_metadata(loc)
+    _, manifests = read_container(meta["snapshots"][-1]["manifest-list"])
+    del_entries = [
+        e
+        for m in manifests
+        if m["content"] == 1
+        for _, ents in [read_container(m["manifest_path"])]
+        for e in ents
+    ]
+    assert {
+        e["status"] for e in del_entries
+        if e["data_file"]["file_path"] == new_puffin
+    } == {1}
+    assert {
+        e["status"] for e in del_entries
+        if e["data_file"]["file_path"] != new_puffin
+    } == {0}
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+    assert _sorted_rows(
+        read_iceberg(spark, loc, snapshot_id=v1)
+    ) == _sorted_rows(mor.read(version=v1))
+
+
+def test_v3_row_lineage_stable_unique_and_monotone(spark, log_df, tmp_path):
+    """Row lineage across three dv exports: every data file's assigned
+    first_row_id block is disjoint, a surviving file's assignment never
+    changes across manifest rewrites, and next-row-id advances by
+    exactly the newly assigned rows."""
+    from datax_spark.lake.iceberg import _prior_file_index
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    hi = log_df.agg(F.max("seq")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    lo = -1
+    assigned_history = []
+    loc = os.path.abspath(mor.path)
+    for i, cut in enumerate(cuts):
+        apply_batch(
+            mor,
+            log_df.filter((F.col("seq") > lo) & (F.col("seq") <= cut)),
+            i,
+        )
+        lo = cut
+        export_iceberg(mor, delete_files="dv")
+        meta = _load_metadata(loc)
+        files, _dvs = _prior_file_index(loc, meta)
+        assigned = {
+            p: (rec["data_file"]["first_row_id"],
+                rec["data_file"]["record_count"])
+            for p, rec in files.items()
+            if rec["data_file"]["content"] == 0
+        }
+        # blocks are disjoint and inside [0, next-row-id)
+        spans = sorted(assigned.values())
+        for (a, n), (b, _) in zip(spans, spans[1:]):
+            assert a + n <= b, "overlapping first_row_id blocks"
+        assert spans[0][0] >= 0
+        assert spans[-1][0] + spans[-1][1] <= meta["next-row-id"]
+        # snapshots' first-row-id is monotone
+        frids = [s["first-row-id"] for s in meta["snapshots"]]
+        assert frids == sorted(frids)
+        assigned_history.append(assigned)
+    # a file surviving from export i to i+1 keeps its assignment
+    for prev, cur in zip(assigned_history, assigned_history[1:]):
+        for p in set(prev) & set(cur):
+            assert prev[p] == cur[p], f"first_row_id moved for {p}"
+
+
+def test_v3_never_downgrades_and_refuses_pos(spark, log_df, tmp_path):
+    """Once a table publishes format-version 3 it stays v3 (later eq
+    exports included), and delete_files='pos' refuses — the v3 spec
+    replaced position-delete files with deletion vectors. A v2 (eq)
+    table upgrades to v3 in place on its first dv export."""
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(delete_encoding="eq")
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    export_iceberg(mor, delete_files="eq")
+    loc = os.path.abspath(mor.path)
+    assert _load_metadata(loc)["format-version"] == 2
+
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    export_iceberg(mor, delete_files="dv")  # v2 -> v3 upgrade
+    meta = _load_metadata(loc)
+    assert meta["format-version"] == 3
+    assert "next-row-id" in meta
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_iceberg(mor, delete_files="pos")
+    mor.compact(max_files_per_bucket=0)
+    export_iceberg(mor, delete_files="eq")  # clean state, eq mode
+    assert _load_metadata(loc)["format-version"] == 3  # never downgrades
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_pos_to_dv_switch_recomputes_fully(spark, log_df, tmp_path):
+    """Switching a pos-exported table to dv drops the parquet
+    position-delete entries (v3 bans them) and recomputes every mask:
+    the new snapshot's deletes are DVs only, while time travel to the
+    pos-era snapshot still applies its position-delete file."""
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    v1 = mor.current_version()
+    export_iceberg(mor, delete_files="pos")
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1)
+    export_iceberg(mor, delete_files="dv")
+
+    loc = os.path.abspath(mor.path)
+    plan = iceberg_plan(loc)
+    assert plan["dvs"] and not plan["pos_deletes"]
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+    old = iceberg_plan(loc, snapshot_id=v1)
+    assert old["pos_deletes"] and not old["dvs"]
+    assert _sorted_rows(
+        read_iceberg(spark, loc, snapshot_id=v1)
+    ) == _sorted_rows(mor.read(version=v1))
+
+
+def test_expire_reclaims_unreferenced_puffins(spark, log_df, tmp_path):
+    """expire_iceberg's unreferenced-file sweep covers Puffin files:
+    after expiring the first dv snapshot, only Puffins the kept
+    snapshot references survive, and the read is unaffected."""
+    import glob as globmod
+
+    from datax_spark.lake.iceberg import expire_iceberg
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    export_iceberg(mor, delete_files="dv")
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1)
+    export_iceberg(mor, delete_files="dv")
+
+    loc = os.path.abspath(mor.path)
+    mdir = os.path.join(loc, "metadata")
+    before = set(globmod.glob(os.path.join(mdir, "*.puffin")))
+    assert len(before) >= 2
+    expire_iceberg(mor, keep_last=1)
+    kept_puffins = {d["puffin"] for d in iceberg_plan(loc)["dvs"]}
+    after = set(globmod.glob(os.path.join(mdir, "*.puffin")))
+    assert after == kept_puffins
+    assert before - after, "expire should reclaim some Puffin file"
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+
+def test_dv_sync_publishes_each_batch(spark, log_df, tmp_path):
+    """sync_iceberg(delete_files='dv') as the on_commit hook mirrors
+    every committed batch of a default (inline-tombstone) CDC stream
+    as a v3 snapshot — no compaction gate, no skips."""
+    from datax_spark.lake.iceberg import sync_iceberg
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    cfg = PipelineConfig(
+        on_commit=[lambda m: sync_iceberg(mor, delete_files="dv")]
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0, cfg)
+    v1 = mor.current_version()
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1, cfg)
+    loc = os.path.abspath(mor.path)
+    meta = _load_metadata(loc)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [
+        v1, mor.current_version()
+    ]
+    assert meta["format-version"] == 3
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
