@@ -1509,7 +1509,10 @@ def export_iceberg(
         "schema-id": schema_id,
     }
     if v3:
+        # row-lineage block: catalogs advance next-row-id from these
+        # two fields without reading manifests
         snapshot_entry["first-row-id"] = base_row_id
+        snapshot_entry["added-rows"] = assigned_rows
     table_uuid = (
         prev_meta["table-uuid"]
         if prev_meta
@@ -1754,13 +1757,17 @@ def expire_iceberg(table_or_location, keep_last: int = 1) -> dict[str, int]:
 
 
 def iceberg_plan(
-    location: str, snapshot_id: int | None = None
+    location: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
 ) -> dict[str, Any]:
     """Plan a scan from Iceberg metadata alone: resolve the snapshot,
     walk its manifest list and manifests, return schema + live data
     files (with per-file sequence numbers) + equality-delete files +
-    position-delete files."""
-    meta = _load_metadata(location)
+    position-delete files + deletion vectors. ``metadata`` short-cuts
+    the version-hint file read when the caller already holds the
+    metadata document (a REST catalog ``loadTable`` response)."""
+    meta = metadata if metadata is not None else _load_metadata(location)
     snap_id = (
         snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     )
@@ -1862,7 +1869,10 @@ def iceberg_plan(
 
 
 def read_iceberg(
-    spark: SparkSession, location: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    location: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
 ) -> DataFrame:
     """Read an Iceberg table (written by ``export_iceberg``) purely from
     its Iceberg metadata — the lake's own manifests are never consulted,
@@ -1877,7 +1887,7 @@ def read_iceberg(
     (path -> seq) join on ``input_file_name()``, and the delete side
     collapses to a per-key max before ONE broadcast left join — the
     100-TB data side never shuffles."""
-    plan = iceberg_plan(location, snapshot_id)
+    plan = iceberg_plan(location, snapshot_id, metadata)
     schema: T.StructType = plan["schema"]
     if not plan["files"]:
         return spark.createDataFrame([], schema)

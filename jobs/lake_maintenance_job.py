@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "also expresses inline-tombstone states), or "
                         "format-version-3 deletion vectors (dv: Puffin "
                         "roaring bitmaps, incremental per changed bucket)")
+    p.add_argument("--rest-url",
+                   help="sync-iceberg: publish through an Iceberg REST "
+                        "catalog at this URL instead of only the local "
+                        "version-hint flow")
+    p.add_argument("--rest-namespace", default="lake")
+    p.add_argument("--rest-table",
+                   help="catalog table name (default: table dir basename)")
+    p.add_argument("--rest-token", help="bearer token for --rest-url")
     p.add_argument("--min-age-sec", type=float, default=0.0)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
     p.add_argument("--cols", nargs="+", help="rewrite sort/z-order columns")
@@ -132,9 +140,25 @@ def main(argv: list[str] | None = None) -> int:
 
         out = expire_iceberg(table, keep_last=args.keep_last)
     elif args.op == "sync-iceberg":
-        from datax_spark.lake.iceberg import sync_iceberg
+        if args.rest_url:
+            from datax_spark.lake.rest_catalog import (
+                RestCatalog,
+                sync_iceberg_rest,
+            )
 
-        meta_path = sync_iceberg(table, delete_files=args.delete_files)
+            meta_path = sync_iceberg_rest(
+                table,
+                RestCatalog(args.rest_url, token=args.rest_token),
+                args.rest_namespace,
+                args.rest_table or os.path.basename(
+                    os.path.abspath(args.table)
+                ),
+                delete_files=args.delete_files,
+            )
+        else:
+            from datax_spark.lake.iceberg import sync_iceberg
+
+            meta_path = sync_iceberg(table, delete_files=args.delete_files)
         out = {
             "metadata": meta_path,
             "synced": meta_path is not None,

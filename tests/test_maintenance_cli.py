@@ -107,3 +107,39 @@ def test_all_ops(spark, tmp_path, capsys):
     assert os.path.exists(dck["checkpoint"])
     assert dck["removed_commits"] == 0  # nothing below checkpoint 0
     assert read_delta(spark, os.path.abspath(t.path)).count() == 6
+
+
+def test_sync_iceberg_rest_flag(spark, tmp_path, capsys):
+    """--op sync-iceberg --rest-url publishes through the REST catalog:
+    first call registers, a later call commits the new snapshot, and
+    loadTable tracks the lake head."""
+    from datax_spark.lake.rest_catalog import (
+        IcebergRestCatalogServer,
+        RestCatalog,
+    )
+
+    t = _table(spark, tmp_path)
+    with IcebergRestCatalogServer() as srv:
+        out = _run(
+            capsys, "--table", t.path, "--op", "sync-iceberg",
+            "--rest-url", srv.url, "--rest-table", "t",
+        )
+        assert out["synced"] is True
+        cat = RestCatalog(srv.url)
+        assert cat.list_tables("lake") == ["t"]
+        v0 = cat.load_table("lake", "t")["metadata"]["current-snapshot-id"]
+        merge_apply(
+            t,
+            spark.createDataFrame(
+                [("k0", "insert", 99, "nv")],
+                "k string, op string, seq long, v string",
+            ),
+            99,
+        )
+        out = _run(
+            capsys, "--table", t.path, "--op", "sync-iceberg",
+            "--rest-url", srv.url, "--rest-table", "t",
+        )
+        assert out["synced"] is True
+        meta = cat.load_table("lake", "t")["metadata"]
+        assert meta["current-snapshot-id"] == t.current_version() > v0
