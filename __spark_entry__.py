@@ -1839,6 +1839,59 @@ def q_cdc_iceberg_dv_live(spark, sf_dir):
     )
 
 
+def q_cdc_iceberg_rest(spark, sf_dir):
+    """Iceberg REST catalog interop (lake/rest_catalog.py): the same
+    no-compaction v3 deletion-vector CDC mirror as cdc_iceberg_dv_live,
+    but every commit publishes THROUGH an in-process REST catalog
+    server speaking the public protocol — first contact registers the
+    table, each subsequent batch lands as an optimistic commit
+    (assert-table-uuid + assert-ref-snapshot-id on main, add-snapshot +
+    set-snapshot-ref updates, 409-retry on races), with v3 row lineage
+    validated server-side. The final state is read back through
+    ``loadTable`` metadata (the catalog's pointer — the local
+    version-hint file is never consulted). Equality against the
+    straight replay oracle proves the whole catalog loop is lossless."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.lake.rest_catalog import (
+        IcebergRestCatalogServer,
+        RestCatalog,
+        read_iceberg_catalog,
+        sync_iceberg_rest,
+    )
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_iceberg_rest_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    mor = MorTable.create(
+        spark, os.path.join(root, "m"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    with IcebergRestCatalogServer() as srv:
+        cat = RestCatalog(srv.url)
+        cfg = PipelineConfig(
+            quarantine_dir=os.path.join(root, "q"),
+            on_commit=[
+                lambda m: sync_iceberg_rest(
+                    mor, cat, "lake", "repos", delete_files="dv"
+                )
+            ],
+        )
+        apply_batch(mor, chg.filter(F.col("seq") <= mid), 0, cfg)
+        apply_batch(mor, chg.filter(F.col("seq") > mid), 1, cfg)
+        # the plan is built from the loadTable response here; executing
+        # it later touches only the filesystem, not the server
+        out = read_iceberg_catalog(spark, cat, "lake", "repos").select(
+            "repo", "path", "commit", "content"
+        )
+    return out
+
+
 def q_cdc_delta_roundtrip(spark, sf_dir):
     """Delta Lake interop (lake/delta.py): MERGE-apply the two-batch
     changelog into a COW lake table with ``sync_delta`` as the
@@ -3475,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_iceberg_mor_live": q_cdc_iceberg_mor_live,
         "cdc_iceberg_pos_live": q_cdc_iceberg_pos_live,
         "cdc_iceberg_dv_live": q_cdc_iceberg_dv_live,
+        "cdc_iceberg_rest": q_cdc_iceberg_rest,
         "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
         "cdc_delta_mor_live": q_cdc_delta_mor_live,
         "cdc_delta_cdf": q_cdc_delta_cdf,
@@ -3974,6 +4028,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_iceberg_mor_live"] = _lake_final
     sql["cdc_iceberg_pos_live"] = _lake_final
     sql["cdc_iceberg_dv_live"] = _lake_final
+    sql["cdc_iceberg_rest"] = _lake_final
     sql["cdc_delta_roundtrip"] = _lake_final
     sql["cdc_delta_mor_live"] = _lake_final
     sql["cdc_delta_relay"] = _lake_final
