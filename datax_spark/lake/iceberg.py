@@ -2106,3 +2106,222 @@ def read_iceberg(
         F.col("_dmax").isNull() | (F.col("_fseq") >= F.col("_dmax"))
     )
     return joined.filter(alive).select(*[f.name for f in schema.fields])
+
+
+# ---------------------------------------------------------------------------
+# metadata tables (the `t$snapshots` / `t$files` inspection surface)
+# ---------------------------------------------------------------------------
+
+_META_TABLE_KINDS = (
+    "snapshots",
+    "history",
+    "refs",
+    "manifests",
+    "files",
+    "data_files",
+    "delete_files",
+    "metadata_log_entries",
+)
+
+
+def iceberg_metadata_table(
+    spark: SparkSession,
+    location: str,
+    kind: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
+) -> DataFrame:
+    """The Iceberg METADATA-TABLE surface (what real engines expose as
+    ``SELECT * FROM t$snapshots`` / ``t$files`` / ...), built purely
+    from the exported metadata — the lake's own manifests are never
+    consulted. Supported kinds: ``snapshots``, ``history``, ``refs``,
+    ``manifests``, ``files`` (current snapshot's live entries, data AND
+    deletes, incl. the v3 deletion-vector columns), ``data_files``,
+    ``delete_files``, ``metadata_log_entries``. ``snapshot_id`` time
+    travels the manifest-backed kinds; ``metadata`` short-cuts the
+    version-hint read (a REST catalog loadTable response).
+
+    Scale note: rows are built driver-side from the metadata/Avro
+    files, O(snapshots + live files) — metadata-bounded work, the same
+    reads any Iceberg engine does to serve these tables; nothing here
+    touches data files."""
+    if kind not in _META_TABLE_KINDS:
+        raise ValueError(
+            f"unknown metadata table {kind!r}; one of {_META_TABLE_KINDS}"
+        )
+    meta = metadata if metadata is not None else _load_metadata(location)
+
+    def ts(ms):
+        import datetime as _dt
+
+        return _dt.datetime.fromtimestamp(ms / 1000.0)
+
+    if kind == "snapshots":
+        schema = T.StructType([
+            T.StructField("committed_at", T.TimestampType()),
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("sequence_number", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("manifest_list", T.StringType()),
+            T.StructField("summary", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("first_row_id", T.LongType()),
+        ])
+        rows = [
+            (
+                ts(s["timestamp-ms"]),
+                int(s["snapshot-id"]),
+                int(s["sequence-number"]),
+                s.get("summary", {}).get("operation"),
+                s["manifest-list"],
+                {k: str(v) for k, v in s.get("summary", {}).items()},
+                s.get("first-row-id"),
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    if kind == "history":
+        current = meta.get("current-snapshot-id")
+        # linear history (export appends snapshots in order): every
+        # logged snapshot still in the snapshots list is an ancestor
+        live = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+        schema = T.StructType([
+            T.StructField("made_current_at", T.TimestampType()),
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("is_current_ancestor", T.BooleanType()),
+        ])
+        rows = [
+            (
+                ts(e["timestamp-ms"]),
+                int(e["snapshot-id"]),
+                e["snapshot-id"] in live and e["snapshot-id"] <= current,
+            )
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    if kind == "refs":
+        schema = T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("snapshot_id", T.LongType()),
+        ])
+        rows = [
+            (name, r.get("type", "branch"), int(r["snapshot-id"]))
+            for name, r in sorted(meta.get("refs", {}).items())
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    if kind == "metadata_log_entries":
+        schema = T.StructType([
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("file", T.StringType()),
+        ])
+        rows = [
+            (ts(e["timestamp-ms"]), e["metadata-file"])
+            for e in meta.get("metadata-log", [])
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    # manifest-backed kinds resolve a snapshot
+    snap_id = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == snap_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snap_id} not in {location} metadata")
+    _, manifests = read_container(snap["manifest-list"])
+
+    if kind == "manifests":
+        schema = T.StructType([
+            T.StructField("content", T.IntegerType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("partition_spec_id", T.IntegerType()),
+            T.StructField("added_snapshot_id", T.LongType()),
+            T.StructField("added_files_count", T.IntegerType()),
+            T.StructField("existing_files_count", T.IntegerType()),
+            T.StructField("deleted_files_count", T.IntegerType()),
+            T.StructField("added_rows_count", T.LongType()),
+            T.StructField("existing_rows_count", T.LongType()),
+            T.StructField("first_row_id", T.LongType()),
+        ])
+        rows = [
+            (
+                int(m["content"]),
+                m["manifest_path"],
+                int(m["manifest_length"]),
+                int(m["partition_spec_id"]),
+                int(m["added_snapshot_id"]),
+                int(m["added_files_count"]),
+                int(m["existing_files_count"]),
+                int(m["deleted_files_count"]),
+                int(m["added_rows_count"]),
+                int(m["existing_rows_count"]),
+                m.get("first_row_id"),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    # files / data_files / delete_files
+    schema = T.StructType([
+        T.StructField("content", T.IntegerType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("file_format", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_size_in_bytes", T.LongType()),
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("equality_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("first_row_id", T.LongType()),
+        T.StructField("referenced_data_file", T.StringType()),
+        T.StructField("content_offset", T.LongType()),
+        T.StructField("content_size_in_bytes", T.LongType()),
+    ])
+    rows = []
+    for m in manifests:
+        mf_first = m.get("first_row_id")
+        assigned = 0
+        _, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df = e["data_file"]
+            first = df.get("first_row_id")
+            if (
+                first is None
+                and df["content"] == 0
+                and mf_first is not None
+            ):
+                first = mf_first + assigned
+                assigned += df["record_count"]
+            rows.append(
+                (
+                    int(df["content"]),
+                    df["file_path"],
+                    df["file_format"],
+                    int(df["record_count"]),
+                    int(df["file_size_in_bytes"]),
+                    int(e["sequence_number"]),
+                    int(e["snapshot_id"]),
+                    int(e["status"]),
+                    df.get("equality_ids"),
+                    first,
+                    df.get("referenced_data_file"),
+                    df.get("content_offset"),
+                    df.get("content_size_in_bytes"),
+                )
+            )
+    out = spark.createDataFrame(rows, schema)
+    if kind == "data_files":
+        out = out.filter("content = 0")
+    elif kind == "delete_files":
+        out = out.filter("content != 0")
+    return out

@@ -1156,3 +1156,110 @@ def test_dv_sync_publishes_each_batch(spark, log_df, tmp_path):
     ]
     assert meta["format-version"] == 3
     assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+
+# ---------------------------------------------------------------------------
+# metadata tables
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_tables_cow(spark, exported):
+    """The t$snapshots / history / refs / manifests / files inspection
+    surface agrees with the metadata document and the scan plan."""
+    from datax_spark.lake.iceberg import iceberg_metadata_table
+
+    loc = exported["location"]
+    meta = _load_metadata(loc)
+
+    snaps = iceberg_metadata_table(spark, loc, "snapshots")
+    srows = snaps.orderBy("snapshot_id").collect()
+    assert [r["snapshot_id"] for r in srows] == [
+        s["snapshot-id"] for s in meta["snapshots"]
+    ]
+    assert all(r["operation"] in ("append", "overwrite") for r in srows)
+
+    hist = iceberg_metadata_table(spark, loc, "history").collect()
+    assert len(hist) == len(meta["snapshot-log"])
+    assert all(r["is_current_ancestor"] for r in hist)
+
+    refs = {r["name"]: r for r in
+            iceberg_metadata_table(spark, loc, "refs").collect()}
+    assert refs["main"]["snapshot_id"] == meta["current-snapshot-id"]
+
+    from datax_spark.sources.avro_codec import read_container
+
+    mans = iceberg_metadata_table(spark, loc, "manifests").collect()
+    assert {r["path"] for r in mans} == {
+        m["manifest_path"]
+        for m in read_container(meta["snapshots"][-1]["manifest-list"])[1]
+    }
+
+    plan = iceberg_plan(loc)
+    files = iceberg_metadata_table(spark, loc, "files")
+    assert files.filter("content = 0").count() == len(plan["files"])
+    data = iceberg_metadata_table(spark, loc, "data_files").collect()
+    assert {r["file_path"] for r in data} == set(plan["files"])
+    for r in data:
+        assert r["sequence_number"] == plan["data_seq"][r["file_path"]]
+    # record counts agree with the plan's total
+    assert sum(r["record_count"] for r in data) == plan["total_rows"]
+    # time travel: the first snapshot's files table matches its plan
+    v1 = meta["snapshots"][0]["snapshot-id"]
+    old_plan = iceberg_plan(loc, snapshot_id=v1)
+    old_files = iceberg_metadata_table(
+        spark, loc, "data_files", snapshot_id=v1
+    )
+    assert old_files.count() == len(old_plan["files"])
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_metadata_table(spark, loc, "entries")
+
+
+def test_metadata_tables_dv_and_row_ids(spark, log_df, tmp_path):
+    """On a v3 DV table the delete_files rows carry the deletion-vector
+    columns, and the files table's derived first_row_id assignment
+    matches the exporter's reconstruction (disjoint, complete)."""
+    from datax_spark.lake.iceberg import (
+        _prior_file_index,
+        iceberg_metadata_table,
+    )
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(mor, log_df.filter(F.col("seq") <= mid), 0)
+    export_iceberg(mor, delete_files="dv")
+    apply_batch(mor, log_df.filter(F.col("seq") > mid), 1)
+    export_iceberg(mor, delete_files="dv")
+    loc = os.path.abspath(mor.path)
+    meta = _load_metadata(loc)
+
+    dels = iceberg_metadata_table(spark, loc, "delete_files").collect()
+    assert dels
+    for r in dels:
+        assert r["content"] == 1
+        assert r["file_format"] == "PUFFIN"
+        assert r["referenced_data_file"] and r["content_offset"] is not None
+        assert r["content_size_in_bytes"] > 0
+    plan = iceberg_plan(loc)
+    assert {r["referenced_data_file"] for r in dels} == {
+        d["referenced"] for d in plan["dvs"]
+    }
+
+    data = iceberg_metadata_table(spark, loc, "data_files").collect()
+    files_idx, _ = _prior_file_index(loc, meta)
+    for r in data:
+        rec = files_idx[r["file_path"]]
+        assert r["first_row_id"] == rec["data_file"]["first_row_id"]
+    ids = sorted(
+        (r["first_row_id"], r["record_count"]) for r in data
+    )
+    for (a, n), (b, _) in zip(ids, ids[1:]):
+        assert a + n <= b
+    # manifests table: delete manifest has no first_row_id block
+    mans = iceberg_metadata_table(spark, loc, "manifests").collect()
+    assert {m["content"] for m in mans} == {0, 1}
+    for m in mans:
+        assert (m["first_row_id"] is None) == (m["content"] == 1)
