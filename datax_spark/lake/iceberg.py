@@ -1562,7 +1562,19 @@ def export_iceberg(
         "snapshot-log": snapshot_log,
         "metadata-log": metadata_log,
         "refs": {
-            "main": {"snapshot-id": snapshot_id, "type": "branch"}
+            "main": {"snapshot-id": snapshot_id, "type": "branch"},
+            # lake TAGS whose versions are exported snapshots ride as
+            # Iceberg tag refs, so the mirror's time travel is named
+            # (`read_iceberg(..., ref="v-gold")`). A tag created after
+            # the last export mirrors at the NEXT export (sync_iceberg
+            # no-ops while the head version is already published).
+            **{
+                name: {"snapshot-id": int(v), "type": "tag"}
+                for name, v in sorted(
+                    getattr(table, "tags", lambda: {})().items()
+                )
+                if any(s["snapshot-id"] == int(v) for s in snapshots)
+            },
         },
     }
     new_version = prev_version + 1
@@ -1670,7 +1682,25 @@ def expire_iceberg(table_or_location, keep_last: int = 1) -> dict[str, int]:
             "kept_snapshots": len(snaps),
             "removed_files": 0,
         }
-    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # spec behavior: snapshots referenced by a ref (a mirrored lake
+    # tag) never expire by age — drop the tag ref first to release them
+    pinned = {
+        r["snapshot-id"]
+        for name, r in meta.get("refs", {}).items()
+        if name != "main"
+    }
+    kept = [
+        s
+        for i, s in enumerate(snaps)
+        if i >= len(snaps) - keep_last or s["snapshot-id"] in pinned
+    ]
+    expired = [s for s in snaps if s not in kept]
+    if not expired:
+        return {
+            "expired_snapshots": 0,
+            "kept_snapshots": len(kept),
+            "removed_files": 0,
+        }
     # the current snapshot is the newest (export refuses id reuse and
     # ids are monotone lake versions) — it always survives
     assert any(
@@ -1760,14 +1790,26 @@ def iceberg_plan(
     location: str,
     snapshot_id: int | None = None,
     metadata: dict | None = None,
+    ref: str | None = None,
 ) -> dict[str, Any]:
     """Plan a scan from Iceberg metadata alone: resolve the snapshot,
     walk its manifest list and manifests, return schema + live data
     files (with per-file sequence numbers) + equality-delete files +
     position-delete files + deletion vectors. ``metadata`` short-cuts
     the version-hint file read when the caller already holds the
-    metadata document (a REST catalog ``loadTable`` response)."""
+    metadata document (a REST catalog ``loadTable`` response); ``ref``
+    resolves a named branch/tag ref instead of a snapshot id."""
     meta = metadata if metadata is not None else _load_metadata(location)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        r = meta.get("refs", {}).get(ref)
+        if r is None:
+            raise ValueError(
+                f"ref {ref!r} not in {location} metadata "
+                f"(have {sorted(meta.get('refs', {}))})"
+            )
+        snapshot_id = r["snapshot-id"]
     snap_id = (
         snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     )
@@ -1873,6 +1915,7 @@ def read_iceberg(
     location: str,
     snapshot_id: int | None = None,
     metadata: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table (written by ``export_iceberg``) purely from
     its Iceberg metadata — the lake's own manifests are never consulted,
@@ -1887,7 +1930,7 @@ def read_iceberg(
     (path -> seq) join on ``input_file_name()``, and the delete side
     collapses to a per-key max before ONE broadcast left join — the
     100-TB data side never shuffles."""
-    plan = iceberg_plan(location, snapshot_id, metadata)
+    plan = iceberg_plan(location, snapshot_id, metadata, ref)
     schema: T.StructType = plan["schema"]
     if not plan["files"]:
         return spark.createDataFrame([], schema)

@@ -1263,3 +1263,111 @@ def test_metadata_tables_dv_and_row_ids(spark, log_df, tmp_path):
     assert {m["content"] for m in mans} == {0, 1}
     for m in mans:
         assert (m["first_row_id"] is None) == (m["content"] == 1)
+
+
+def test_lake_tags_mirror_as_iceberg_refs(spark, log_df, tmp_path):
+    """A lake tag on an exported version rides the next export as an
+    Iceberg tag ref: read_iceberg(ref=) resolves it, expire keeps the
+    tagged snapshot past keep_last, and dropping the lake tag releases
+    it at the next export."""
+    from datax_spark.lake.iceberg import expire_iceberg
+
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    hi = log_df.agg(F.max("seq")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3, hi]
+    lo = -1
+    for i, cut in enumerate(cuts):
+        apply_batch(
+            table,
+            log_df.filter((F.col("seq") > lo) & (F.col("seq") <= cut)),
+            i,
+        )
+        lo = cut
+        if i == 0:
+            v1 = table.current_version()
+            table.create_tag("gold", v1)
+        export_iceberg(table)
+    loc = os.path.abspath(table.path)
+    meta = _load_metadata(loc)
+    assert meta["refs"]["gold"] == {"snapshot-id": v1, "type": "tag"}
+    assert _sorted_rows(read_iceberg(spark, loc, ref="gold")) == _sorted_rows(
+        table.read(version=v1)
+    )
+    with pytest.raises(ValueError, match="not in"):
+        read_iceberg(spark, loc, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        iceberg_plan(loc, snapshot_id=v1, ref="gold")
+
+    # expire: the tagged snapshot survives keep_last=1
+    out = expire_iceberg(table, keep_last=1)
+    meta = _load_metadata(loc)
+    ids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert v1 in ids and len(ids) == 2  # tagged + head
+    assert out["expired_snapshots"] == 1
+    assert _sorted_rows(read_iceberg(spark, loc, ref="gold")) == _sorted_rows(
+        table.read(version=v1)
+    )
+    # drop the lake tag; the next export releases the ref, expire frees it
+    table.delete_tag("gold")
+    apply_batch(
+        table,
+        log_df.filter(F.col("seq") <= cuts[0]),
+        99,
+    )
+    export_iceberg(table)
+    meta = _load_metadata(loc)
+    assert "gold" not in meta["refs"]
+    expire_iceberg(table, keep_last=1)
+    meta = _load_metadata(loc)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [
+        table.current_version()
+    ]
+
+
+def test_java_avro_reads_v3_manifests(spark, log_df, tmp_path):
+    """The Java Avro reference implementation parses the v3 manifest
+    list and manifest (new optional fields with null defaults) and sees
+    the deletion-vector reference columns."""
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    apply_batch(mor, log_df, 0)
+    assert any(v for v in mor.snapshot().deltas.values())
+    export_iceberg(mor, delete_files="dv")
+    loc = os.path.abspath(mor.path)
+    meta = _load_metadata(loc)
+    snap = meta["snapshots"][-1]
+    jvm = spark._jvm
+
+    def java_read(path):
+        reader = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path), reader
+        )
+        out = []
+        while dfr.hasNext():
+            out.append(dfr.next())
+        dfr.close()
+        return out
+
+    jlist = java_read(snap["manifest-list"])
+    assert len(jlist) == 2  # data + deletes
+    by_content = {int(str(m.get("content"))): m for m in jlist}
+    assert by_content[0].get("first_row_id") is not None
+    assert by_content[1].get("first_row_id") is None
+    jdel = java_read(str(by_content[1].get("manifest_path")))
+    assert jdel
+    for e in jdel:
+        df = e.get("data_file")
+        assert str(df.get("file_format")) == "PUFFIN"
+        assert df.get("referenced_data_file") is not None
+        assert df.get("content_offset") is not None
+        assert df.get("content_size_in_bytes") is not None
+    jdata = java_read(str(by_content[0].get("manifest_path")))
+    # ADDED entries carry null first_row_id (inheritance), per spec
+    assert all(e.get("data_file").get("first_row_id") is None
+               for e in jdata if int(str(e.get("status"))) == 1)
