@@ -1791,6 +1791,7 @@ def iceberg_plan(
     snapshot_id: int | None = None,
     metadata: dict | None = None,
     ref: str | None = None,
+    filters: list[tuple[str, str, Any]] | None = None,
 ) -> dict[str, Any]:
     """Plan a scan from Iceberg metadata alone: resolve the snapshot,
     walk its manifest list and manifests, return schema + live data
@@ -1798,7 +1799,16 @@ def iceberg_plan(
     position-delete files + deletion vectors. ``metadata`` short-cuts
     the version-hint file read when the caller already holds the
     metadata document (a REST catalog ``loadTable`` response); ``ref``
-    resolves a named branch/tag ref instead of a snapshot id."""
+    resolves a named branch/tag ref instead of a snapshot id.
+
+    ``filters`` — the ``plan_scan`` grammar, ``[(col, op, value), ...]``
+    with ops ``= < <= > >=`` — prunes data files by the manifests'
+    per-file [lower, upper] bounds (recorded at export for the lake's
+    ``stats_cols``): a file is dropped only when a clause PROVABLY
+    excludes every row; missing bounds fail open. Delete files are
+    never pruned (a kept file's rows may still die to them); dropped
+    files' deletes simply stop matching. ``skipped_files`` reports the
+    pruning, and ``total_rows`` counts kept files only."""
     meta = metadata if metadata is not None else _load_metadata(location)
     if ref is not None:
         if snapshot_id is not None:
@@ -1844,6 +1854,7 @@ def iceberg_plan(
     pos_deletes: list[tuple[str, int]] = []
     dvs: list[dict[str, Any]] = []
     total_rows = 0
+    skipped_files = 0
     _, manifests = read_container(snap["manifest-list"])
     for m in manifests:
         _, entries = read_container(m["manifest_path"])
@@ -1875,6 +1886,34 @@ def iceberg_plan(
                     f"file format {df['file_format']!r} not supported"
                 )
             if df["content"] == 0:
+                if filters:
+                    type_of = {
+                        f["id"]: f["type"]
+                        for f in ice_schema["fields"]
+                        if isinstance(f["type"], str)
+                    }
+                    bounds: dict[int, tuple[Any, Any]] = {}
+                    lowers = {
+                        kv["key"]: kv["value"]
+                        for kv in (df.get("lower_bounds") or [])
+                    }
+                    uppers = {
+                        kv["key"]: kv["value"]
+                        for kv in (df.get("upper_bounds") or [])
+                    }
+                    for cid in set(lowers) & set(uppers):
+                        t = type_of.get(cid)
+                        if t:
+                            bounds[cid] = (
+                                _decode_single(lowers[cid], t),
+                                _decode_single(uppers[cid], t),
+                            )
+                    col_ids = {
+                        f["name"]: f["id"] for f in ice_schema["fields"]
+                    }
+                    if not _file_may_match(bounds, filters, col_ids):
+                        skipped_files += 1
+                        continue
                 files.append(df["file_path"])
                 data_seq[df["file_path"]] = e["sequence_number"]
                 total_rows += df["record_count"]
@@ -1906,6 +1945,7 @@ def iceberg_plan(
         "pos_deletes": pos_deletes,
         "dvs": dvs,
         "total_rows": total_rows,
+        "skipped_files": skipped_files,
         "metadata": meta,
     }
 
@@ -1916,6 +1956,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     metadata: dict | None = None,
     ref: str | None = None,
+    filters: list[tuple[str, str, Any]] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table (written by ``export_iceberg``) purely from
     its Iceberg metadata — the lake's own manifests are never consulted,
@@ -1929,11 +1970,34 @@ def read_iceberg(
     shape: the per-file sequence rides in via one broadcast
     (path -> seq) join on ``input_file_name()``, and the delete side
     collapses to a per-key max before ONE broadcast left join — the
-    100-TB data side never shuffles."""
-    plan = iceberg_plan(location, snapshot_id, metadata, ref)
+    100-TB data side never shuffles.
+
+    ``filters`` (plan_scan grammar) prunes files by manifest bounds at
+    PLAN time (see ``iceberg_plan``) and applies the same predicate
+    row-level, so the result is exactly the filtered table while the
+    scan opens only files that can match."""
+    from pyspark.sql import functions as _F
+
+    plan = iceberg_plan(location, snapshot_id, metadata, ref, filters)
     schema: T.StructType = plan["schema"]
+
+    _OPS = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+
+    def _residual(d: DataFrame) -> DataFrame:
+        for col, op, val in filters or []:
+            if op not in _OPS:
+                raise ValueError(f"unsupported filter op {op!r}")
+            d = d.filter(_OPS[op](_F.col(col), _F.lit(val)))
+        return d
+
     if not plan["files"]:
-        return spark.createDataFrame([], schema)
+        return _residual(spark.createDataFrame([], schema))
     # name mapping (spec "Column Projection"): a field listing several
     # names was renamed at some point — any one file physically carries
     # exactly one of them, so request all and coalesce in listed order
@@ -1976,7 +2040,7 @@ def read_iceberg(
         and not plan["pos_deletes"]
         and not plan["dvs"]
     ):
-        return df.select(*cols)
+        return _residual(df.select(*cols))
 
     if plan["pos_deletes"] or plan["dvs"]:
         # ---- position-delete application (+ equality if both present):
@@ -2096,8 +2160,8 @@ def read_iceberg(
             alive = alive & (
                 F.col("_dmax").isNull() | (F.col("_fseq") >= F.col("_dmax"))
             )
-        return joined.filter(alive).select(
-            *[f.name for f in schema.fields]
+        return _residual(
+            joined.filter(alive).select(*[f.name for f in schema.fields])
         )
 
     # ---- equality-delete application (file-sequence rule)
@@ -2148,7 +2212,62 @@ def read_iceberg(
     alive = checked & (
         F.col("_dmax").isNull() | (F.col("_fseq") >= F.col("_dmax"))
     )
-    return joined.filter(alive).select(*[f.name for f in schema.fields])
+    return _residual(
+        joined.filter(alive).select(*[f.name for f in schema.fields])
+    )
+
+
+# ---------------------------------------------------------------------------
+# manifest min/max file skipping (the scan-planning half of an engine)
+# ---------------------------------------------------------------------------
+
+
+def _decode_single(b: bytes, ice_type: str) -> Any:
+    """Inverse of ``_single_value`` (spec "Binary single-value")."""
+    import struct as _struct
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", b)[0]
+    return None
+
+
+def _file_may_match(
+    bounds: dict[int, tuple[Any, Any]],
+    filters: list[tuple[str, str, Any]],
+    col_ids: dict[str, int],
+) -> bool:
+    """Manifest-bounds pruning: False only when some filter clause
+    PROVABLY excludes every row of the file. Missing bounds or unknown
+    ops fail open (the residual predicate still applies row-level)."""
+    for col, op, val in filters:
+        cid = col_ids.get(col)
+        if cid is None or cid not in bounds:
+            continue
+        lo, hi = bounds[cid]
+        if lo is None or hi is None:
+            continue
+        if op == "=" and not (lo <= val <= hi):
+            return False
+        if op in (">=",) and hi < val:
+            return False
+        if op == ">" and hi <= val:
+            return False
+        if op in ("<=",) and lo > val:
+            return False
+        if op == "<" and lo >= val:
+            return False
+    return True
 
 
 # ---------------------------------------------------------------------------

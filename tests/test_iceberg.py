@@ -1371,3 +1371,52 @@ def test_java_avro_reads_v3_manifests(spark, log_df, tmp_path):
     # ADDED entries carry null first_row_id (inheritance), per spec
     assert all(e.get("data_file").get("first_row_id") is None
                for e in jdata if int(str(e.get("status"))) == 1)
+
+
+def test_iceberg_read_prunes_files_by_manifest_bounds(spark, tmp_path):
+    """filters= on iceberg_plan/read_iceberg: the exported per-file
+    [lower, upper] bounds skip files at PLAN time (the scan-planning
+    half of a real Iceberg engine), and the filtered read equals the
+    unpruned read + filter exactly — pruning never changes answers."""
+    stats_schema = StructType([
+        StructField("repo", StringType()),
+        StructField("seq", LongType()),
+        StructField("content", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), stats_schema,
+        ["repo"], "repo", num_buckets=4, stats_cols=["seq"],
+    )
+    for i in range(4):
+        rows = spark.range(i * 100, (i + 1) * 100).select(
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("c"), F.col("id")).alias("content"),
+        )
+        t.append_insert_only(rows, batch_id=i)
+        export_iceberg(t)
+    loc = os.path.abspath(t.path)
+
+    full = iceberg_plan(loc)
+    assert full["skipped_files"] == 0
+    pruned = iceberg_plan(loc, filters=[("seq", ">=", 300)])
+    assert pruned["skipped_files"] > 0
+    assert len(pruned["files"]) + pruned["skipped_files"] == len(full["files"])
+    # each append commit covers one seq century
+    assert len(pruned["files"]) <= len(full["files"]) // 4 + 1
+    assert pruned["total_rows"] < full["total_rows"]
+
+    got = sorted(
+        r["seq"]
+        for r in read_iceberg(
+            spark, loc, filters=[("seq", ">=", 300)]
+        ).collect()
+    )
+    assert got == list(range(300, 400))
+    # range + equality compose; missing-bounds columns fail open
+    got2 = read_iceberg(
+        spark, loc, filters=[("seq", "<", 100), ("repo", "=", "r42")]
+    ).collect()
+    assert [(r["repo"], r["seq"]) for r in got2] == [("r42", 42)]
+    with pytest.raises(ValueError, match="unsupported filter op"):
+        read_iceberg(spark, loc, filters=[("seq", "!=", 1)]).collect()
