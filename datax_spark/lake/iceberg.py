@@ -646,6 +646,17 @@ def _prior_file_index(
     return out, dvs
 
 
+def _snapshot_operation(
+    prior_files: dict[str, dict], live_abs: set[str], del_added: int
+) -> str:
+    if del_added:
+        return "overwrite"
+    for path, p in prior_files.items():
+        if p["data_file"]["content"] == 0 and path not in live_abs:
+            return "overwrite"
+    return "append"
+
+
 class IcebergUnexportableState(ValueError):
     """The snapshot cannot be expressed as Iceberg v2 metadata *yet* —
     a transient state (inline tombstones, patch deltas, vacuumed
@@ -1487,7 +1498,15 @@ def export_iceberg(
         "timestamp-ms": now_ms,
         "manifest-list": manifest_list_path,
         "summary": {
-            "operation": "append" if not prior_files else "overwrite",
+            # spec operation vocabulary: "append" iff no previously
+            # live DATA file disappeared AND no delete file was added
+            # in this snapshot (pure adds — bulk loads, new-key MOR
+            # delta appends), else "overwrite". The incremental append
+            # scan (read_iceberg_appends) keys off this to refuse
+            # rewritten history, like real engines.
+            "operation": _snapshot_operation(
+                prior_files, set(abs_of.values()), del_added
+            ),
             "added-data-files": str(n_added),
             "total-data-files": str(n_added + n_existing),
             "added-records": str(rows_added),
@@ -1979,21 +1998,24 @@ def read_iceberg(
     from pyspark.sql import functions as _F
 
     plan = iceberg_plan(location, snapshot_id, metadata, ref, filters)
+    if filters and plan["files"]:
+        plan["files"], _ = _bloom_prune(spark, plan["files"], filters)
     schema: T.StructType = plan["schema"]
 
     _OPS = {
-        "=": lambda c, v: c == v,
-        "<": lambda c, v: c < v,
-        "<=": lambda c, v: c <= v,
-        ">": lambda c, v: c > v,
-        ">=": lambda c, v: c >= v,
+        "=": lambda c, v: c == _F.lit(v),
+        "<": lambda c, v: c < _F.lit(v),
+        "<=": lambda c, v: c <= _F.lit(v),
+        ">": lambda c, v: c > _F.lit(v),
+        ">=": lambda c, v: c >= _F.lit(v),
+        "in": lambda c, v: c.isin(list(v)),
     }
 
     def _residual(d: DataFrame) -> DataFrame:
         for col, op, val in filters or []:
             if op not in _OPS:
                 raise ValueError(f"unsupported filter op {op!r}")
-            d = d.filter(_OPS[op](_F.col(col), _F.lit(val)))
+            d = d.filter(_OPS[op](_F.col(col), val))
         return d
 
     if not plan["files"]:
@@ -2217,6 +2239,89 @@ def read_iceberg(
     )
 
 
+def read_iceberg_appends(
+    spark: SparkSession,
+    location: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    metadata: dict | None = None,
+) -> DataFrame:
+    """Incremental APPEND scan over the mirror: the rows added strictly
+    after ``from_snapshot_id`` up to ``to_snapshot_id`` (default: the
+    current snapshot) — the consumer loop real engines run against an
+    Iceberg table (``option("start-snapshot-id", ...)``). Each row
+    carries its ``_snapshot_id`` for lineage.
+
+    Like real incremental scans this supports APPEND snapshots only:
+    any snapshot in range whose summary operation is ``overwrite``
+    (rewritten/deleted data — its added files carry surviving OLD rows,
+    not deltas) raises, pointing the caller at the lake's own row-level
+    change feed (``read_changes`` / the Delta CDF mirror), which
+    expresses updates and deletes exactly. Driver work is O(snapshots
+    in range + their manifests); the scan reads only the added files."""
+    from pyspark.sql import functions as _F
+
+    meta = metadata if metadata is not None else _load_metadata(location)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot_id not in ids:
+        raise ValueError(
+            f"from_snapshot_id {from_snapshot_id} not in metadata "
+            f"(have {ids}; it may have been expired)"
+        )
+    to_id = to_snapshot_id if to_snapshot_id is not None else ids[-1]
+    if to_id not in ids:
+        raise ValueError(f"to_snapshot_id {to_id} not in metadata")
+    in_range = [
+        s
+        for s in snaps
+        if from_snapshot_id < s["snapshot-id"] <= to_id
+    ]
+    schema = _from_iceberg_type(
+        next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+    )
+    out = None
+    for s in in_range:
+        op = s.get("summary", {}).get("operation")
+        if op != "append":
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} is {op!r}, not append — "
+                "incremental append scans cannot express rewritten or "
+                "deleted data; use the lake change feed "
+                "(read_changes / the Delta CDF mirror) instead"
+            )
+        _, manifests = read_container(s["manifest-list"])
+        added = []
+        for m in manifests:
+            if m["added_snapshot_id"] != s["snapshot-id"]:
+                continue
+            _, entries = read_container(m["manifest_path"])
+            added.extend(
+                e["data_file"]["file_path"]
+                for e in entries
+                if e["status"] == 1 and e["data_file"]["content"] == 0
+            )
+        if not added:
+            continue
+        d = spark.read.schema(schema).parquet(*added).withColumn(
+            "_snapshot_id", _F.lit(int(s["snapshot-id"]))
+        )
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(schema.fields)
+                + [T.StructField("_snapshot_id", T.LongType())]
+            ),
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # manifest min/max file skipping (the scan-planning half of an engine)
 # ---------------------------------------------------------------------------
@@ -2268,6 +2373,45 @@ def _file_may_match(
         if op == "<" and lo >= val:
             return False
     return True
+
+
+def _bloom_prune(
+    spark: SparkSession,
+    files: list[str],
+    filters: list[tuple[str, str, Any]],
+) -> tuple[list[str], int]:
+    """The scan's third pruning pass (after manifest bounds): probe each
+    surviving parquet file's own BLOOM FILTERS driver-side for ``=`` /
+    ``in`` clauses — the point-lookup case min/max can't help with.
+    Fails open everywhere (no bloom, unsupported type); executor
+    fan-out past the same threshold the lake's plan_scan uses. Returns
+    ``(kept_files, pruned_count)``."""
+    probes: dict[str, Any] = {}
+    for col, op, val in filters or []:
+        if op == "=" and val is not None:
+            probes[col] = [val]
+        elif op == "in":
+            vals = [v for v in val if v is not None]
+            if vals:
+                probes[col] = vals
+    if not probes or not files:
+        return files, 0
+    from datax_spark.lake.parquet_bloom import file_might_contain
+    from datax_spark.lake.stats import FILE_STATS_PARALLEL_THRESHOLD
+
+    if len(files) <= FILE_STATS_PARALLEL_THRESHOLD:
+        verdicts = [(p, file_might_contain(p, probes)) for p in files]
+    else:
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(files) // 8, sc.defaultParallelism))
+        verdicts = (
+            sc.parallelize(files, n_slices)
+            .map(lambda p: (p, file_might_contain(p, probes)))
+            .collect()
+        )
+    keep = dict(verdicts)
+    kept = [p for p in files if keep.get(p, True)]
+    return kept, len(files) - len(kept)
 
 
 # ---------------------------------------------------------------------------

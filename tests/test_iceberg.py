@@ -1420,3 +1420,98 @@ def test_iceberg_read_prunes_files_by_manifest_bounds(spark, tmp_path):
     assert [(r["repo"], r["seq"]) for r in got2] == [("r42", 42)]
     with pytest.raises(ValueError, match="unsupported filter op"):
         read_iceberg(spark, loc, filters=[("seq", "!=", 1)]).collect()
+
+
+def test_read_iceberg_appends_and_overwrite_refusal(spark, tmp_path):
+    """Incremental append scan over the mirror: rows added after a
+    snapshot come back with their _snapshot_id; an overwrite snapshot
+    in range refuses (rewritten files are not deltas)."""
+    from datax_spark.lake.iceberg import read_iceberg_appends
+
+    stats_schema = StructType([
+        StructField("repo", StringType()),
+        StructField("seq", LongType()),
+        StructField("content", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), stats_schema,
+        ["repo"], "repo", num_buckets=4,
+    )
+    vs = []
+    for i in range(3):
+        rows = spark.range(i * 100, (i + 1) * 100).select(
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("c"), F.col("id")).alias("content"),
+        )
+        t.append_insert_only(rows, batch_id=i)
+        export_iceberg(t)
+        vs.append(t.current_version())
+    loc = os.path.abspath(t.path)
+    meta = _load_metadata(loc)
+    assert [
+        s["summary"]["operation"] for s in meta["snapshots"]
+    ] == ["append"] * 3
+
+    inc = read_iceberg_appends(spark, loc, from_snapshot_id=vs[0])
+    got = sorted(
+        (r["seq"], r["_snapshot_id"]) for r in inc.collect()
+    )
+    assert got == [(s, vs[1]) for s in range(100, 200)] + [
+        (s, vs[2]) for s in range(200, 300)
+    ]
+    # bounded range
+    inc2 = read_iceberg_appends(
+        spark, loc, from_snapshot_id=vs[0], to_snapshot_id=vs[1]
+    )
+    assert inc2.count() == 100
+    # empty range
+    assert read_iceberg_appends(spark, loc, vs[2]).count() == 0
+    with pytest.raises(ValueError, match="not in metadata"):
+        read_iceberg_appends(spark, loc, 999)
+
+    # a compaction rewrites bucket files -> overwrite -> refusal
+    t.compact(max_files_per_bucket=1)
+    export_iceberg(t)
+    meta = _load_metadata(loc)
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    with pytest.raises(ValueError, match="not append"):
+        read_iceberg_appends(spark, loc, vs[0]).collect()
+
+
+def test_read_iceberg_bloom_prunes_point_lookups(spark, tmp_path):
+    """filters= point lookups probe the data files' own parquet bloom
+    filters (the lake writes them for bloom_cols): a value in exactly
+    one file opens ~one file, and results stay exact."""
+    from datax_spark.lake.iceberg import _bloom_prune, iceberg_plan
+
+    stats_schema = StructType([
+        StructField("repo", StringType()),
+        StructField("eid", LongType()),
+        StructField("content", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), stats_schema,
+        ["repo", "eid"], "repo", 4, bloom_cols=["eid"],
+    )
+    for lo in (0, 500, 1000):
+        rows = spark.range(lo, lo + 500).select(
+            F.concat(F.lit("r"), (F.col("id") % 7)).alias("repo"),
+            F.col("id").alias("eid"),
+            F.concat(F.lit("c"), F.col("id")).alias("content"),
+        )
+        t.append_insert_only(rows, batch_id=lo + 1)
+    export_iceberg(t)
+    loc = os.path.abspath(t.path)
+    plan = iceberg_plan(loc)
+    kept, pruned = _bloom_prune(
+        spark, plan["files"], [("eid", "=", 777)]
+    )
+    assert pruned > 0 and len(kept) < len(plan["files"])
+    got = read_iceberg(spark, loc, filters=[("eid", "=", 777)]).collect()
+    assert [(r["repo"], r["eid"]) for r in got] == [("r" + str(777 % 7), 777)]
+    # IN list across two ranges keeps both their files, result exact
+    got2 = read_iceberg(
+        spark, loc, filters=[("eid", "in", [3, 1203])]
+    ).collect()
+    assert sorted(r["eid"] for r in got2) == [3, 1203]
