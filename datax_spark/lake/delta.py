@@ -1436,11 +1436,46 @@ def clean_delta_log(
 # ---------------------------------------------------------------------------
 
 
+def _stats_may_match(
+    stats_json: str | None,
+    filters: list,
+    key_of: dict[str, str],
+) -> bool:
+    """Per-file pruning against an add action's stats JSON
+    (minValues/maxValues): False only when a clause PROVABLY excludes
+    every row. Missing stats, columns or unknown ops fail open — the
+    residual predicate still applies row-level."""
+    if not stats_json:
+        return True
+    try:
+        st = json.loads(stats_json)
+    except ValueError:
+        return True
+    mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+    for col, op, val in filters:
+        key = key_of.get(col, col)
+        lo, hi = mins.get(key), maxs.get(key)
+        if lo is None or hi is None:
+            continue
+        if op == "=" and not (lo <= val <= hi):
+            return False
+        if op == ">=" and hi < val:
+            return False
+        if op == ">" and hi <= val:
+            return False
+        if op == "<=" and lo > val:
+            return False
+        if op == "<" and lo >= val:
+            return False
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     location: str,
     version: int | None = None,
     lake_version: int | None = None,
+    filters: list | None = None,
 ) -> DataFrame:
     """Read a Delta table location purely from its ``_delta_log`` —
     time travel by Delta ``version`` or by ``lake_version`` (resolved
@@ -1448,7 +1483,15 @@ def read_delta(
     an explicit-file parquet read under the metaData schemaString, so
     files written before an additive evolution surface NULLs in new
     columns — the same name-based semantics real minReader-1 Delta
-    readers have."""
+    readers have.
+
+    ``filters`` (the plan_scan grammar, ops ``= < <= > >= in``) prunes
+    files by each add action's per-file stats JSON (minValues/
+    maxValues, recorded at export for the lake's ``stats_cols``; keyed
+    by PHYSICAL name under column mapping) and applies the same
+    predicate row-level — exactly the data-skipping real Delta readers
+    do from the log, so the filtered read opens only files that can
+    match while results stay exact."""
     location = os.path.abspath(location)
     if lake_version is not None:
         if version is not None:
@@ -1498,9 +1541,49 @@ def read_delta(
         selects.append(F.col(phys).alias(f.name))
     reader = spark.read.schema(StructType(phys_fields))
 
+    _OPS = {
+        "=": lambda c, v: c == F.lit(v),
+        "<": lambda c, v: c < F.lit(v),
+        "<=": lambda c, v: c <= F.lit(v),
+        ">": lambda c, v: c > F.lit(v),
+        ">=": lambda c, v: c >= F.lit(v),
+        "in": lambda c, v: c.isin(list(v)),
+    }
+
+    def _residual(d: DataFrame) -> DataFrame:
+        for col, op, val in filters or []:
+            if op not in _OPS:
+                raise ValueError(f"unsupported filter op {op!r}")
+            d = d.filter(_OPS[op](F.col(col), val))
+        return d
+
+    if filters:
+        key_of = {
+            f.name: pf.name for f, pf in zip(schema.fields, phys_fields)
+        }
+        kept = {
+            p: a
+            for p, a in adds.items()
+            if _stats_may_match(a.get("stats"), filters, key_of)
+        }
+        adds = kept
+        paths = [abs_of[p] for p in sorted(adds)]
+        if not paths:
+            return _residual(
+                spark.createDataFrame(
+                    [],
+                    StructType(
+                        [
+                            type(f)(f.name, f.dataType, True)
+                            for f in schema.fields
+                        ]
+                    ),
+                )
+            )
+
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
     if not dv_adds:
-        return reader.parquet(*paths).select(*selects)
+        return _residual(reader.parquet(*paths).select(*selects))
     # deletion vectors: anti-join the masked (file, row position) pairs.
     # The pair list is driver-built from the DV bitmaps — its volume is
     # the data superseded since the last compaction (what a real reader
@@ -1518,9 +1601,11 @@ def read_delta(
         ),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    return df.join(
-        F.broadcast(dead_df), on=["_fp", "_pos"], how="left_anti"
-    ).drop("_fp", "_pos")
+    return _residual(
+        df.join(
+            F.broadcast(dead_df), on=["_fp", "_pos"], how="left_anti"
+        ).drop("_fp", "_pos")
+    )
 
 
 def read_delta_changes(

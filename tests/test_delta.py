@@ -804,3 +804,59 @@ def test_uniform_both_mirrors_on_one_table(spark, log_df, tmp_path):
         .collect()
     )
     assert got == want_chg
+
+
+def test_read_delta_prunes_files_by_stats(spark, tmp_path):
+    """filters= on read_delta: add-action stats JSON (minValues/
+    maxValues) skips files at plan time and the filtered read equals
+    the unpruned read + filter exactly."""
+    from pyspark.sql.types import LongType
+    from datax_spark.lake.delta import (
+        _replay,
+        _stats_may_match,
+        read_delta,
+        sync_delta,
+    )
+
+    schema = StructType([
+        StructField("repo", StringType()),
+        StructField("seq", LongType()),
+        StructField("content", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), schema, ["repo"],
+        "repo", num_buckets=4, stats_cols=["seq"],
+    )
+    for i in range(4):
+        rows = spark.range(i * 100, (i + 1) * 100).select(
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("c"), F.col("id")).alias("content"),
+        )
+        t.append_insert_only(rows, batch_id=i)
+        sync_delta(t)
+    loc = os.path.abspath(t.path)
+
+    _p, _m, adds, _r, _v = _replay(loc, None)
+    filters = [("seq", ">=", 300)]
+    kept = [
+        p for p, a in adds.items()
+        if _stats_may_match(a.get("stats"), filters, {})
+    ]
+    assert 0 < len(kept) < len(adds)
+    assert len(kept) <= len(adds) // 4 + 1  # one century per commit
+
+    got = sorted(
+        r["seq"] for r in read_delta(spark, loc, filters=filters).collect()
+    )
+    assert got == list(range(300, 400))
+    got2 = read_delta(
+        spark, loc, filters=[("seq", "<", 100), ("repo", "=", "r42")]
+    ).collect()
+    assert [(r["repo"], r["seq"]) for r in got2] == [("r42", 42)]
+    # empty result when every file is pruned
+    assert read_delta(
+        spark, loc, filters=[("seq", ">", 10_000)]
+    ).count() == 0
+    with pytest.raises(ValueError, match="unsupported filter op"):
+        read_delta(spark, loc, filters=[("seq", "!=", 1)]).collect()
