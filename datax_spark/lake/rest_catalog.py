@@ -716,13 +716,23 @@ def sync_iceberg_rest(
     local_meta = _load_metadata(location, v)
     if not catalog.table_exists(namespace, name):
         if namespace not in catalog.list_namespaces():
-            catalog.create_namespace(namespace)
+            try:
+                catalog.create_namespace(namespace)
+            except CatalogError as e:  # concurrent first contact
+                if "409" not in str(e):
+                    raise
         meta_path = os.path.join(
             location, "metadata", f"v{v}.metadata.json"
         )
-        return catalog.register_table(namespace, name, meta_path)[
-            "metadata-location"
-        ]
+        try:
+            return catalog.register_table(namespace, name, meta_path)[
+                "metadata-location"
+            ]
+        except CatalogError as e:
+            if "409" not in str(e):
+                raise
+            # someone else registered between exists-check and register:
+            # fall through to the commit path below
     for _ in range(max_retries):
         loaded = catalog.load_table(namespace, name)
         cat_meta = loaded["metadata"]
