@@ -653,6 +653,15 @@ def catalog_commit_updates(cat_meta: dict, local_meta: dict) -> list[dict]:
     have_snaps = {
         s["snapshot-id"] for s in cat_meta.get("snapshots", [])
     }
+    local_snaps = {s["snapshot-id"] for s in local_meta["snapshots"]}
+    expired = sorted(have_snaps - local_snaps)
+    if expired:
+        # a local expire_iceberg shrank the document — mirror the
+        # removal or the catalog would advertise snapshots whose
+        # manifest files are gone
+        updates.append(
+            {"action": "remove-snapshots", "snapshot-ids": expired}
+        )
     new_snaps = sorted(
         (
             s

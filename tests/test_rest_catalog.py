@@ -334,3 +334,36 @@ def test_drop_table(spark, log_df, tmp_path, server):
     assert not cat.table_exists("lake", "repos")
     with pytest.raises(CatalogError, match="404"):
         cat.drop_table("lake", "repos")
+
+
+def test_local_expire_mirrors_to_catalog(spark, log_df, tmp_path, server):
+    """expire_iceberg shrinks the local document; the next sync mirrors
+    the removal so the catalog never advertises snapshots whose
+    manifest files are gone."""
+    from datax_spark.lake.iceberg import expire_iceberg
+
+    cat = RestCatalog(server.url)
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    mid = log_df.agg(F.floor(F.max("seq") / 2)).first()[0]
+    apply_batch(table, log_df.filter(F.col("seq") <= mid), 0)
+    sync_iceberg_rest(table, cat, "lake", "repos")
+    apply_batch(table, log_df.filter(F.col("seq") > mid), 1)
+    sync_iceberg_rest(table, cat, "lake", "repos")
+    assert len(cat.load_table("lake", "repos")["metadata"]["snapshots"]) == 2
+
+    expire_iceberg(table, keep_last=1)
+    loc = sync_iceberg_rest(table, cat, "lake", "repos")
+    assert loc is not None
+    meta = cat.load_table("lake", "repos")["metadata"]
+    local = _load_metadata(os.path.abspath(table.path))
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [
+        s["snapshot-id"] for s in local["snapshots"]
+    ]
+    assert len(meta["snapshots"]) == 1
+    # the catalog-served read still works after the expiry commit
+    assert _sorted_rows(
+        read_iceberg_catalog(spark, cat, "lake", "repos")
+    ) == _sorted_rows(table.read())
