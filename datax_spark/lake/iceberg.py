@@ -1120,12 +1120,14 @@ def export_iceberg(
     entries = []
     n_added = n_existing = 0
     rows_added = rows_existing = 0
+    bytes_added = bytes_existing = 0
     for b, rel in rels:
         path = abs_of[rel]
         prior = prior_files.get(path)
         if prior is not None:
             n_existing += 1
             rows_existing += prior["data_file"]["record_count"]
+            bytes_existing += prior["data_file"]["file_size_in_bytes"]
             entries.append(
                 {
                     "status": 0,  # EXISTING
@@ -1139,6 +1141,7 @@ def export_iceberg(
         n_added += 1
         nrec = counts[path]
         rows_added += nrec
+        bytes_added += os.path.getsize(path)
         lower = []
         upper = []
         fstats = snap.file_stats.get(b, {}).get(rel, {})
@@ -1511,6 +1514,8 @@ def export_iceberg(
             "total-data-files": str(n_added + n_existing),
             "added-records": str(rows_added),
             "total-records": str(rows_added + rows_existing),
+            "added-files-size": str(bytes_added),
+            "total-files-size": str(bytes_added + bytes_existing),
             **(
                 {
                     "added-delete-files": str(del_added),

@@ -1515,3 +1515,20 @@ def test_read_iceberg_bloom_prunes_point_lookups(spark, tmp_path):
         spark, loc, filters=[("eid", "in", [3, 1203])]
     ).collect()
     assert sorted(r["eid"] for r in got2) == [3, 1203]
+
+
+def test_snapshot_summary_size_fields(spark, exported):
+    """Summaries carry the spec size metrics, consistent with the
+    manifest entries' file_size_in_bytes."""
+    from datax_spark.lake.iceberg import iceberg_metadata_table
+
+    loc = exported["location"]
+    meta = _load_metadata(loc)
+    s = meta["snapshots"][-1]["summary"]
+    files = iceberg_metadata_table(spark, loc, "data_files").collect()
+    total = sum(r["file_size_in_bytes"] for r in files)
+    added = sum(
+        r["file_size_in_bytes"] for r in files if r["status"] == 1
+    )
+    assert int(s["total-files-size"]) == total
+    assert int(s["added-files-size"]) == added > 0
