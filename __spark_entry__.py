@@ -1892,6 +1892,66 @@ def q_cdc_iceberg_rest(spark, sf_dir):
     return out
 
 
+def q_cdc_iceberg_stream(spark, sf_dir):
+    """Streaming tail of the Iceberg mirror
+    (streaming/iceberg_stream.py): the changelog replays into a
+    scratch lake table (the proven fenced apply), its final state
+    lands in an append-only source table in two batches — each
+    mirrored as an Iceberg APPEND snapshot — and a Structured
+    Streaming query over the custom ``iceberg_appends`` source (offset
+    = snapshot id, one InputPartition per added file, executor-side
+    Arrow reads) relays both snapshots into the destination table via
+    the snapshot-fenced insert-only fast path. The destination equals
+    the straight replay oracle: the mirror->stream->table loop is
+    lossless and exactly-once."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datax_spark.lake.iceberg import export_iceberg
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.iceberg_stream import tail_iceberg_appends
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    chg = _events_as_repo_changelog(spark, sf_dir)
+    mid = chg.agg(F.floor(F.max("seq") / 2)).first()[0]
+    root = _tmproot("dx_iceberg_stream_q_")
+    schema = StructType(
+        [StructField(c, StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    scratch = LakeTable.create(
+        spark, os.path.join(root, "scratch"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    cfg = PipelineConfig(quarantine_dir=os.path.join(root, "q"))
+    apply_batch(scratch, chg.filter(F.col("seq") <= mid), 0, cfg)
+    apply_batch(scratch, chg.filter(F.col("seq") > mid), 1, cfg)
+
+    src = LakeTable.create(
+        spark, os.path.join(root, "src"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    # two deterministic halves (split is internal — only the union is
+    # compared); each lands as one append-only mirrored snapshot
+    half = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    src.append_insert_only(
+        scratch.read().filter(half == 0), batch_id=0
+    )
+    export_iceberg(src)
+    src.append_insert_only(
+        scratch.read().filter(half == 1), batch_id=1
+    )
+    export_iceberg(src)
+
+    dst = LakeTable.create(
+        spark, os.path.join(root, "dst"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=8,
+    )
+    tail_iceberg_appends(
+        spark, os.path.abspath(src.path), dst,
+        os.path.join(root, "ckpt"),
+    )
+    return dst.read().select("repo", "path", "commit", "content")
+
+
 def q_cdc_delta_roundtrip(spark, sf_dir):
     """Delta Lake interop (lake/delta.py): MERGE-apply the two-batch
     changelog into a COW lake table with ``sync_delta`` as the
@@ -3529,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_iceberg_pos_live": q_cdc_iceberg_pos_live,
         "cdc_iceberg_dv_live": q_cdc_iceberg_dv_live,
         "cdc_iceberg_rest": q_cdc_iceberg_rest,
+        "cdc_iceberg_stream": q_cdc_iceberg_stream,
         "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
         "cdc_delta_mor_live": q_cdc_delta_mor_live,
         "cdc_delta_cdf": q_cdc_delta_cdf,
@@ -4029,6 +4090,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cdc_iceberg_pos_live"] = _lake_final
     sql["cdc_iceberg_dv_live"] = _lake_final
     sql["cdc_iceberg_rest"] = _lake_final
+    sql["cdc_iceberg_stream"] = _lake_final
     sql["cdc_delta_roundtrip"] = _lake_final
     sql["cdc_delta_mor_live"] = _lake_final
     sql["cdc_delta_relay"] = _lake_final
