@@ -1848,3 +1848,68 @@ def delta_pinned_versions(location: str) -> set[int]:
         return set()
     lv = _lake_version_of(location, latest)
     return {int(lv)} if lv is not None else set()
+
+
+def delta_history(spark: SparkSession, location: str) -> "DataFrame":
+    """``DESCRIBE HISTORY`` over the mirror's ``_delta_log``: one row
+    per surviving commit (newest first, like real Delta) with version,
+    timestamp, operation, operationParameters, the mirrored lake
+    version and counts derived from the commit's actions. Commits
+    cleaned below a checkpoint are gone from history — the same
+    log-retention trade ``read_delta`` documents. Driver-side JSON
+    walk, O(commits)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    location = os.path.abspath(location)
+    head = _current_delta_version(location)
+    if head < 0:
+        raise FileNotFoundError(f"no _delta_log under {location}")
+    rows = []
+    for v in range(head, -1, -1):
+        try:
+            actions = _read_commit(location, v)
+        except FileNotFoundError:
+            break  # cleaned below the checkpoint
+        info = next(
+            (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+        )
+        n_add = sum(1 for a in actions if "add" in a)
+        n_remove = sum(1 for a in actions if "remove" in a)
+        n_cdc = sum(1 for a in actions if "cdc" in a)
+        rows.append(
+            (
+                v,
+                _dt.datetime.fromtimestamp(info.get("timestamp", 0) / 1000.0)
+                if info.get("timestamp")
+                else None,
+                info.get("operation"),
+                {
+                    k: str(val)
+                    for k, val in (
+                        info.get("operationParameters") or {}
+                    ).items()
+                },
+                info.get("lakeVersion"),
+                info.get("engineInfo"),
+                n_add,
+                n_remove,
+                n_cdc,
+            )
+        )
+    schema = T.StructType([
+        T.StructField("version", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField(
+            "operationParameters",
+            T.MapType(T.StringType(), T.StringType()),
+        ),
+        T.StructField("lakeVersion", T.LongType()),
+        T.StructField("engineInfo", T.StringType()),
+        T.StructField("numAddedFiles", T.IntegerType()),
+        T.StructField("numRemovedFiles", T.IntegerType()),
+        T.StructField("numChangeFiles", T.IntegerType()),
+    ])
+    return spark.createDataFrame(rows, schema)

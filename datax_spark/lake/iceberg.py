@@ -2636,3 +2636,30 @@ def iceberg_metadata_table(
     elif kind == "delete_files":
         out = out.filter("content != 0")
     return out
+
+
+def create_iceberg_views(
+    spark: SparkSession,
+    location: str,
+    name: str,
+    metadata: dict | None = None,
+) -> list[str]:
+    """SQL surface over the mirror: register ``name`` (the current
+    snapshot's metadata-only read) plus the inspection views
+    ``name_snapshots`` / ``name_history`` / ``name_refs`` /
+    ``name_manifests`` / ``name_files`` as temp views, so
+    ``spark.sql("SELECT ... FROM name")`` and the ``t$files``-style
+    queries work without touching the lake's own manifests. Returns
+    the registered view names. Views are snapshots of the metadata at
+    registration — re-run after a sync to see new commits."""
+    read_iceberg(spark, location, metadata=metadata).createOrReplaceTempView(
+        name
+    )
+    out = [name]
+    for kind in ("snapshots", "history", "refs", "manifests", "files"):
+        vname = f"{name}_{kind}"
+        iceberg_metadata_table(
+            spark, location, kind, metadata=metadata
+        ).createOrReplaceTempView(vname)
+        out.append(vname)
+    return out

@@ -860,3 +860,50 @@ def test_read_delta_prunes_files_by_stats(spark, tmp_path):
     ).count() == 0
     with pytest.raises(ValueError, match="unsupported filter op"):
         read_delta(spark, loc, filters=[("seq", "!=", 1)]).collect()
+
+
+def test_delta_history_describes_commits(spark, tmp_path):
+    """DESCRIBE HISTORY over the mirror: one row per surviving commit,
+    newest first, with the lakeVersion mapping and action counts; a
+    cleaned log truncates history at the checkpoint."""
+    from pyspark.sql.types import LongType
+    from datax_spark.lake.delta import (
+        checkpoint_delta,
+        clean_delta_log,
+        delta_history,
+        sync_delta,
+    )
+
+    schema = StructType([
+        StructField("repo", StringType()),
+        StructField("seq", LongType()),
+        StructField("content", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), schema, ["repo"],
+        "repo", num_buckets=4,
+    )
+    for i in range(3):
+        rows = spark.range(i * 10, (i + 1) * 10).select(
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.col("id").alias("seq"),
+            F.lit("c").alias("content"),
+        )
+        t.append_insert_only(rows, batch_id=i)
+        sync_delta(t)
+    loc = os.path.abspath(t.path)
+    h = delta_history(spark, loc).collect()
+    assert [r["version"] for r in h] == [2, 1, 0]
+    assert [r["lakeVersion"] for r in h] == [
+        t.current_version(), t.current_version() - 1,
+        t.current_version() - 2,
+    ]
+    assert all(r["operation"] == "WRITE" for r in h)
+    assert all(r["numAddedFiles"] > 0 for r in h)
+    assert h[0]["timestamp"] is not None
+    assert h[0]["operationParameters"] == {"mode": "Append"}
+
+    checkpoint_delta(loc)
+    clean_delta_log(loc)
+    h2 = delta_history(spark, loc).collect()
+    assert [r["version"] for r in h2] == [2]  # truncated at checkpoint

@@ -1532,3 +1532,24 @@ def test_snapshot_summary_size_fields(spark, exported):
     )
     assert int(s["total-files-size"]) == total
     assert int(s["added-files-size"]) == added > 0
+
+
+def test_create_iceberg_views_sql_surface(spark, exported):
+    from datax_spark.lake.iceberg import create_iceberg_views
+
+    loc = exported["location"]
+    names = create_iceberg_views(spark, loc, "mirror")
+    assert names[0] == "mirror" and "mirror_files" in names
+    n = spark.sql("SELECT count(*) AS n FROM mirror").first()["n"]
+    assert n == exported["table"].read().count()
+    snaps = spark.sql(
+        "SELECT snapshot_id FROM mirror_snapshots ORDER BY snapshot_id"
+    ).collect()
+    assert len(snaps) == 2
+    top = spark.sql(
+        "SELECT file_path FROM mirror_files WHERE content = 0 "
+        "ORDER BY record_count DESC LIMIT 1"
+    ).first()
+    assert top["file_path"].endswith(".parquet")
+    for v in names:
+        spark.catalog.dropTempView(v)
