@@ -88,6 +88,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "change feed after the apply (created if absent; "
                         "fenced on the source version, so re-runs never "
                         "double-count)")
+    p.add_argument("--sync-iceberg", choices=["eq", "pos", "dv"],
+                   metavar="ENCODING",
+                   help="publish every committed batch as an Apache "
+                        "Iceberg snapshot (on_commit hook; eq = v2 "
+                        "equality deletes, pos = v2 position deletes, "
+                        "dv = v3 deletion vectors)")
+    p.add_argument("--sync-delta", action="store_true",
+                   help="publish every committed batch as a Delta Lake "
+                        "commit (on_commit hook)")
+    p.add_argument("--change-data", action="store_true",
+                   help="with --sync-delta: also write spec Change Data "
+                        "Feed files per commit")
+    p.add_argument("--rest-url",
+                   help="with --sync-iceberg: ALSO publish each snapshot "
+                        "through an Iceberg REST catalog at this URL")
+    p.add_argument("--rest-namespace", default="lake")
+    p.add_argument("--rest-table",
+                   help="catalog table name (default: table dir basename)")
+    p.add_argument("--rest-token", help="bearer token for --rest-url")
     p.add_argument("--demo", action="store_true",
                    help="self-contained local demo on a generated log")
     return p
@@ -141,6 +160,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.scd2 and args.mor:
         print("--scd2 is a COW history layout; drop --mor", file=sys.stderr)
         return 2
+    if args.scd2 and (args.sync_iceberg or args.sync_delta):
+        print("--sync-iceberg/--sync-delta mirror the latest-wins state "
+              "table; the SCD2 history layout has no mirror analog — "
+              "drop one of the two", file=sys.stderr)
+        return 2
+    if args.rest_url and not args.sync_iceberg:
+        print("--rest-url requires --sync-iceberg", file=sys.stderr)
+        return 2
+    if args.change_data and not args.sync_delta:
+        print("--change-data requires --sync-delta", file=sys.stderr)
+        return 2
     if args.scd2:
         from datax_spark.operators.scd2 import create_scd2_table
 
@@ -165,7 +195,38 @@ def main(argv: list[str] | None = None) -> int:
         else:
             table = cls(spark, args.table)
 
+    on_commit = []
+    if args.sync_iceberg and args.rest_url:
+        from datax_spark.lake.rest_catalog import (
+            RestCatalog,
+            sync_iceberg_rest,
+        )
+
+        _cat = RestCatalog(args.rest_url, token=args.rest_token)
+        _name = args.rest_table or os.path.basename(
+            os.path.abspath(args.table)
+        )
+        on_commit.append(
+            lambda m: sync_iceberg_rest(
+                table, _cat, args.rest_namespace, _name,
+                delete_files=args.sync_iceberg,
+            )
+        )
+    elif args.sync_iceberg:
+        from datax_spark.lake.iceberg import sync_iceberg
+
+        on_commit.append(
+            lambda m: sync_iceberg(table, delete_files=args.sync_iceberg)
+        )
+    if args.sync_delta:
+        from datax_spark.lake.delta import sync_delta
+
+        on_commit.append(
+            lambda m: sync_delta(table, change_data=args.change_data)
+        )
+
     cfg = PipelineConfig(
+        on_commit=on_commit,
         quarantine_dir=args.quarantine,
         error_limit=ErrorLimit(record=args.error_record_limit,
                                percentage=args.error_pct_limit),

@@ -143,3 +143,62 @@ def test_sync_iceberg_rest_flag(spark, tmp_path, capsys):
         assert out["synced"] is True
         meta = cat.load_table("lake", "t")["metadata"]
         assert meta["current-snapshot-id"] == t.current_version() > v0
+
+
+def test_cdc_apply_job_sync_flags(spark, tmp_path, capsys):
+    """jobs/cdc_apply_job.py --sync-iceberg dv --sync-delta
+    --change-data: the batch loop publishes BOTH open-format mirrors
+    per committed batch, and the reads back through each format equal
+    the engine's."""
+    import jobs.cdc_apply_job as job
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.delta import read_delta, read_delta_changes
+    from datax_spark.lake.iceberg import _load_metadata, read_iceberg
+    from datax_spark.sources.changelog import (
+        generate_changelog,
+        write_segments,
+    )
+
+    root = str(tmp_path)
+    log = generate_changelog(
+        spark, n_events=2000, n_keys=300, events_per_segment=1000
+    )
+    write_segments(log, os.path.join(root, "log"))
+    tdir = os.path.join(root, "table")
+    rc = job.main([
+        "--log-dir", os.path.join(root, "log"),
+        "--table", tdir, "--create", "--buckets", "4", "--mor",
+        "--quarantine", os.path.join(root, "q"),
+        "--sync-iceberg", "dv", "--sync-delta", "--change-data",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    from datax_spark.lake.mor import MorTable
+
+    mor = MorTable(spark, tdir)
+    loc = os.path.abspath(tdir)
+    meta = _load_metadata(loc)
+    assert meta["format-version"] == 3
+    assert len(meta["snapshots"]) >= 2  # one per committed batch
+
+    def rows(df):
+        return [
+            tuple(r)
+            for r in df.select("repo", "path", "commit", "content")
+            .orderBy("repo", "path", "commit").collect()
+        ]
+
+    assert rows(read_iceberg(spark, loc)) == rows(mor.read())
+    assert rows(read_delta(spark, loc)) == rows(mor.read())
+    # CDF flowed per commit
+    assert read_delta_changes(
+        spark, loc, from_version=0
+    ).count() > 0
+    # guards
+    assert job.main(["--log-dir", "x", "--table", "y",
+                     "--rest-url", "http://x"]) == 2
+    assert job.main(["--log-dir", "x", "--table", "y",
+                     "--change-data"]) == 2
+    assert job.main(["--log-dir", "x", "--table", "y", "--scd2",
+                     "--sync-delta"]) == 2
