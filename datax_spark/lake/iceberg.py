@@ -1879,6 +1879,14 @@ def iceberg_plan(
     dvs: list[dict[str, Any]] = []
     total_rows = 0
     skipped_files = 0
+    # hoisted for the filter-pruning arm: at 100-TB scale the manifest
+    # walk is O(files) and must not rebuild these per entry
+    _type_of = {
+        f["id"]: f["type"]
+        for f in ice_schema["fields"]
+        if isinstance(f["type"], str)
+    }
+    _col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     _, manifests = read_container(snap["manifest-list"])
     for m in manifests:
         _, entries = read_container(m["manifest_path"])
@@ -1911,11 +1919,6 @@ def iceberg_plan(
                 )
             if df["content"] == 0:
                 if filters:
-                    type_of = {
-                        f["id"]: f["type"]
-                        for f in ice_schema["fields"]
-                        if isinstance(f["type"], str)
-                    }
                     bounds: dict[int, tuple[Any, Any]] = {}
                     lowers = {
                         kv["key"]: kv["value"]
@@ -1926,16 +1929,13 @@ def iceberg_plan(
                         for kv in (df.get("upper_bounds") or [])
                     }
                     for cid in set(lowers) & set(uppers):
-                        t = type_of.get(cid)
+                        t = _type_of.get(cid)
                         if t:
                             bounds[cid] = (
                                 _decode_single(lowers[cid], t),
                                 _decode_single(uppers[cid], t),
                             )
-                    col_ids = {
-                        f["name"]: f["id"] for f in ice_schema["fields"]
-                    }
-                    if not _file_may_match(bounds, filters, col_ids):
+                    if not _file_may_match(bounds, filters, _col_ids):
                         skipped_files += 1
                         continue
                 files.append(df["file_path"])
