@@ -78,7 +78,7 @@ def test_progress_listener_writes_jsonl(spark, tmp_path):
             spark.readStream.format("rate").option("rowsPerSecond", 100).load()
             .writeStream.format("noop").trigger(once=True).start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(600), "stream did not finish"
         # listener callbacks are delivered asynchronously; poll briefly
         import time
 

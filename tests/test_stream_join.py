@@ -84,7 +84,7 @@ def test_interval_join_matches_within_tolerance_and_drops_late(
         j.writeStream.format("memory").queryName("ssj_out")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish"
     rows = {
         (r["k"], r["lv"], r["r_rv"])
         for r in spark.sql("SELECT * FROM ssj_out").collect()
@@ -123,7 +123,7 @@ def test_left_outer_emits_unmatched_after_eviction(spark, tmp_path):
         j.writeStream.format("memory").queryName("ssj_lo")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish"
     got = {
         r["lv"]: r["r_rv"]
         for r in spark.sql("SELECT * FROM ssj_lo").collect()
@@ -152,7 +152,7 @@ def test_stream_static_enrichment_needs_no_state(spark, tmp_path):
         j.writeStream.format("memory").queryName("ssj_static")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish"
     got = {r["lv"]: r["r_rv"] for r in spark.sql("SELECT * FROM ssj_static").collect()}
     assert got == {"L0": "DA", "L1": "DB"}
 

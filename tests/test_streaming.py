@@ -274,7 +274,7 @@ def test_watermark_windowed_agg_drops_late_events(spark, tmp_path):
         agg.writeStream.format("memory").queryName("wm_out")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish"
     dropped = sum(
         so["numRowsDroppedByWatermark"]
         for p in q.recentProgress for so in p["stateOperators"]
@@ -309,7 +309,7 @@ def test_stateful_repo_stats_accumulate_across_batches(spark, stream_log, tmp_pa
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not finish"
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches > 1  # state genuinely crossed batch boundaries
 
@@ -427,7 +427,7 @@ def test_streaming_session_window_merges_and_emits(spark, tmp_path):
         agg.writeStream.format("memory").queryName("sess_out")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish"
     got = {
         (r["k"], r["session_window"]["start"].strftime("%H:%M")): r["count"]
         for r in spark.sql("SELECT * FROM sess_out").collect()
