@@ -582,11 +582,23 @@ def q_multimodal_framesample(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Feature-extraction plumbing: payload -> array<double> embedding
-    (hash-arithmetic stub standing in for the model call)."""
+    (hash-arithmetic stub standing in for the model call).
+
+    The library API (`feature_extract_stub`) returns the array<double>
+    column the ANN/dedup operators consume; the QUERY posexplodes it to
+    atomic (doc_id, j, feature) rows because the driver's canonicalizer
+    sorts raw object columns and dies on unhashable lists
+    (CORRECTNESS_r04 `multimodal_features` err) — every `queries()`
+    output schema must be atomic-typed (pinned by the schema guard in
+    tests/test_entry_parity.py::test_query_matches_oracle).
+    """
     from datax_spark.functions.multimodal import feature_extract_stub
 
     docs = _read(spark, sf_dir, "documents")
-    return feature_extract_stub(to_media(docs), dim=8)
+    feats = feature_extract_stub(to_media(docs), dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("j", "feature")
+    ).select("doc_id", F.col("j").cast("long").alias("j"), "feature")
 
 
 def q_job_transform_chain(spark, sf_dir):
@@ -3472,16 +3484,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate checks the FIRST ~50
-    # entries (CORRECTNESS_r03 covered 50 of 61 and dropped the tail, so
-    # the text_*/multimodal_* families lost their driver rows — VERDICT
-    # r3 item 3). Entries 1-50 therefore cover EVERY operator family;
-    # positions 51+ hold near-duplicate variants whose family stays
-    # represented up front (e.g. canal/maxwell share the envelope oracle
-    # with debezium; search_tf/_indexed share text_search's). All keep
-    # full oracles and run in tools/check_parity.py regardless of order.
+    # ROUND-5 ROTATION (VERDICT r4 item 1): the driver's correctness gate
+    # checks the FIRST ~50 entries only. Rounds 1-4 kept every family's
+    # representative up front, which left 46 entries (all the round-3/4
+    # flagship Iceberg/Delta/Kafka/router/DDL/recipe work) without a
+    # driver row in ANY round. Positions 1-46 are now exactly those
+    # never-driver-checked entries; 47-50 are the four stalest green
+    # entries (last driver row r3); the 53 entries green in
+    # CORRECTNESS_r04 move to the tail, pinned by tools/check_parity.py
+    # + tests/test_entry_parity.py regardless of position.
     return {
-        # --- CDC / lake family -------------------------------------------
+        # ==== positions 1-46: never driver-checked before round 5 ====
+        # --- cdc envelope / DML / router / DDL / travel ---
+        "cdc_envelope_emit": q_cdc_envelope_emit,
+        "cdc_rename_evolution": q_cdc_rename_evolution,
+        "cdc_delete_where": q_cdc_delete_where,
+        "cdc_update_where": q_cdc_update_where,
+        "cdc_merge_into": q_cdc_merge_into,
+        "cdc_sliding_counts": q_cdc_sliding_counts,
+        "cdc_snapshot_sync": q_cdc_snapshot_sync,
+        "cdc_routed_apply": q_cdc_routed_apply,
+        "cdc_ddl_apply": q_cdc_ddl_apply,
+        "cdc_batch_travel": q_cdc_batch_travel,
+        "cdc_restore_replay": q_cdc_restore_replay,
+        "cdc_kafka_apply": q_cdc_kafka_apply,
+        # --- iceberg mirror ---
+        "cdc_iceberg_roundtrip": q_cdc_iceberg_roundtrip,
+        "cdc_iceberg_mor_live": q_cdc_iceberg_mor_live,
+        "cdc_iceberg_pos_live": q_cdc_iceberg_pos_live,
+        "cdc_iceberg_dv_live": q_cdc_iceberg_dv_live,
+        "cdc_iceberg_rest": q_cdc_iceberg_rest,
+        "cdc_iceberg_stream": q_cdc_iceberg_stream,
+        # --- delta mirror ---
+        "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
+        "cdc_delta_mor_live": q_cdc_delta_mor_live,
+        "cdc_delta_cdf": q_cdc_delta_cdf,
+        "cdc_delta_relay": q_cdc_delta_relay,
+        # --- dedup / ann ---
+        "dedup_semantic": q_dedup_semantic,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # --- text ---
+        "text_search_tf": q_text_search_tf,
+        "text_search_indexed": q_text_search_indexed,
+        "text_search_bm25": q_text_search_bm25,
+        "text_search_sync": q_text_search_sync,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "text_chunks": q_text_chunks,
+        "text_sample": q_text_sample,
+        "text_decontam": q_text_decontam,
+        "text_lm_score": q_text_lm_score,
+        "text_dup_scrub": q_text_dup_scrub,
+        "text_mixture": q_text_mixture,
+        "text_quality_buckets": q_text_quality_buckets,
+        "text_shards": q_text_shards,
+        "text_recipe": q_text_recipe,
+        "text_quality_scalable": q_text_quality_scalable,
+        "text_c4_clean": q_text_c4_clean,
+        # --- multimodal ---
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_framesample": q_multimodal_framesample,
+        "multimodal_audio": q_multimodal_audio,
+        # ==== positions 47-50: stalest green entries (last row r3) ====
+        "cdc_canal_apply": q_cdc_canal_apply,
+        "cdc_scd2_dedup_apply": q_cdc_scd2_dedup_apply,
+        "dedup_corpus_quality": q_dedup_corpus_quality,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        # ==== positions 51+: green in CORRECTNESS_r04 (or r1-r3) ====
         "cdc_latest_maxby": q_cdc_latest_maxby,
         "cdc_apply_events": q_cdc_apply_events,
         "cdc_quarantine": q_cdc_quarantine,
@@ -3504,32 +3575,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_meta_count": q_cdc_meta_count,
         "cdc_constraints": q_cdc_constraints,
         "cdc_asof_join": q_cdc_asof_join,
-        # --- transformers / splits ---------------------------------------
         "dx_transforms": q_dx_transforms,
         "dx_filter_like": q_dx_filter_like,
         "job_transform_chain": q_job_transform_chain,
         "split_range": q_split_range,
         "split_ntile": q_split_ntile,
-        # --- dedup family -------------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
-        # substring-level dedup family's first-50 representative (the
-        # corpus_quality variant moved to the tail: same family as
-        # dedup_corpus, which stays here)
         "text_dup_spans": q_text_dup_spans,
         "dedup_incremental": q_dedup_incremental,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_corpus": q_dedup_embedding_corpus,
-        # --- ANN family -----------------------------------------------------
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_index": q_ann_ivf_index,
-        # --- text family ----------------------------------------------------
         "text_filter_pipeline": q_text_filter_pipeline,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
@@ -3537,63 +3601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_rare_tokens": q_text_rare_tokens,
         "text_search": q_text_search,
-        # --- multimodal family ----------------------------------------------
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        # ==== position 51+: variants; family already covered above ==========
         "cdc_latest_window": q_cdc_latest_window,
-        "cdc_canal_apply": q_cdc_canal_apply,
         "cdc_maxwell_apply": q_cdc_maxwell_apply,
-        "cdc_scd2_dedup_apply": q_cdc_scd2_dedup_apply,
         "split_string_range": q_split_string_range,
         "dedup_minhash": q_dedup_minhash,
-        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
-        "text_search_tf": q_text_search_tf,
-        "text_search_indexed": q_text_search_indexed,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_framesample": q_multimodal_framesample,
-        "text_repetition": q_text_repetition,
-        "multimodal_audio": q_multimodal_audio,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "text_search_bm25": q_text_search_bm25,
-        "text_pii": q_text_pii,
-        "text_chunks": q_text_chunks,
-        "text_sample": q_text_sample,
-        "text_decontam": q_text_decontam,
-        "cdc_envelope_emit": q_cdc_envelope_emit,
-        "text_lm_score": q_text_lm_score,
-        "text_search_sync": q_text_search_sync,
-        "dedup_corpus_quality": q_dedup_corpus_quality,
-        "text_dup_scrub": q_text_dup_scrub,
-        "text_mixture": q_text_mixture,
-        "text_quality_buckets": q_text_quality_buckets,
-        "text_shards": q_text_shards,
-        "text_recipe": q_text_recipe,
-        "text_quality_scalable": q_text_quality_scalable,
-        "cdc_rename_evolution": q_cdc_rename_evolution,
-        "cdc_delete_where": q_cdc_delete_where,
-        "cdc_update_where": q_cdc_update_where,
-        "cdc_merge_into": q_cdc_merge_into,
-        "dedup_semantic": q_dedup_semantic,
-        "cdc_sliding_counts": q_cdc_sliding_counts,
-        "cdc_snapshot_sync": q_cdc_snapshot_sync,
-        "text_c4_clean": q_text_c4_clean,
-        "cdc_routed_apply": q_cdc_routed_apply,
-        "cdc_ddl_apply": q_cdc_ddl_apply,
-        "cdc_batch_travel": q_cdc_batch_travel,
-        "cdc_restore_replay": q_cdc_restore_replay,
-        "cdc_kafka_apply": q_cdc_kafka_apply,
-        "cdc_iceberg_roundtrip": q_cdc_iceberg_roundtrip,
-        "cdc_iceberg_mor_live": q_cdc_iceberg_mor_live,
-        "cdc_iceberg_pos_live": q_cdc_iceberg_pos_live,
-        "cdc_iceberg_dv_live": q_cdc_iceberg_dv_live,
-        "cdc_iceberg_rest": q_cdc_iceberg_rest,
-        "cdc_iceberg_stream": q_cdc_iceberg_stream,
-        "cdc_delta_roundtrip": q_cdc_delta_roundtrip,
-        "cdc_delta_mor_live": q_cdc_delta_mor_live,
-        "cdc_delta_cdf": q_cdc_delta_cdf,
-        "cdc_delta_relay": q_cdc_delta_relay,
     }
 
 
@@ -4063,10 +4075,10 @@ def oracle_sql() -> dict[str, str]:
         FROM documents, (SELECT unnest(range(4)) AS i)
     """
     sql["multimodal_features"] = """
-        SELECT doc_id,
-               [((('0x' || substr(sha256(text), 4*j + 1, 4))::BIGINT) % 1000)
-                / 1000.0 for j in range(8)] AS features
-        FROM documents
+        SELECT doc_id, j::BIGINT AS j,
+               ((('0x' || substr(sha256(text), 4*j + 1, 4))::BIGINT) % 1000)
+                / 1000.0 AS feature
+        FROM documents, (SELECT unnest(range(8)) AS j)
     """
     # The lake engine paths (COW MERGE and MOR append+resolve) produce a
     # SQL-expressible final state for this events-derived changelog, so

@@ -29,7 +29,19 @@ def con():
 
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_query_matches_oracle(spark, con, name):
-    got = E.queries()[name](spark, SF_DIR).toPandas()
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = E.queries()[name](spark, SF_DIR)
+    # Driver-canonicalizer contract: output schemas must be atomic-typed
+    # (the driver's pandas sort_values dies on unhashable list/dict cells
+    # — CORRECTNESS_r04 multimodal_features). Library APIs may return
+    # nested types; the *query* must explode/stringify them.
+    nested = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, f"{name}: non-atomic output columns {nested}"
+    got = df.toPandas()
     oracle = E.oracle_sql().get(name)
     if oracle is None:
         assert len(got) >= 0  # rows-only contract: runs, stable schema
