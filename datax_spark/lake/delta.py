@@ -1457,16 +1457,22 @@ def _stats_may_match(
         lo, hi = mins.get(key), maxs.get(key)
         if lo is None or hi is None:
             continue
-        if op == "=" and not (lo <= val <= hi):
-            return False
-        if op == ">=" and hi < val:
-            return False
-        if op == ">" and hi <= val:
-            return False
-        if op == "<=" and lo > val:
-            return False
-        if op == "<" and lo >= val:
-            return False
+        # incomparable types (numeric filter on a string column,
+        # string-encoded stats) fail OPEN — the residual Spark
+        # predicate handles the casts row-level (ADVICE r4)
+        try:
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == ">=" and hi < val:
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+            if op == "<" and lo >= val:
+                return False
+        except TypeError:
+            continue
     return True
 
 

@@ -2367,16 +2367,21 @@ def _file_may_match(
         lo, hi = bounds[cid]
         if lo is None or hi is None:
             continue
-        if op == "=" and not (lo <= val <= hi):
-            return False
-        if op in (">=",) and hi < val:
-            return False
-        if op == ">" and hi <= val:
-            return False
-        if op in ("<=",) and lo > val:
-            return False
-        if op == "<" and lo >= val:
-            return False
+        # incomparable types fail OPEN — the residual predicate would
+        # have handled the cast row-level (ADVICE r4)
+        try:
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op in (">=",) and hi < val:
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op in ("<=",) and lo > val:
+                return False
+            if op == "<" and lo >= val:
+                return False
+        except TypeError:
+            continue
     return True
 
 

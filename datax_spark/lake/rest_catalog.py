@@ -429,6 +429,11 @@ class IcebergRestCatalogServer:
                 h._error(404, "NotFoundException", f"no route {path}")
         except (KeyError, ValueError, TypeError) as e:
             h._error(400, "BadRequestException", str(e))
+        except OSError as e:
+            # e.g. _register opening a client-supplied metadata-location
+            # that doesn't exist: a clean 400, never a dead handler
+            # thread + connection abort (ADVICE r4)
+            h._error(400, "BadRequestException", str(e))
 
     def _register(self, h, ns: str) -> None:
         b = h._body()
@@ -622,17 +627,26 @@ def catalog_commit_updates(cat_meta: dict, local_meta: dict) -> list[dict]:
     """The spec updates that carry the catalog's metadata forward to the
     locally exported document: format upgrade, new schemas, new
     snapshots (in sequence order), the main-ref move, and property
-    changes. Empty when already caught up."""
+    changes. Empty when already caught up.
+
+    Update ORDER is load-bearing when the catalog lags across the
+    v2->v3 boundary (missed pre-upgrade snapshots, e.g. interleaved
+    local-only syncs): v2-era snapshots carry no ``first-row-id``, and
+    a server already upgraded to v3 rejects them as a non-retryable
+    400. The format upgrade therefore lands AFTER the add-snapshot
+    updates for snapshots lacking ``first-row-id`` and before those
+    carrying one (ADVICE r4) — sound because first-row-id assignment is
+    monotone with sequence number (row lineage starts at the upgrade
+    and never un-assigns)."""
     updates: list[dict] = []
+    upgrade = None
     if int(local_meta["format-version"]) > int(
         cat_meta.get("format-version", 2)
     ):
-        updates.append(
-            {
-                "action": "upgrade-format-version",
-                "format-version": local_meta["format-version"],
-            }
-        )
+        upgrade = {
+            "action": "upgrade-format-version",
+            "format-version": local_meta["format-version"],
+        }
     have_schemas = {s["schema-id"] for s in cat_meta.get("schemas", [])}
     for s in local_meta["schemas"]:
         if s["schema-id"] not in have_schemas:
@@ -671,7 +685,12 @@ def catalog_commit_updates(cat_meta: dict, local_meta: dict) -> list[dict]:
         key=lambda s: s["sequence-number"],
     )
     for s in new_snaps:
+        if upgrade is not None and s.get("first-row-id") is not None:
+            updates.append(upgrade)
+            upgrade = None
         updates.append({"action": "add-snapshot", "snapshot": s})
+    if upgrade is not None:
+        updates.append(upgrade)
     if new_snaps and local_meta.get("current-snapshot-id") is not None:
         updates.append(
             {

@@ -49,9 +49,10 @@ class _FilePartition(InputPartition):
 
 
 class IcebergAppendsStreamReader(DataSourceStreamReader):
-    def __init__(self, schema_fields: list[str], options: dict):
+    def __init__(self, payload_schema, options: dict):
         self.location = options["location"]
-        self.fields = schema_fields  # payload columns, no _snapshot_id
+        self.struct = payload_schema  # StructType, no _snapshot_id
+        self.fields = payload_schema.fieldNames()
         # option keys may arrive case-normalized depending on the
         # engine path — accept both
         self.start_after = int(
@@ -114,8 +115,23 @@ class IcebergAppendsStreamReader(DataSourceStreamReader):
         # lineage column (never a driver materialization)
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
-        table = pq.read_table(partition.path, columns=self.fields)
+        # Additive schema evolution: older append snapshots' files lack
+        # columns added later, and requesting them from pyarrow raises.
+        # Read the intersection and NULL-fill the missing fields typed
+        # per the declared schema — the same name-mapping behavior as
+        # the batch reader (read_iceberg). ADVICE r4.
+        pf = pq.ParquetFile(partition.path)
+        present = set(pf.schema_arrow.names)
+        table = pf.read(columns=[c for c in self.fields if c in present])
+        for f in self.struct.fields:
+            if f.name not in present:
+                table = table.append_column(
+                    f.name,
+                    pa.nulls(table.num_rows, to_arrow_type(f.dataType)),
+                )
+        table = table.select(self.fields)
         sid = pa.array(
             [partition.snapshot_id] * table.num_rows, pa.int64()
         )
@@ -151,10 +167,12 @@ class IcebergAppendsDataSource(DataSource):
         return f"{cols}, _snapshot_id bigint"
 
     def streamReader(self, schema) -> IcebergAppendsStreamReader:
-        return IcebergAppendsStreamReader(
-            [n for n in schema.fieldNames() if n != "_snapshot_id"],
-            dict(self.options),
+        from pyspark.sql.types import StructType
+
+        payload = StructType(
+            [f for f in schema.fields if f.name != "_snapshot_id"]
         )
+        return IcebergAppendsStreamReader(payload, dict(self.options))
 
 
 def stream_iceberg_appends(
@@ -182,10 +200,18 @@ def tail_iceberg_appends(
 ) -> list[int]:
     """Mirror-to-table replication for append-only pipelines: tail the
     Iceberg appends stream and land each micro-batch in ``dst_table``
-    via the O(batch) insert-only fast path, fenced per source snapshot
-    (batch id = the max ``_snapshot_id`` in the batch, so a replayed
-    micro-batch after checkpoint loss no-ops instead of duplicating).
-    Returns the snapshot ids applied this run."""
+    via the O(batch) insert-only fast path, fenced PER SOURCE SNAPSHOT.
+
+    An availableNow micro-batch can coalesce several source snapshots —
+    including, after checkpoint loss, snapshots that already landed plus
+    genuinely new ones. Fencing on the batch's max ``_snapshot_id``
+    alone would see head > stored fence and re-apply the whole batch,
+    duplicating the previously landed rows (ADVICE r4). The sink
+    therefore splits the batch by distinct ``_snapshot_id`` and applies
+    each slice as its own fenced commit in ascending order: replayed
+    snapshots no-op individually, new ones land exactly once.
+    Returns the snapshot ids actually applied (fence-advanced) this run.
+    """
     from pyspark.sql import functions as F
 
     applied: list[int] = []
@@ -193,13 +219,21 @@ def tail_iceberg_appends(
     def _sink(batch_df: DataFrame, _bid: int) -> None:
         rows = batch_df.persist()
         try:
-            head = rows.agg(F.max("_snapshot_id")).first()[0]
-            if head is None:
-                return
-            dst_table.append_insert_only(
-                rows.drop("_snapshot_id"), batch_id=int(head)
+            snaps = sorted(
+                r[0]
+                for r in rows.select("_snapshot_id").distinct().collect()
             )
-            applied.append(int(head))
+            prev_version = dst_table.snapshot().version
+            for sid in snaps:
+                out = dst_table.append_insert_only(
+                    rows.filter(F.col("_snapshot_id") == sid).drop(
+                        "_snapshot_id"
+                    ),
+                    batch_id=int(sid),
+                )
+                if out.version != prev_version:
+                    applied.append(int(sid))
+                    prev_version = out.version
         finally:
             rows.unpersist()
 

@@ -907,3 +907,31 @@ def test_delta_history_describes_commits(spark, tmp_path):
     clean_delta_log(loc)
     h2 = delta_history(spark, loc).collect()
     assert [r["version"] for r in h2] == [2]  # truncated at checkpoint
+
+
+def test_stats_prune_fails_open_on_incomparable_types():
+    """ADVICE r4: a type-mismatched clause (numeric filter vs
+    string-encoded stats) must keep the file, not raise TypeError at
+    plan time — the residual Spark predicate casts row-level."""
+    import json as _json
+
+    from datax_spark.lake.delta import _stats_may_match
+    from datax_spark.lake.iceberg import _file_may_match
+
+    stats = _json.dumps(
+        {"minValues": {"k": "10"}, "maxValues": {"k": "99"}}
+    )
+    assert _stats_may_match(stats, [("k", ">=", 50)], {}) is True
+    # comparable clauses still prune alongside an incomparable one
+    stats2 = _json.dumps(
+        {"minValues": {"k": "10", "n": 1}, "maxValues": {"k": "99", "n": 5}}
+    )
+    assert (
+        _stats_may_match(stats2, [("k", "=", 7), ("n", ">", 5)], {}) is False
+    )
+    assert _file_may_match({3: ("10", "99")}, [("k", ">=", 50)], {"k": 3})
+    assert not _file_may_match(
+        {3: ("10", "99"), 4: (1, 5)},
+        [("k", "=", 7), ("n", ">", 5)],
+        {"k": 3, "n": 4},
+    )

@@ -107,6 +107,66 @@ def test_replayed_batch_is_fenced(spark, tmp_path):
     assert _seqs(dst.read()) == list(range(200))
 
 
+def test_stream_survives_additive_schema_evolution(spark, tmp_path):
+    """ADVICE r4: after ADD COLUMN, older append snapshots' parquet
+    files lack the new column; requesting it from pyarrow raises and
+    failed the stream. The reader must NULL-fill missing fields by name
+    like the batch reader does."""
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "src"), SCHEMA, ["repo"],
+        "repo", num_buckets=4,
+    )
+    t.append_insert_only(_rows(spark, 0, 100), batch_id=0)
+    export_iceberg(t)
+    t.add_columns([StructField("stars", LongType())])
+    t.append_insert_only(
+        _rows(spark, 100, 200).withColumn("stars", F.col("seq") * 2),
+        batch_id=1,
+    )
+    export_iceberg(t)
+
+    rows = (
+        stream_iceberg_appends(spark, os.path.abspath(t.path))
+        .writeStream.format("memory")
+        .queryName("ice_evo")
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert rows.awaitTermination(600)
+    got = spark.sql("SELECT * FROM ice_evo").collect()
+    assert len(got) == 200
+    by_seq = {r["seq"]: r for r in got}
+    assert by_seq[0]["stars"] is None  # pre-evolution file NULL-fills
+    assert by_seq[150]["stars"] == 300
+
+
+def test_checkpoint_loss_with_new_appends_does_not_duplicate(spark, tmp_path):
+    """ADVICE r4: after checkpoint loss WITH new appends since, one
+    availableNow micro-batch spans already-applied AND new snapshots —
+    head exceeds the stored fence, so a batch-level max-id fence would
+    re-apply the whole batch. The per-snapshot split must no-op the
+    replayed snapshots individually and land only the new one."""
+    src, vs = _src(spark, tmp_path, batches=2)
+    loc = os.path.abspath(src.path)
+    dst = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "dst"), SCHEMA, ["repo"],
+        "repo", num_buckets=4,
+    )
+    tail_iceberg_appends(spark, loc, dst, os.path.join(str(tmp_path), "c1"))
+    assert _seqs(dst.read()) == list(range(200))
+    # a new append lands in the mirror after the checkpoint is lost
+    src.append_insert_only(_rows(spark, 200, 300), batch_id=2)
+    export_iceberg(src)
+    applied = tail_iceberg_appends(
+        spark, loc, dst, os.path.join(str(tmp_path), "c2")
+    )
+    assert applied == [src.current_version()]
+    assert _seqs(dst.read()) == list(range(300))
+
+
 def test_overwrite_snapshot_fails_the_stream(spark, tmp_path):
     from pyspark.errors import StreamingQueryException
 

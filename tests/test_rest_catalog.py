@@ -367,3 +367,62 @@ def test_local_expire_mirrors_to_catalog(spark, log_df, tmp_path, server):
     assert _sorted_rows(
         read_iceberg_catalog(spark, cat, "lake", "repos")
     ) == _sorted_rows(table.read())
+
+
+def test_register_missing_metadata_location_is_clean_400(server):
+    """ADVICE r4: a bad metadata-location used to raise FileNotFoundError
+    past the route handler's except clause, killing the handler thread —
+    the client saw a connection abort instead of a 4xx."""
+    cat = RestCatalog(server.url)
+    cat.create_namespace("badreg")
+    with pytest.raises(CatalogError, match="400"):
+        cat.register_table("badreg", "t", "/nonexistent/metadata.json")
+    # the server is still alive and serving
+    assert "badreg" in cat.list_namespaces()
+
+
+def test_v2_era_snapshots_commit_before_format_upgrade():
+    """ADVICE r4: when the catalog lags across the v2->v3 boundary, the
+    update list must add the v2-era snapshots (no first-row-id) BEFORE
+    upgrade-format-version, or the server rejects them with 'v3 snapshot
+    missing first-row-id' as a non-retryable 400."""
+
+    def snap(sid, frid=None, rows=10):
+        s = {
+            "snapshot-id": sid, "sequence-number": sid,
+            "timestamp-ms": sid, "manifest-list": f"ml-{sid}",
+            "summary": {"operation": "append"}, "schema-id": 0,
+        }
+        if frid is not None:
+            s["first-row-id"] = frid
+            s["added-rows"] = rows
+        return s
+
+    schema0 = {"schema-id": 0, "type": "struct", "fields": []}
+    cat_meta = {
+        "format-version": 2, "table-uuid": "u-lag",
+        "location": "/tmp/rc_lag", "last-column-id": 0,
+        "current-schema-id": 0, "schemas": [schema0],
+        "snapshots": [snap(1)], "current-snapshot-id": 1,
+        "last-sequence-number": 1, "properties": {},
+    }
+    # local document moved on: one more v2-era snapshot (missed by the
+    # catalog), then the v3 upgrade, then a v3 snapshot with lineage
+    local_meta = {
+        "format-version": 3, "table-uuid": "u-lag",
+        "location": "/tmp/rc_lag", "last-column-id": 0,
+        "current-schema-id": 0, "schemas": [schema0],
+        "snapshots": [snap(1), snap(2), snap(3, frid=0, rows=20)],
+        "current-snapshot-id": 3, "last-sequence-number": 3,
+        "next-row-id": 20, "properties": {},
+    }
+    updates = catalog_commit_updates(cat_meta, local_meta)
+    actions = [u["action"] for u in updates]
+    assert actions.index("upgrade-format-version") > actions.index(
+        "add-snapshot"
+    )
+    # the server-side application must accept the whole list atomically
+    out = apply_updates(cat_meta, updates)
+    assert out["format-version"] == 3
+    assert out["next-row-id"] == 20
+    assert [s["snapshot-id"] for s in out["snapshots"]] == [1, 2, 3]
