@@ -624,8 +624,19 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
             cols.append(expr.alias(f"col{i}"))
         df = df.select(*cols) if cols else df
     elif name.endswith("reader") and "jdbcUrl" in param:
+        from datax_spark.sources.jdbc import canonical_cast
+
         opts = jdbc_read_options(param)
         df = spark.read.format("jdbc").options(**opts).load()
+        # DataX column-model mapping on top of whatever the driver
+        # surfaced (CommonRdbmsReader.java:241-350): int family -> long,
+        # decimal/real -> double, MySQL YEAR -> long via the optional
+        # per-column typeName hints
+        df = canonical_cast(
+            df,
+            type_names=param.get("typeNames"),
+            exact_decimals=bool(param.get("exactDecimals")),
+        )
     else:
         raise KeyError(f"unknown reader {name!r}")
     if param.get("column") and name not in ("streamreader",) and not param.get("querySql") and "jdbcUrl" not in param:

@@ -122,6 +122,90 @@ def _to_py(v):
             return s
 
 
+class UnsupportedJdbcType(TypeError):
+    """Column type outside the reference's supported JDBC set."""
+
+
+def canonical_cast(
+    df: DataFrame,
+    type_names: dict[str, str] | None = None,
+    exact_decimals: bool = False,
+) -> DataFrame:
+    """Post-read cast layer reproducing the reference's JDBC-type ->
+    column-model mapping (CommonRdbmsReader.java:241-350) on top of
+    Spark's JDBC source:
+
+    - integer family (TINYINT/SMALLINT/INTEGER/BIGINT) -> long
+      (LongColumn); Spark's JDBC source surfaces these as
+      byte/short/int per driver — widened here;
+    - NUMERIC/DECIMAL -> double (DoubleColumn) like the reference.
+      NB: unsigned BIGINT arrives from MySQL as DECIMAL(20,0); the
+      double cast degrades above 2^53 exactly as the reference's
+      DoubleColumn->double accessor does. ``exact_decimals=True`` keeps
+      DecimalType instead (a documented deviation for users who read
+      decimals back as decimals);
+    - FLOAT/REAL -> double;
+    - CHAR/VARCHAR/CLOB family -> string (as read);
+    - BINARY/VARBINARY/BLOB family (incl. Derby's CHAR FOR BIT DATA)
+      -> binary (as read);
+    - DATE/TIME/TIMESTAMP -> as read (Spark maps TIME to timestamp);
+    - BOOLEAN/BIT(1) -> boolean;
+    - MySQL ``YEAR`` (mysql bug 35115 — the connector surfaces it as
+      DATE): pass ``type_names={"col": "year"}`` and the column lands
+      as the year number, long (LongColumn in the reference);
+    - anything else (struct/array/map/interval...) raises
+      ``UnsupportedJdbcType`` — the reference's default arm.
+
+    Column NAMES are preserved; only types move. Apply immediately
+    after ``spark.read.jdbc`` / ``jdbc_read_partitioned`` so the rest
+    of the pipeline sees the DataX column model regardless of driver.
+    """
+    import pyspark.sql.types as T
+
+    names = {k.lower(): v.lower() for k, v in (type_names or {}).items()}
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        tn = names.get(f.name.lower(), "")
+        dt = f.dataType
+        if tn == "year":
+            if isinstance(dt, (T.DateType, T.TimestampType)):
+                c = F.year(c).cast("long")
+            else:
+                c = c.cast("long")
+        elif isinstance(dt, T.BooleanType):
+            pass  # BOOLEAN / bit(1) -> BoolColumn
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            c = c.cast("long")
+        elif isinstance(dt, T.LongType):
+            pass
+        elif isinstance(dt, T.DecimalType):
+            if not exact_decimals:
+                c = c.cast("double")
+        elif isinstance(dt, T.FloatType):
+            c = c.cast("double")
+        elif isinstance(
+            dt,
+            (
+                T.DoubleType,
+                T.StringType,
+                T.BinaryType,
+                T.DateType,
+                T.TimestampType,
+                T.TimestampNTZType,
+            ),
+        ):
+            pass
+        else:
+            raise UnsupportedJdbcType(
+                f"column {f.name!r}: {dt.simpleString()} is outside the "
+                "supported JDBC type set (CommonRdbmsReader.java:334-341"
+                " default arm) — cast it in the query or drop the column"
+            )
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
 def split_pk_bounds(
     spark: SparkSession,
     url: str,

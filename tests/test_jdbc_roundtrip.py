@@ -291,3 +291,106 @@ def test_jobspec_jdbc_insert_mode(spark, derby_url, src_table):
     run_job(spark, job)
     assert jdbc_query(
         spark, derby_url, "SELECT COUNT(*) FROM DX_JOB_INS") == [(5,)]
+
+
+# ---------------------------------------------------------------------------
+# canonical type-map (CommonRdbmsReader.java:241-350) on the LIVE path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def typed_table(spark, derby_url):
+    """Every Derby-expressible branch of the reference's type switch."""
+    jdbc_execute(
+        spark,
+        derby_url,
+        [
+            "CREATE TABLE DX_TYPED ("
+            "ID BIGINT NOT NULL PRIMARY KEY, "
+            "C_SMALL SMALLINT, C_INT INT, "
+            "C_DEC DECIMAL(10,2), C_BIGDEC DECIMAL(20,0), "
+            "C_REAL REAL, C_DOUBLE DOUBLE, "
+            "C_CHAR CHAR(8), C_VARCHAR VARCHAR(64), C_CLOB CLOB, "
+            "C_BITS CHAR(4) FOR BIT DATA, C_BLOB BLOB, "
+            "C_DATE DATE, C_TIME TIME, C_TS TIMESTAMP, "
+            "C_BOOL BOOLEAN, C_YEARISH DATE)",
+            "INSERT INTO DX_TYPED VALUES ("
+            "1, 7, 42, 12.34, 18446744073709551615, "
+            "1.5, 2.25, 'pad     ', 'hello', 'clob-text', "
+            "X'DEADBEEF', CAST(X'00FF' AS BLOB), "
+            "DATE('2021-07-04'), TIME('13:45:30'), "
+            "TIMESTAMP('2021-07-04 13:45:30'), TRUE, DATE('1999-01-01'))",
+        ],
+    )
+    return "DX_TYPED"
+
+
+def test_canonical_cast_matches_reference_column_model(
+    spark, derby_url, typed_table
+):
+    from datax_spark.sources.jdbc import canonical_cast
+
+    raw = spark.read.jdbc(derby_url, typed_table, properties={})
+    out = canonical_cast(raw, type_names={"C_YEARISH": "year"})
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    # integer family -> long (LongColumn)
+    assert types["C_SMALL"] == "bigint"
+    assert types["C_INT"] == "bigint"
+    assert types["ID"] == "bigint"
+    # NUMERIC/DECIMAL + FLOAT/REAL -> double (DoubleColumn)
+    assert types["C_DEC"] == "double"
+    assert types["C_BIGDEC"] == "double"
+    assert types["C_REAL"] == "double"
+    assert types["C_DOUBLE"] == "double"
+    # string family stays string, binary family stays binary
+    assert types["C_CHAR"] == types["C_VARCHAR"] == types["C_CLOB"] == "string"
+    assert types["C_BITS"] == types["C_BLOB"] == "binary"
+    # temporal family as read (TIME arrives as timestamp from Spark)
+    assert types["C_DATE"] == "date"
+    assert types["C_TIME"].startswith("timestamp")
+    assert types["C_TS"].startswith("timestamp")
+    # BOOLEAN/bit(1) -> boolean; YEAR quirk -> long
+    assert types["C_BOOL"] == "boolean"
+    assert types["C_YEARISH"] == "bigint"
+
+    r = out.first()
+    assert r["C_SMALL"] == 7 and r["C_INT"] == 42
+    assert r["C_DEC"] == 12.34
+    assert r["C_BIGDEC"] == float(18446744073709551615)
+    assert r["C_CHAR"].rstrip() == "pad" and r["C_CLOB"] == "clob-text"
+    assert bytes(r["C_BITS"]) == b"\xde\xad\xbe\xef"
+    assert bytes(r["C_BLOB"]) == b"\x00\xff"
+    assert r["C_BOOL"] is True
+    assert r["C_YEARISH"] == 1999  # mysql YEAR semantics: the year number
+
+
+def test_canonical_cast_exact_decimals_and_unsupported(
+    spark, derby_url, typed_table
+):
+    from datax_spark.sources.jdbc import UnsupportedJdbcType, canonical_cast
+
+    raw = spark.read.jdbc(derby_url, typed_table, properties={})
+    kept = canonical_cast(raw, exact_decimals=True)
+    t = dict((f.name, f.dataType.simpleString()) for f in kept.schema.fields)
+    assert t["C_BIGDEC"] == "decimal(20,0)"
+    # exact path really is exact where double degrades
+    assert int(kept.first()["C_BIGDEC"]) == 18446744073709551615
+    # the reference's default arm: unsupported types refuse loudly
+    bad = raw.withColumn("C_ARR", F.array(F.lit(1)))
+    with pytest.raises(UnsupportedJdbcType, match="C_ARR"):
+        canonical_cast(bad)
+
+
+def test_canonical_cast_mysql_bit1_spec(spark):
+    """MySQL quirks Derby can't produce, pinned at spec level: bit(1)
+    arrives from the connector as BOOLEAN (Types.BIT -> BoolColumn,
+    CommonRdbmsReader.java:314-319) and must stay boolean; bit(>1)
+    arrives as VARBINARY and must stay bytes."""
+    from datax_spark.sources.jdbc import canonical_cast
+
+    df = spark.createDataFrame(
+        [(True, bytearray(b"\x05"))], "B1 boolean, B8 binary"
+    )
+    out = canonical_cast(df)
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {"B1": "boolean", "B8": "binary"}
