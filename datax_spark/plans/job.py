@@ -319,6 +319,51 @@ def _read_zip(spark: SparkSession, param: dict[str, Any]) -> DataFrame:
     return _split_value_columns(df, param)
 
 
+def _read_lzo(
+    spark: SparkSession, param: dict[str, Any], compress: str
+) -> DataFrame:
+    """LZO'd text/CSV read: binaryFile scan -> pure-stdlib LZO1X decode
+    (``lzo`` = lzop container with checksum verification, ``lzo_deflate``
+    = bare block framing — sources/lzo.py) inside an Arrow-batched
+    mapInPandas -> the shared delimited split.
+
+    Scale shape: like zip, an un-indexed .lzo file is not splittable, so
+    parallelism = number of files — one archive per task, the same unit
+    DataX assigns one reader task per compressed file
+    (UnstructuredStorageReaderUtil.java:118-137). Keep individual files
+    executor-sized.
+    """
+    paths = param["path"]
+    paths = paths if isinstance(paths, list) else [paths]
+    r = spark.read.format("binaryFile")
+    if param.get("pathGlobFilter"):
+        r = r.option("pathGlobFilter", param["pathGlobFilter"])
+    bins = r.load(*paths).select("content")
+    encoding = param.get("encoding", "utf-8")
+    raw_header = param.get("skipHeader", param.get("header", False))
+    header = raw_header is True or str(raw_header).lower() == "true"
+    lzop = compress in ("lzo", "lzop")
+
+    def _entries(it):
+        import pandas as pd
+
+        from datax_spark.sources.lzo import read_lzo_deflate, read_lzop
+
+        for pdf in it:
+            vals: list[str] = []
+            for blob in pdf["content"]:
+                raw = bytes(blob)
+                data = read_lzop(raw) if lzop else read_lzo_deflate(raw)
+                lines = data.decode(encoding).splitlines()
+                if header and lines:
+                    lines = lines[1:]
+                vals.extend(ln for ln in lines if ln != "")
+            yield pd.DataFrame({"value": vals})
+
+    df = bins.mapInPandas(_entries, "value string")
+    return _split_value_columns(df, param)
+
+
 # DataX mongo column types (mongodbreader/.../KeyConstant.java) -> Spark DDL.
 _MONGO_TYPES = {
     "int": "long", "long": "long", "double": "double", "string": "string",
@@ -573,15 +618,16 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any], channel: int | N
                 df = df.filter(param["where"])
             return df
         if compress in ("lzo", "lzop", "lzo_deflate"):
-            # Honest gap instead of the silent pass-through Spark would
-            # reject at scan time with an opaque codec error: DataX ships
-            # an LZO decoder jar; neither Spark nor this container does.
-            raise ValueError(
-                f"compress={compress!r} is not supported: Spark has no "
-                "LZO codec (DataX bundles one). Supported here: gzip, "
-                "bzip2, snappy (native Spark) and zip (binaryFile route). "
-                "Re-compress the source or add an LZO hadoop codec jar."
-            )
+            # DataX decompresses these transparently
+            # (UnstructuredStorageReaderUtil.java:118-137: lzop container
+            # via ExpandLzopInputStream, bare block stream via
+            # LzoInputStream); Spark has no LZO codec, so route through
+            # binaryFile + the pure-stdlib decoder (sources/lzo.py),
+            # same per-archive task shape as the zip route.
+            df = _read_lzo(spark, param, compress)
+            if param.get("where"):
+                df = df.filter(param["where"])
+            return df
         r = spark.read.format(fmt)
         if fmt == "csv":
             r = r.option("sep", param.get("fieldDelimiter", ","))

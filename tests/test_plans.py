@@ -338,23 +338,76 @@ def test_zip_compressed_reader_job(spark, tmp_path):
     assert got == {("1", "aa"), ("2", "bb"), ("3", "cc"), ("4", "dd")}
 
 
-def test_lzo_compress_raises_loudly(spark, tmp_path):
-    """LZO stays a gap (no codec in Spark or this container) but must
-    fail with an actionable message, not Spark's opaque codec error."""
-    import pytest
+def test_lzo_compressed_reader_job(spark, tmp_path):
+    """DataX reads .lzo CSV transparently (compress=lzo / lzo_deflate,
+    UnstructuredStorageReaderUtil.java:118-137); Spark has no LZO codec,
+    so the binaryFile + sources/lzo.py route must round-trip a job.json
+    — multiple archives, per-file header, both container formats."""
+    from datax_spark.sources.lzo import write_lzo_deflate, write_lzop
 
-    with pytest.raises(ValueError, match="LZO"):
-        compile_reader(
-            spark,
-            {
-                "name": "txtfilereader",
-                "parameter": {
-                    "path": str(tmp_path),
-                    "fileType": "csv",
-                    "compress": "lzo",
-                },
+    src = tmp_path / "lzin"
+    src.mkdir()
+    (src / "a.lzo").write_bytes(
+        write_lzop(b"id,name\n1,aa\n2,bb\n", filename=b"a.csv")
+    )
+    (src / "b.lzo").write_bytes(write_lzop(b"id,name\n3,cc\n"))
+    dst = str(tmp_path / "lzout")
+
+    job = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "txtfilereader",
+                        "parameter": {
+                            "path": str(src),
+                            "fileType": "csv",
+                            "compress": "lzo",
+                            "header": True,
+                            "fieldDelimiter": ",",
+                            "column": ["id", "name"],
+                        },
+                    },
+                    "writer": {
+                        "name": "txtfilewriter",
+                        "parameter": {
+                            "path": dst,
+                            "fileType": "csv",
+                            "header": True,
+                            "writeMode": "truncate",
+                        },
+                    },
+                }
+            ]
+        }
+    }
+    run_job(spark, job)
+    out = spark.read.option("header", True).csv(dst)
+    got = {(r["id"], r["name"]) for r in out.collect()}
+    assert got == {("1", "aa"), ("2", "bb"), ("3", "cc")}
+
+    # bare block framing (compress=lzo_deflate, LzoInputStream route)
+    src2 = tmp_path / "lzdin"
+    src2.mkdir()
+    (src2 / "c.csv.lzo_deflate").write_bytes(
+        write_lzo_deflate(b"4|dd\n5|ee\n")
+    )
+    df = compile_reader(
+        spark,
+        {
+            "name": "hdfsreader",
+            "parameter": {
+                "path": str(src2),
+                "fileType": "csv",
+                "compress": "lzo_deflate",
+                "fieldDelimiter": "|",
+                "column": ["id", "name"],
             },
-        )
+        },
+    )
+    assert {(r["id"], r["name"]) for r in df.collect()} == {
+        ("4", "dd"), ("5", "ee")
+    }
 
 
 def test_adjust_channel_number_speed_budgets(spark, tmp_path):
