@@ -760,21 +760,17 @@ def _synth_delete_file(
     re-exports and EXISTING entries reuse the same file. Raises
     IcebergUnexportableState on inline tombstones in a delta (op 'd'
     rows are full-width and would surface as data)."""
-    import hashlib
-
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from datax_spark.operators.merge import DELETE_OP
 
-    out = os.path.join(
-        mdir, f"eqdel-{hashlib.md5(rel.encode()).hexdigest()[:20]}.parquet"
-    )
+    out = _synth_delete_path(mdir, rel)
     src = os.path.join(location, rel)
     cols = key_cols + (["_op"] if is_delta else [])
     t = pq.read_table(src, columns=cols)
     if is_delta:
-        ops = t.column("_op").to_pylist()
-        if any(o == DELETE_OP for o in ops):
+        if pc.any(pc.equal(t.column("_op"), DELETE_OP)).as_py():
             raise IcebergUnexportableState(
                 "delta files carry inline tombstone rows "
                 "(delete_encoding='inline'); Iceberg cannot express them "
@@ -789,6 +785,56 @@ def _synth_delete_file(
         pq.write_table(t, tmp)
         os.replace(tmp, out)
     return out, t.num_rows
+
+
+def _synth_delete_path(mdir: str, rel: str) -> str:
+    import hashlib
+
+    return os.path.join(
+        mdir, f"eqdel-{hashlib.md5(rel.encode()).hexdigest()[:20]}.parquet"
+    )
+
+
+# above this many NEW synth files per export, fan the pyarrow
+# read/write out to executors (shared storage) instead of a driver loop
+_SYNTH_PARALLEL_THRESHOLD = 8
+
+
+def _synth_delete_files(
+    spark,
+    mdir: str,
+    location: str,
+    jobs: list[tuple[str, bool]],
+    key_cols: list[str],
+) -> dict[str, tuple[str, int]]:
+    """Run ``_synth_delete_file`` for every (rel, is_delta) job —
+    driver loop when few, executor fan-out when many (per-batch work is
+    O(batch keys); a driver loop would serialize what the cluster can
+    do in parallel). Executor-side IcebergUnexportableState is
+    marshalled back and re-raised with its original type so
+    ``sync_iceberg``'s skip contract survives the fan-out."""
+    if len(jobs) <= _SYNTH_PARALLEL_THRESHOLD:
+        return {
+            rel: _synth_delete_file(mdir, location, rel, key_cols, isd)
+            for rel, isd in jobs
+        }
+
+    def _one(job):
+        rel, isd = job
+        try:
+            return rel, _synth_delete_file(mdir, location, rel, key_cols, isd), None
+        except IcebergUnexportableState as e:
+            return rel, None, str(e)
+
+    sc = spark.sparkContext
+    n_slices = max(1, min(len(jobs), sc.defaultParallelism))
+    results = sc.parallelize(jobs, n_slices).map(_one).collect()
+    out: dict[str, tuple[str, int]] = {}
+    for rel, res, err in results:
+        if err is not None:
+            raise IcebergUnexportableState(err)
+        out[rel] = res
+    return out
 
 
 # spec: reserved field ids of the position-delete file columns
@@ -1404,14 +1450,22 @@ def export_iceberg(
         _check_no_null_seq_after(
             location, [(rel, addv[rel]) for _, rel in rels], min_delete_v
         )
-        for rel, is_delta in [(r, True) for r in sorted(live_deltas)] + [
+        all_jobs = [(r, True) for r in sorted(live_deltas)] + [
             (r, False) for r in sorted(live_eq)
-        ]:
-            dpath, nrec = _synth_delete_file(
-                mdir, location, rel, key_cols, is_delta
-            )
-            if nrec == 0:
-                continue
+        ]
+        # files already in the prior export carry their record_count
+        # there — synthesize (= read the source keys) ONLY for new
+        # ones, so per-sync work is O(new batch), not O(live deltas)
+        new_jobs = [
+            (rel, isd)
+            for rel, isd in all_jobs
+            if _synth_delete_path(mdir, rel) not in prior_files
+        ]
+        synths = _synth_delete_files(
+            table.spark, mdir, location, new_jobs, key_cols
+        )
+        for rel, is_delta in all_jobs:
+            dpath = _synth_delete_path(mdir, rel)
             prior = prior_files.get(dpath)
             if prior is not None:
                 del_existing += 1
@@ -1425,6 +1479,9 @@ def export_iceberg(
                         "data_file": prior["data_file"],
                     }
                 )
+                continue
+            dpath, nrec = synths[rel]
+            if nrec == 0:
                 continue
             del_added += 1
             del_rows_added += nrec
