@@ -777,7 +777,8 @@ class MorTable(LakeTable):
             resolved, props["num_buckets"], props["bucket_key"]
         )
         new_snap = self.commit_replace_buckets(
-            snap.version, commit_rel, replaced_buckets=fragmented
+            snap.version, commit_rel, replaced_buckets=fragmented,
+            rewrite_only=True,
         )
         new_snap = self._maybe_clear_patch_flag(new_snap)
         files_after = sum(len(new_snap.buckets.get(str(b), [])) for b in fragmented)

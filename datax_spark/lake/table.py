@@ -144,6 +144,15 @@ class Snapshot:
     # manifests written before round 4 (mtime fallback). Excluded from
     # equality: two runs producing identical state must compare equal.
     committed_at: float | None = field(default=None, compare=False, repr=False)
+    # True when the commit that PRODUCED this snapshot only rewrote
+    # files without changing any row (compaction / clustered rewrite) —
+    # Delta's dataChange=false. read_changes skips these commit pairs
+    # outright: diffing a compaction costs a full changed-bucket
+    # exceptAll that provably nets zero changes (round 5: the 50M
+    # sustained DV-mirror protocol spent most of each sync there).
+    # Per-commit metadata like committed_at: excluded from equality and
+    # from to_json (identical states stay fingerprint-equal).
+    rewrite_only: bool = field(default=False, compare=False, repr=False)
 
 
 def _conform_payload(df: DataFrame, payload: list[str], schema: StructType) -> DataFrame:
@@ -634,6 +643,7 @@ class LakeTable:
         )
         snap._refs = refs
         snap.committed_at = d.get("committed_at")
+        snap.rewrite_only = bool(d.get("rewrite_only", False))
         return snap
 
     def _shard_lists(
@@ -698,6 +708,8 @@ class LakeTable:
             "eq_deletes": snap.eq_deletes,
             "committed_at": time.time(),
         }
+        if snap.rewrite_only:
+            doc["rewrite_only"] = True
         if snap.properties.get("manifest_mode") == "sharded":
             b_out, b_refs = self._shard_lists("buckets", snap.buckets, base)
             d_out, d_refs = self._shard_lists("deltas", snap.deltas, base)
@@ -1487,8 +1499,13 @@ class LakeTable:
         property_updates: dict[str, Any] | None = None,
         file_stats_updates: dict[str, dict[str, dict[str, list]]] | None = None,
         replace_lineage: bool = False,
+        rewrite_only: bool = False,
     ) -> Snapshot:
         """Publish a snapshot replacing ``replaced_buckets`` with staged files.
+
+        ``rewrite_only=True`` marks the commit as a pure file rewrite
+        (compaction/clustering — no row changes): the change feed skips
+        it and mirrors may stamp dataChange=false.
 
         ``replace_lineage=True`` makes ``lineage_updates`` the COMPLETE
         new lineage map instead of a merge — used when the bucket id
@@ -1544,7 +1561,7 @@ class LakeTable:
             lineage = {} if replace_lineage else dict(base.lineage)
             for b, stats in (lineage_updates or {}).items():
                 lineage[str(b)] = stats
-            return Snapshot(
+            out = Snapshot(
                 version=base.version + 1,
                 # union with the rebased-onto schema: evolution is
                 # additive-only, so merging both writers' columns is safe
@@ -1556,6 +1573,8 @@ class LakeTable:
                 file_stats=file_stats,
                 eq_deletes=eq_deletes,
             )
+            out.rewrite_only = rewrite_only
+            return out
 
         return self._commit_loop(orig, build, check, rebase, max_retries)
 
@@ -1610,6 +1629,10 @@ class LakeTable:
         parts: list[DataFrame] = []
         for v in range(from_version, to_version):
             old_snap, new_snap = self.snapshot(v), self.snapshot(v + 1)
+            if new_snap.rewrite_only:
+                # compaction / clustered rewrite: files moved, rows
+                # didn't — a diff would net zero at full-bucket cost
+                continue
             changed = sorted(
                 int(b)
                 for b in set(old_snap.buckets) | set(new_snap.buckets)
@@ -2193,7 +2216,8 @@ class LakeTable:
             df, props["num_buckets"], props["bucket_key"]
         )
         new_snap = self.commit_replace_buckets(
-            snap.version, commit_rel, replaced_buckets=fragmented
+            snap.version, commit_rel, replaced_buckets=fragmented,
+            rewrite_only=True,
         )
         files_after = sum(len(new_snap.buckets.get(str(b), [])) for b in fragmented)
         return {
@@ -2257,7 +2281,8 @@ class LakeTable:
             sort_cols=sort_cols, max_records_per_file=target_file_rows,
         )
         return self.commit_replace_buckets(
-            snap.version, commit_rel, replaced_buckets=sel
+            snap.version, commit_rel, replaced_buckets=sel,
+            rewrite_only=True,
         )
 
     def _rewrite_source(self, snap: Snapshot, buckets: list[int]) -> DataFrame:
@@ -2749,6 +2774,7 @@ class LakeTable:
             property_updates={"num_buckets": new_num_buckets},
             lineage_updates=lineage_updates,
             replace_lineage=True,
+            rewrite_only=True,  # rows unchanged — only the layout moved
         )
 
     def vacuum(self, keep_last: int = 2, min_age_sec: float = 0.0) -> dict[str, int]:

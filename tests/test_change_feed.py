@@ -148,3 +148,62 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     # same content but size_bytes NULL -> 42 is still a row change
     assert feed[("r1", "update_preimage")]["size_bytes"] is None
     assert feed[("r1", "update_postimage")]["size_bytes"] == 42
+
+
+def test_change_feed_skips_rewrite_only_commits(spark, tmp_path):
+    """Compaction / clustered rewrites move files without changing rows;
+    the feed must skip those commit pairs outright (round 5: each
+    compaction pair cost a full changed-bucket exceptAll that provably
+    nets zero — most of every sync in the sustained DV-mirror run)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import apply_batch
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+
+    def rows(lo, hi, seq):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.lit("p").alias("path"), F.lit("c").alias("commit"),
+            F.lit("py").alias("lang"),
+            F.concat(F.lit("v"), F.lit(seq), F.lit("-"), F.col("id"))
+            .alias("content"),
+            F.lit("insert").alias("op"),
+            (F.lit(seq * 1000) + F.col("id")).alias("seq"),
+        )
+
+    t = MorTable.create(
+        spark, os.path.join(str(tmp_path), "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=4,
+    )
+    apply_batch(t, rows(0, 50, 1), 0)          # v2 (create is v1)
+    v_apply = t.current_version()
+    t.compact(max_files_per_bucket=0)          # v3: pure rewrite
+    v_after_compact = t.current_version()
+    apply_batch(t, rows(25, 75, 2), 1)         # next data commit
+    head = t.current_version()
+
+    # the compaction commit is marked and contributes no feed rows
+    assert t.snapshot(v_after_compact).rewrite_only
+    assert t.read_changes(v_apply, v_after_compact).count() == 0
+
+    # the full-range feed still carries the second apply's changes
+    feed = t.read_changes(v_apply, head)
+    kinds = {
+        r["_change_type"]: n
+        for r, n in (
+            (row, row["n"])
+            for row in feed.groupBy("_change_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        )
+    }
+    assert kinds.get("insert") == 25          # repos 50..74 are new
+    assert kinds.get("update_postimage") == 25  # repos 25..49 updated
+    assert kinds.get("update_preimage") == 25
