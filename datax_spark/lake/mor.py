@@ -302,9 +302,18 @@ class MorTable(LakeTable):
             out = _filter_eq_deleted(out, dmax, key_cols)
         return out
 
-    def read(self, buckets=None, version=None, tag=None) -> DataFrame:
+    def read(self, buckets=None, version=None, tag=None, keys=None) -> DataFrame:
         """Resolved view: latest-wins per key, tombstones removed.
-        ``tag`` reads a named pinned snapshot (LakeTable.create_tag)."""
+        ``tag`` reads a named pinned snapshot (LakeTable.create_tag).
+
+        ``keys`` (a DataFrame of key-column rows) restricts the view to
+        those keys BEFORE resolution. Sound because every resolution
+        mode is key-local — latest-wins, patch coalescing, eq-delete
+        kill and tombstone filtering each look only at a key's own rows
+        — so semi-joining base and delta first yields exactly the full
+        view's rows for those keys. This is what keeps the change-feed
+        diff O(batch): the semi-join build side is the batch's key set,
+        broadcastable when the batch is small relative to the table."""
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version OR tag, not both")
@@ -322,6 +331,12 @@ class MorTable(LakeTable):
         delta = self._read_files(
             delta_files, snap.schema, snap.properties.get("renames")
         ) if delta_files else None
+        if keys is not None:
+            key_cols = snap.properties["key_cols"]
+            on = keys.select(*key_cols)
+            base = base.join(on, on=key_cols, how="left_semi")
+            if delta is not None:
+                delta = delta.join(on, on=key_cols, how="left_semi")
         resolved = self._resolve_any(
             snap, base, delta, self._delta_bytes(delta_files), buckets
         )

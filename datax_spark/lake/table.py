@@ -1579,6 +1579,90 @@ class LakeTable:
         return self._commit_loop(orig, build, check, rebase, max_retries)
 
     # ------------------------------------------------------------ change feed
+    def _appended_keys_frame(self, old_snap, new_snap) -> DataFrame | None:
+        """Key rows of the files a commit APPENDED, or None when the
+        commit is not an append-only MOR commit (base files changed,
+        files removed, or this is a COW table — COW merges rewrite
+        bucket files, so the changed key set is not recoverable from
+        manifests). The append gate checks every bucket: base lists
+        equal, old delta/eq lists a prefix of the new (the commit
+        discipline — apply/DML only ever append)."""
+        from datax_spark.lake.mor import MorTable, eq_delete_schema
+
+        if not isinstance(self, MorTable):
+            return None
+        if new_snap.properties.get("table_mode") != "mor":
+            return None
+        added_delta: list[str] = []
+        added_eq: list[str] = []
+        every = (
+            set(old_snap.buckets) | set(new_snap.buckets)
+            | set(old_snap.deltas) | set(new_snap.deltas)
+            | set(old_snap.eq_deletes) | set(new_snap.eq_deletes)
+        )
+        for b in every:
+            if old_snap.buckets.get(b, []) != new_snap.buckets.get(b, []):
+                return None
+            for old_t, new_t, out in (
+                (old_snap.deltas, new_snap.deltas, added_delta),
+                (old_snap.eq_deletes, new_snap.eq_deletes, added_eq),
+            ):
+                o, n = old_t.get(b, []), new_t.get(b, [])
+                if o != n[: len(o)]:
+                    return None
+                out.extend(n[len(o):])
+        if not added_delta and not added_eq:
+            return None
+        # Adaptive: restricting pays off only when the appended batch is
+        # SMALL relative to the changed buckets' state — then the key
+        # set is a cheap (often broadcast) build side and the diff
+        # touches O(batch) rows. When a batch rewrites most keys anyway
+        # (bulk loads, this engine's bench protocol), the semi-joins
+        # and key distinct are pure overhead over the full-bucket
+        # exceptAll — fall back. Manifest byte sizes decide, no scan.
+        def _bytes(rels: list[str]) -> int:
+            return sum(
+                os.path.getsize(os.path.join(self.path, r))
+                for r in rels
+                if os.path.exists(os.path.join(self.path, r))
+            )
+
+        changed_b = {
+            b for b in every
+            if old_snap.deltas.get(b, []) != new_snap.deltas.get(b, [])
+            or old_snap.eq_deletes.get(b, []) != new_snap.eq_deletes.get(b, [])
+        }
+        added_bytes = _bytes(added_delta) + _bytes(added_eq)
+        state_bytes = sum(
+            _bytes(t.get(b, []))
+            for b in changed_b
+            for t in (new_snap.buckets, new_snap.deltas, new_snap.eq_deletes)
+        )
+        if added_bytes * 4 > state_bytes:
+            return None
+        # the pair spans no rename (renames are metadata-only commits
+        # with unchanged file lists — they skip earlier), so this era's
+        # key names serve both version reads
+        key_cols = new_snap.properties["key_cols"]
+        renames = new_snap.properties.get("renames")
+        parts: list[DataFrame] = []
+        if added_delta:
+            parts.append(
+                self._read_files(
+                    [os.path.join(self.path, r) for r in added_delta],
+                    new_snap.schema, renames,
+                ).select(*key_cols)
+            )
+        if added_eq:
+            parts.append(
+                self._read_files(
+                    [os.path.join(self.path, r) for r in added_eq],
+                    eq_delete_schema(new_snap.schema, key_cols),
+                ).select(*key_cols)
+            )
+        out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        return out.distinct()
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -1648,13 +1732,27 @@ class LakeTable:
                 f.name for f in to_snap.schema.fields
                 if not f.name.startswith("_")
             ]
+            # MOR append-only commits (the hot CDC loop: apply/DML
+            # commits add delta/eq files, bases untouched) diff
+            # KEY-RESTRICTED: only keys appearing in the appended files
+            # can change between the versions — every other key has the
+            # same input rows at v and v+1, resolution is key-local, so
+            # its identical pre/post rows would only cancel in exceptAll
+            # at full-bucket cost. Semi-joining both reads on the
+            # appended files' key set first makes the diff O(batch
+            # keys), not O(changed-bucket state) — and broadcastable
+            # when a batch is small relative to the table (the 100-TB
+            # regime; PLANS.md §17). Rewrites (base lists differ) fall
+            # back to the full-bucket diff.
+            keys = self._appended_keys_frame(old_snap, new_snap)
+            kw = {} if keys is None else {"keys": keys}
             old_df = _conform_payload(
-                _forward(self.read(buckets=changed, version=v)), payload,
-                to_snap.schema,
+                _forward(self.read(buckets=changed, version=v, **kw)),
+                payload, to_snap.schema,
             )
             new_df = _conform_payload(
-                _forward(self.read(buckets=changed, version=v + 1)), payload,
-                to_snap.schema,
+                _forward(self.read(buckets=changed, version=v + 1, **kw)),
+                payload, to_snap.schema,
             )
             pre = old_df.exceptAll(new_df)
             post = new_df.exceptAll(old_df)

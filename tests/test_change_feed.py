@@ -207,3 +207,95 @@ def test_change_feed_skips_rewrite_only_commits(spark, tmp_path):
     assert kinds.get("insert") == 25          # repos 50..74 are new
     assert kinds.get("update_postimage") == 25  # repos 25..49 updated
     assert kinds.get("update_preimage") == 25
+
+
+@pytest.mark.parametrize(
+    "mode", ["inline", "eq", "patch"]
+)
+def test_change_feed_key_restricted_fast_path(spark, tmp_path, mode):
+    """A small append-only MOR commit diffs KEY-RESTRICTED (round 5):
+    only keys in the appended delta/eq files can change, so both
+    version reads semi-join on that key set before resolution — the
+    diff is O(batch), not O(changed-bucket state). The fast path must
+    (a) actually engage for a small batch over a big base, and
+    (b) produce the exact frame the full-bucket fallback produces, in
+    every delete encoding and in patch mode."""
+    import os
+
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    t = MorTable.create(
+        spark, os.path.join(str(tmp_path), f"t_{mode}"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=4,
+    )
+    base = spark.range(0, 4000).select(
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("p").alias("path"), F.lit("c").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("body-"), F.col("id"),
+                 F.lit("x" * 120)).alias("content"),
+        F.lit("insert").alias("op"),
+        F.col("id").alias("seq"),
+    )
+    apply_batch(t, base, 0)
+    t.compact(max_files_per_bucket=0)
+    v0 = t.current_version()
+
+    cfg = PipelineConfig(
+        delete_encoding="eq" if mode == "eq" else "inline",
+        write_mode="update" if mode == "patch" else "replace",
+    )
+    small = _events(spark, [
+        ("r7", "p", "c", "py", "A2", "update", 100_000),
+        ("r9", "p", "c", None, None, "delete", 100_001),
+        ("rNEW", "p", "c", "py", "fresh", "insert", 100_002),
+        # patch mode: NULL lang keeps the old column value
+        ("r11", "p", "c", None, "B2", "update", 100_003),
+    ])
+    apply_batch(t, small, 1, cfg)
+    v1 = t.current_version()
+
+    # the small commit is append-only and far below the byte threshold
+    keys = t._appended_keys_frame(t.snapshot(v0), t.snapshot(v1))
+    assert keys is not None
+    assert sorted(r["repo"] for r in keys.collect()) == [
+        "r11", "r7", "r9", "rNEW"
+    ]
+
+    def canon(df):
+        return sorted(
+            (
+                (r["repo"], r["lang"], r["content"], r["_change_type"])
+                for r in df.collect()
+            ),
+            key=lambda x: tuple("" if v is None else v for v in x),
+        )
+
+    fast = canon(t.read_changes(v0, v1))
+    orig = MorTable._appended_keys_frame
+    MorTable._appended_keys_frame = lambda self, a, b: None
+    try:
+        slow = canon(t.read_changes(v0, v1))
+    finally:
+        MorTable._appended_keys_frame = orig
+    assert fast == slow
+    want_lang = "py" if mode != "patch" else "py"  # patch keeps old lang
+    assert ("r7", want_lang, "A2", "update_postimage") in fast
+    assert ("rNEW", "py", "fresh", "insert") in fast
+    deletes = [x for x in fast if x[3] == "delete"]
+    assert [x[0] for x in deletes] == ["r9"]
+    if mode == "patch":
+        # NULL incoming column kept the 4000-batch value
+        post = [x for x in fast if x[0] == "r11" and x[3] == "update_postimage"]
+        assert post and post[0][1] == "py" and post[0][2] == "B2"
+
+    # a big batch (most keys rewritten) must NOT take the fast path —
+    # the semi-joins would cost more than the full-bucket diff
+    big = base.withColumn("seq", F.col("seq") + F.lit(200_000)).withColumn(
+        "content", F.concat(F.col("content"), F.lit("!")))
+    apply_batch(t, big, 2, cfg)
+    assert t._appended_keys_frame(t.snapshot(v1), t.snapshot()) is None
