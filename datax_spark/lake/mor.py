@@ -345,6 +345,198 @@ class MorTable(LakeTable):
     def count(self) -> int:
         return self.read().count()
 
+    def _read_changes_single_pass(
+        self,
+        old_snap: Snapshot,
+        new_snap: Snapshot,
+        changed: list[int],
+        added_delta: list[str],
+        added_eq: list[str],
+        restrict: bool,
+    ) -> DataFrame:
+        """One-shuffle change feed for an APPEND-ONLY commit pair
+        (``LakeTable._appended_files`` gate: bases equal, delta/eq lists
+        grew, no patch deltas). The generic diff resolves BOTH versions
+        and exceptAlls them — ~6 exchanges over the changed buckets'
+        state. Here: scan the changed buckets ONCE at the new version
+        with appended files tagged, aggregate per key the pre-winner
+        (appended rows excluded, old eq set) and post-winner (all rows,
+        new eq set) via max_by — the same side-aware latest-wins rules
+        as ``_resolve``/``_dead_rows_frame`` — then classify. Keys the
+        commit never touched fall out of the aggregation (``has_new``),
+        and value-equal pre/post rows drop, matching exceptAll
+        semantics exactly (pinned by
+        ``test_change_feed_key_restricted_fast_path``).
+
+        ``restrict``: additionally semi-join the scan on the appended
+        files' key set first — for a batch that is tiny relative to the
+        table this turns the aggregation's shuffle into a broadcast
+        prune of the base scan (the 10^10-row-table regime)."""
+        key_cols = new_snap.properties["key_cols"]
+        renames = new_snap.properties.get("renames")
+        payload = [
+            f.name for f in new_snap.schema.fields if f.name not in META_COLS
+        ]
+        pay = [c for c in payload if c not in key_cols]
+        neg_inf = F.lit(-(1 << 62))
+
+        def _scan(files: list[str], side: str, is_new: bool) -> DataFrame:
+            return self._read_files(files, new_snap.schema, renames).select(
+                *key_cols,
+                F.col(SEQ_META).alias("_s"),
+                F.col(OP_META).alias("_o"),
+                *[F.col(c) for c in pay],
+                F.lit(side).alias("_side"),
+                F.lit(is_new).alias("_isnew"),
+            )
+
+        base_files = self._abs_files(new_snap, changed, "base")
+        added_abs = [os.path.join(self.path, r) for r in added_delta]
+        old_delta_files = [
+            f for f in self._abs_files(new_snap, changed, "delta")
+            if f not in set(added_abs)
+        ]
+        rows = None
+        for files, side, is_new in (
+            (base_files, "b", False),
+            (old_delta_files, "d", False),
+            (added_abs, "d", True),
+        ):
+            if files:
+                part = _scan(files, side, is_new)
+                rows = part if rows is None else rows.unionByName(part)
+        # per-key max eq-delete seq at the OLD and NEW version (delete-
+        # file-sized, broadcasts)
+        eq_schema = eq_delete_schema(new_snap.schema, key_cols)
+        added_eq_abs = [os.path.join(self.path, r) for r in added_eq]
+
+        def _dmax(files: list[str], alias: str) -> DataFrame | None:
+            if not files:
+                return None
+            return (
+                self._read_files(files, eq_schema)
+                .groupBy(*key_cols)
+                .agg(F.max(SEQ_META).alias(alias))
+            )
+
+        old_eq_files = [
+            f for f in self._abs_files(new_snap, changed, "eq")
+            if f not in set(added_eq_abs)
+        ]
+        dmax_old = _dmax(old_eq_files, "_dmax_old")
+        dmax_new = _dmax(old_eq_files + added_eq_abs, "_dmax_new")
+
+        spark = self.spark
+        if rows is None:
+            # eq-only commit over buckets with no files: nothing changes
+            from pyspark.sql.types import StringType as _S
+            from pyspark.sql.types import StructField as _F
+            from pyspark.sql.types import StructType as _T
+
+            return spark.createDataFrame(
+                [],
+                _T(
+                    [f for f in new_snap.schema.fields if f.name in payload]
+                    + [_F("_change_type", _S())]
+                ),
+            )
+        if restrict:
+            kparts = []
+            if added_abs:
+                kparts.append(
+                    self._read_files(
+                        added_abs, new_snap.schema, renames
+                    ).select(*key_cols)
+                )
+            if added_eq_abs:
+                kparts.append(
+                    self._read_files(added_eq_abs, eq_schema)
+                    .select(*key_cols)
+                )
+            kdf = kparts[0]
+            for p in kparts[1:]:
+                kdf = kdf.unionByName(p)
+            rows = rows.join(kdf.distinct(), on=key_cols, how="left_semi")
+
+        img = F.struct(
+            F.col("_s"), F.col("_o"), *[F.col(c) for c in pay]
+        )
+        is_d = F.col("_side") == "d"
+        is_old_d = is_d & ~F.col("_isnew")
+        agg = rows.groupBy(*key_cols).agg(
+            F.first(F.when(~is_d, img), ignorenulls=True).alias("_b"),
+            F.max_by(
+                F.when(is_d, img), F.when(is_d, F.col("_s"))
+            ).alias("_d_all"),
+            F.max_by(
+                F.when(is_old_d, img), F.when(is_old_d, F.col("_s"))
+            ).alias("_d_old"),
+            F.max(F.when(F.col("_isnew"), 1).otherwise(0)).alias("_has_new"),
+        )
+        for dmax, alias in ((dmax_old, "_dmax_old"), (dmax_new, "_dmax_new")):
+            if dmax is not None:
+                agg = agg.join(F.broadcast(dmax), on=key_cols, how="left")
+            else:
+                agg = agg.withColumn(alias, F.lit(None).cast("long"))
+        # a key can also change with NO new delta row: a fresh eq-delete
+        touched = (F.col("_has_new") == 1) | ~F.col("_dmax_old").eqNullSafe(
+            F.col("_dmax_new")
+        )
+        agg = agg.filter(touched)
+
+        def winner(d_col: str):
+            return F.when(
+                F.col(d_col).isNotNull(), F.col(d_col)
+            ).otherwise(F.col("_b"))
+
+        def alive(st, dmax_col: str):
+            return (
+                st.isNotNull()
+                & F.coalesce(st["_o"] != DELETE_OP, F.lit(True))
+                & (
+                    F.col(dmax_col).isNull()
+                    | (F.coalesce(st["_s"], neg_inf) > F.col(dmax_col))
+                )
+            )
+
+        pre, post = winner("_d_old"), winner("_d_all")
+        pre_alive = alive(pre, "_dmax_old")
+        post_alive = alive(post, "_dmax_new")
+
+        def vals(st):
+            return F.struct(*[st[c].alias(c) for c in pay])
+
+        def entry(st, ct: str):
+            return F.struct(
+                vals(st).alias("v"), F.lit(ct).alias("ct")
+            )
+
+        changes = (
+            F.when(
+                ~pre_alive & post_alive, F.array(entry(post, "insert"))
+            )
+            .when(
+                pre_alive & ~post_alive, F.array(entry(pre, "delete"))
+            )
+            .when(
+                pre_alive & post_alive & ~vals(pre).eqNullSafe(vals(post)),
+                F.array(
+                    entry(pre, "update_preimage"),
+                    entry(post, "update_postimage"),
+                ),
+            )
+            # no .otherwise: a NULL array explodes to zero rows — the
+            # no-change arm (untouched key / value-equal rewrite)
+        )
+        out = agg.select(*key_cols, F.explode(changes).alias("_e"))
+        return out.select(
+            *[
+                F.col(c) if c in key_cols else F.col(f"_e.v.{c}").alias(c)
+                for c in payload
+            ],
+            F.col("_e.ct").alias("_change_type"),
+        )
+
     def scan(self, filters, buckets=None, version=None, tag=None) -> DataFrame:
         """Filtered RESOLVED read with manifest pruning (LakeTable.scan
         semantics on the latest-wins view).

@@ -1579,19 +1579,35 @@ class LakeTable:
         return self._commit_loop(orig, build, check, rebase, max_retries)
 
     # ------------------------------------------------------------ change feed
-    def _appended_keys_frame(self, old_snap, new_snap) -> DataFrame | None:
-        """Key rows of the files a commit APPENDED, or None when the
-        commit is not an append-only MOR commit (base files changed,
-        files removed, or this is a COW table — COW merges rewrite
-        bucket files, so the changed key set is not recoverable from
-        manifests). The append gate checks every bucket: base lists
-        equal, old delta/eq lists a prefix of the new (the commit
-        discipline — apply/DML only ever append)."""
-        from datax_spark.lake.mor import MorTable, eq_delete_schema
+    def _appended_files(
+        self, old_snap, new_snap
+    ) -> tuple[list[str], list[str], bool] | None:
+        """(added delta rels, added eq rels, restrict) for an
+        APPEND-ONLY MOR commit pair, or None when the single-pass diff
+        doesn't apply (base files changed, files removed, patch deltas
+        live, or this is a COW table — COW merges rewrite bucket files,
+        so the changed key set is not recoverable from manifests). The
+        append gate checks every bucket: base lists equal, old delta/eq
+        lists a prefix of the new (the commit discipline — apply and
+        DML increments only ever append).
+
+        ``restrict`` says the appended batch is SMALL relative to the
+        changed buckets' state (manifest byte sizes, no scan) — then
+        the diff's input should additionally semi-join on the appended
+        files' key set, turning its one shuffle into a broadcast-side
+        prune (the 10^10-row-table regime). For bulk-shaped batches the
+        extra semi-join is overhead over the groupBy's own
+        changed-key filtering."""
+        from datax_spark.lake.mor import MorTable
 
         if not isinstance(self, MorTable):
             return None
         if new_snap.properties.get("table_mode") != "mor":
+            return None
+        if new_snap.properties.get("mor_patch"):
+            # pre/post images under partial-column patches need the
+            # coalescing resolution — the generic two-read diff handles
+            # it; single-pass winners would drop patched-in columns
             return None
         added_delta: list[str] = []
         added_eq: list[str] = []
@@ -1613,13 +1629,7 @@ class LakeTable:
                 out.extend(n[len(o):])
         if not added_delta and not added_eq:
             return None
-        # Adaptive: restricting pays off only when the appended batch is
-        # SMALL relative to the changed buckets' state — then the key
-        # set is a cheap (often broadcast) build side and the diff
-        # touches O(batch) rows. When a batch rewrites most keys anyway
-        # (bulk loads, this engine's bench protocol), the semi-joins
-        # and key distinct are pure overhead over the full-bucket
-        # exceptAll — fall back. Manifest byte sizes decide, no scan.
+
         def _bytes(rels: list[str]) -> int:
             return sum(
                 os.path.getsize(os.path.join(self.path, r))
@@ -1638,30 +1648,7 @@ class LakeTable:
             for b in changed_b
             for t in (new_snap.buckets, new_snap.deltas, new_snap.eq_deletes)
         )
-        if added_bytes * 4 > state_bytes:
-            return None
-        # the pair spans no rename (renames are metadata-only commits
-        # with unchanged file lists — they skip earlier), so this era's
-        # key names serve both version reads
-        key_cols = new_snap.properties["key_cols"]
-        renames = new_snap.properties.get("renames")
-        parts: list[DataFrame] = []
-        if added_delta:
-            parts.append(
-                self._read_files(
-                    [os.path.join(self.path, r) for r in added_delta],
-                    new_snap.schema, renames,
-                ).select(*key_cols)
-            )
-        if added_eq:
-            parts.append(
-                self._read_files(
-                    [os.path.join(self.path, r) for r in added_eq],
-                    eq_delete_schema(new_snap.schema, key_cols),
-                ).select(*key_cols)
-            )
-        out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        return out.distinct()
+        return added_delta, added_eq, added_bytes * 4 <= state_bytes
 
     def read_changes(
         self, from_version: int, to_version: int | None = None
@@ -1733,45 +1720,60 @@ class LakeTable:
                 if not f.name.startswith("_")
             ]
             # MOR append-only commits (the hot CDC loop: apply/DML
-            # commits add delta/eq files, bases untouched) diff
-            # KEY-RESTRICTED: only keys appearing in the appended files
-            # can change between the versions — every other key has the
-            # same input rows at v and v+1, resolution is key-local, so
-            # its identical pre/post rows would only cancel in exceptAll
-            # at full-bucket cost. Semi-joining both reads on the
-            # appended files' key set first makes the diff O(batch
-            # keys), not O(changed-bucket state) — and broadcastable
-            # when a batch is small relative to the table (the 100-TB
-            # regime; PLANS.md §17). Rewrites (base lists differ) fall
-            # back to the full-bucket diff.
-            keys = self._appended_keys_frame(old_snap, new_snap)
-            kw = {} if keys is None else {"keys": keys}
-            old_df = _conform_payload(
-                _forward(self.read(buckets=changed, version=v, **kw)),
-                payload, to_snap.schema,
-            )
-            new_df = _conform_payload(
-                _forward(self.read(buckets=changed, version=v + 1, **kw)),
-                payload, to_snap.schema,
-            )
-            pre = old_df.exceptAll(new_df)
-            post = new_df.exceptAll(old_df)
-            post_keys = post.select(*key_cols).distinct()
-            pre_keys = pre.select(*key_cols).distinct()
-            ct = "_change_type"
-            frames = [
-                pre.join(post_keys, key_cols, "left_semi")
-                .withColumn(ct, F.lit("update_preimage")),
-                pre.join(post_keys, key_cols, "left_anti")
-                .withColumn(ct, F.lit("delete")),
-                post.join(pre_keys, key_cols, "left_semi")
-                .withColumn(ct, F.lit("update_postimage")),
-                post.join(pre_keys, key_cols, "left_anti")
-                .withColumn(ct, F.lit("insert")),
-            ]
-            pair = frames[0]
-            for f in frames[1:]:
-                pair = pair.unionByName(f)
+            # commits add delta/eq files, bases untouched) diff in ONE
+            # PASS: scan the changed buckets once with the appended
+            # files tagged, compute each key's pre-winner (appended
+            # rows and eq-deletes excluded) and post-winner in one
+            # per-key aggregation, classify, and drop value-equal
+            # keys — one shuffle instead of two resolved reads + two
+            # exceptAlls + four joins, and only keys touched by the
+            # commit survive the aggregation (PLANS.md §17). Rewrites
+            # (base lists differ) and live patch deltas fall back to
+            # the generic full-bucket diff.
+            appended = self._appended_files(old_snap, new_snap)
+            if appended is not None:
+                from pyspark.sql.types import StringType as _Str
+                from pyspark.sql.types import StructField as _SF
+
+                sp = _forward(
+                    self._read_changes_single_pass(
+                        old_snap, new_snap, changed, *appended
+                    )
+                )
+                pair = _conform_payload(
+                    sp, payload + ["_change_type"],
+                    StructType(
+                        list(to_snap.schema.fields)
+                        + [_SF("_change_type", _Str())]
+                    ),
+                )
+            else:
+                old_df = _conform_payload(
+                    _forward(self.read(buckets=changed, version=v)),
+                    payload, to_snap.schema,
+                )
+                new_df = _conform_payload(
+                    _forward(self.read(buckets=changed, version=v + 1)),
+                    payload, to_snap.schema,
+                )
+                pre = old_df.exceptAll(new_df)
+                post = new_df.exceptAll(old_df)
+                post_keys = post.select(*key_cols).distinct()
+                pre_keys = pre.select(*key_cols).distinct()
+                ct = "_change_type"
+                frames = [
+                    pre.join(post_keys, key_cols, "left_semi")
+                    .withColumn(ct, F.lit("update_preimage")),
+                    pre.join(post_keys, key_cols, "left_anti")
+                    .withColumn(ct, F.lit("delete")),
+                    post.join(pre_keys, key_cols, "left_semi")
+                    .withColumn(ct, F.lit("update_postimage")),
+                    post.join(pre_keys, key_cols, "left_anti")
+                    .withColumn(ct, F.lit("insert")),
+                ]
+                pair = frames[0]
+                for f in frames[1:]:
+                    pair = pair.unionByName(f)
             parts.append(pair.withColumn("_commit_version", F.lit(v + 1)))
         if not parts:
             schema = self.snapshot(to_version).schema

@@ -259,12 +259,17 @@ def test_change_feed_key_restricted_fast_path(spark, tmp_path, mode):
     apply_batch(t, small, 1, cfg)
     v1 = t.current_version()
 
-    # the small commit is append-only and far below the byte threshold
-    keys = t._appended_keys_frame(t.snapshot(v0), t.snapshot(v1))
-    assert keys is not None
-    assert sorted(r["repo"] for r in keys.collect()) == [
-        "r11", "r7", "r9", "rNEW"
-    ]
+    # the small commit is append-only and far below the byte threshold;
+    # patch mode refuses the single-pass diff (pre/post images need the
+    # coalescing resolution) and rides the generic arm in BOTH runs
+    appended = t._appended_files(t.snapshot(v0), t.snapshot(v1))
+    if mode == "patch":
+        assert appended is None
+    else:
+        assert appended is not None
+        added_delta, added_eq, restrict = appended
+        assert restrict  # small batch over a big base
+        assert bool(added_eq) == (mode == "eq")
 
     def canon(df):
         return sorted(
@@ -276,13 +281,28 @@ def test_change_feed_key_restricted_fast_path(spark, tmp_path, mode):
         )
 
     fast = canon(t.read_changes(v0, v1))
-    orig = MorTable._appended_keys_frame
-    MorTable._appended_keys_frame = lambda self, a, b: None
+    orig = MorTable._appended_files
+    MorTable._appended_files = lambda self, a, b: None
     try:
         slow = canon(t.read_changes(v0, v1))
     finally:
-        MorTable._appended_keys_frame = orig
+        MorTable._appended_files = orig
     assert fast == slow
+    if mode != "patch":
+        # the UNRESTRICTED single-pass arm (bulk-shaped gate outcome)
+        # must also match
+        MorTable._appended_files = (
+            lambda self, a, b, _o=orig: (
+                (lambda r: r if r is None else (r[0], r[1], False))(
+                    _o(self, a, b)
+                )
+            )
+        )
+        try:
+            bulk_arm = canon(t.read_changes(v0, v1))
+        finally:
+            MorTable._appended_files = orig
+        assert bulk_arm == slow
     want_lang = "py" if mode != "patch" else "py"  # patch keeps old lang
     assert ("r7", want_lang, "A2", "update_postimage") in fast
     assert ("rNEW", "py", "fresh", "insert") in fast
@@ -293,9 +313,24 @@ def test_change_feed_key_restricted_fast_path(spark, tmp_path, mode):
         post = [x for x in fast if x[0] == "r11" and x[3] == "update_postimage"]
         assert post and post[0][1] == "py" and post[0][2] == "B2"
 
-    # a big batch (most keys rewritten) must NOT take the fast path —
-    # the semi-joins would cost more than the full-bucket diff
+    # a big batch (most keys rewritten) still single-passes, but the
+    # byte gate must turn the key-restriction semi-join OFF — and the
+    # feed must match the generic diff there too
     big = base.withColumn("seq", F.col("seq") + F.lit(200_000)).withColumn(
         "content", F.concat(F.col("content"), F.lit("!")))
     apply_batch(t, big, 2, cfg)
-    assert t._appended_keys_frame(t.snapshot(v1), t.snapshot()) is None
+    appended2 = t._appended_files(t.snapshot(v1), t.snapshot())
+    if mode == "patch":
+        assert appended2 is None
+    else:
+        assert appended2 is not None and appended2[2] is False
+        fast2 = canon(t.read_changes(v1))
+        MorTable._appended_files = lambda self, a, b: None
+        try:
+            slow2 = canon(t.read_changes(v1))
+        finally:
+            MorTable._appended_files = orig
+        assert fast2 == slow2
+        # every surviving base key was rewritten with new content
+        kinds = {x[3] for x in fast2}
+        assert kinds == {"update_preimage", "update_postimage", "insert"}
