@@ -307,13 +307,13 @@ class MorTable(LakeTable):
         ``tag`` reads a named pinned snapshot (LakeTable.create_tag).
 
         ``keys`` (a DataFrame of key-column rows) restricts the view to
-        those keys BEFORE resolution. Sound because every resolution
-        mode is key-local — latest-wins, patch coalescing, eq-delete
-        kill and tombstone filtering each look only at a key's own rows
-        — so semi-joining base and delta first yields exactly the full
-        view's rows for those keys. This is what keeps the change-feed
-        diff O(batch): the semi-join build side is the batch's key set,
-        broadcastable when the batch is small relative to the table."""
+        those keys BEFORE resolution — a point-lookup/mini-batch read
+        that never pays full-bucket resolution. Sound because every
+        resolution mode is key-local — latest-wins, patch coalescing,
+        eq-delete kill and tombstone filtering each look only at a
+        key's own rows — so semi-joining base and delta first yields
+        exactly the full view's rows for those keys; the build side
+        broadcasts when the key set is small relative to the table."""
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version OR tag, not both")

@@ -178,3 +178,27 @@ def test_mor_time_travel_across_compaction(spark, tmp_path):
     ) == fp_v1
     # and the pinned version still resolves via its own deltas
     assert any(t.snapshot(v_after_first).deltas.values())
+
+
+def test_key_restricted_read(spark, tmp_path):
+    """read(keys=) is the point-lookup/mini-batch view: it must equal
+    the full resolved read filtered to those keys, in one pass that
+    semi-joins BEFORE resolution (key-local resolution makes that
+    exact) — including keys that resolve to tombstones (absent) and
+    keys that don't exist."""
+    log_df, logdir = _make_log(spark, tmp_path, n=4000)
+    t = MorTable.create(spark, str(tmp_path / "tk"), SCHEMA, KEYS, "repo", 8)
+    from datax_spark.streaming.pipeline import apply_batch
+    apply_batch(t, spark.read.parquet(logdir), batch_id=0)
+
+    full = t.read().toPandas().set_index(KEYS).sort_index()
+    some = t.read().orderBy(KEYS).limit(7).select(*KEYS)
+    ghost = spark.createDataFrame(
+        [("no-such-repo", "p", "c")], "repo string, path string, commit string"
+    )
+    keys = some.unionByName(ghost)
+    got = t.read(keys=keys).toPandas().set_index(KEYS).sort_index()
+    want = full.loc[full.index.intersection(
+        some.toPandas().set_index(KEYS).index
+    )].sort_index()
+    assert got.equals(want)
