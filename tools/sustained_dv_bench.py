@@ -15,9 +15,13 @@ interval covers batch apply + compaction policy + the full mirror
 publish.  The final state is cross-checked: the Delta mirror read back
 through its own log must equal the MOR resolved read exactly.
 
+``--mode ice`` runs the same protocol with the CONTINUOUS Iceberg
+mirror instead (eq-encoded MOR + ``sync_iceberg`` per commit) — the
+other open-format leg, same flatness criterion.
+
 Run on an IDLE machine (NOTES.md one-Spark-workload rule):
 
-    python tools/sustained_dv_bench.py [n_events] [n_batches]
+    python tools/sustained_dv_bench.py [n_events] [n_batches] [--mode dv|ice]
 """
 
 from __future__ import annotations
@@ -36,8 +40,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def main() -> None:
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    argv = list(sys.argv[1:])
+    mode = "dv"
+    if "--mode" in argv:
+        i = argv.index("--mode")
+        mode = argv[i + 1]
+        del argv[i:i + 2]
+    n_events = int(argv[0]) if len(argv) > 0 else 50_000_000
+    n_batches = int(argv[1]) if len(argv) > 1 else 5
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from pyspark.sql.types import StringType, StructField, StructType
@@ -87,16 +97,29 @@ def main() -> None:
     marks: list[float] = []
     sync_secs: list[float] = []
 
+    if mode == "ice":
+        from datax_spark.lake.iceberg import sync_iceberg
+
+        def _publish() -> None:
+            sync_iceberg(table)
+    else:
+        def _publish() -> None:
+            sync_delta(table, change_data=True)
+
     def _sync(_m) -> None:
         s0 = time.monotonic()
-        sync_delta(table, change_data=True)
+        _publish()
         sync_secs.append(round(time.monotonic() - s0, 2))
         marks.append(time.monotonic())
 
     t0 = time.monotonic()
     metrics = apply_segments(
         spark, table, logdir,
-        config=PipelineConfig(auto_compact=True, on_commit=[_sync]),
+        config=PipelineConfig(
+            auto_compact=True,
+            delete_encoding="eq" if mode == "ice" else "inline",
+            on_commit=[_sync],
+        ),
     )
     total = time.monotonic() - t0
 
@@ -110,14 +133,19 @@ def main() -> None:
     n_resolved = table.read().count()
     read_sec = round(time.monotonic() - t0, 2)
     t0 = time.monotonic()
-    n_delta = read_delta(spark, table.path).count()
+    if mode == "ice":
+        from datax_spark.lake.iceberg import read_iceberg
+
+        n_mirror = read_iceberg(spark, table.path).count()
+    else:
+        n_mirror = read_delta(spark, table.path).count()
     delta_read_sec = round(time.monotonic() - t0, 2)
-    assert n_delta == n_resolved, (n_delta, n_resolved)
+    assert n_mirror == n_resolved, (n_mirror, n_resolved)
 
     from datax_spark.lake.delta import _current_delta_version
 
     print(json.dumps({
-        "protocol": "sustained_dv",
+        "protocol": f"sustained_{mode}",
         "n_events": n_events,
         "n_batches": n_batches,
         "batch_secs": batch_secs,
@@ -128,10 +156,17 @@ def main() -> None:
         "ev_per_sec": int(n_events / total),
         "final_rows": n_resolved,
         "mor_read_sec": read_sec,
-        "delta_mirror_read_sec": delta_read_sec,
-        "delta_versions": _current_delta_version(table.path),
+        "mirror_read_sec": delta_read_sec,
+        "delta_versions": (
+            _current_delta_version(table.path) if mode == "dv" else None
+        ),
         "cpus": CPUS,
     }, sort_keys=True))
+    # a 50M run leaves ~14 GB of log + table + mirror under root —
+    # reclaim it (two stale runs filled the sandbox disk once)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
