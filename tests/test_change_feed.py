@@ -280,7 +280,17 @@ def test_change_feed_key_restricted_fast_path(spark, tmp_path, mode):
             key=lambda x: tuple("" if v is None else v for v in x),
         )
 
-    fast = canon(t.read_changes(v0, v1))
+    fast_df = t.read_changes(v0, v1)
+    if mode != "patch":
+        # plan pin: the restricted single-pass diff broadcasts the
+        # batch's key set — never a sort-merge/nested-loop join, and
+        # no full-state exceptAll shape
+        fast_df.count()
+        plan = fast_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        assert "BroadcastHashJoin" in plan
+    fast = canon(fast_df)
     orig = MorTable._appended_files
     MorTable._appended_files = lambda self, a, b: None
     try:
