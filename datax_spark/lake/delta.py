@@ -599,7 +599,9 @@ def _changed_buckets(snap, prior_snap) -> list[int] | None:
     return sorted(changed)
 
 
-def _dead_rows_frame(table, snap, buckets: list[int] | None = None):
+def _dead_rows_frame(
+    table, snap, buckets: list[int] | None = None, keys=None
+):
     """The (file path, row position) frame of every DEAD row in a live
     MOR state — the distributed half of ``_mor_file_masks``, split out
     so its physical plan can be pinned (PLANS.md §15): one key-window
@@ -664,6 +666,15 @@ def _dead_rows_frame(table, snap, buckets: list[int] | None = None):
         rows = d if rows is None else rows.unionByName(d)
     if rows is None:
         return None
+    if keys is not None:
+        # restrict liveness evaluation to these keys BEFORE the window
+        # — sound because liveness is key-local (a key's base rows,
+        # deltas and eq-deletes all hash to one bucket and only its own
+        # rows decide). The incremental mask path passes the appended
+        # files' key set: only those keys can have NEWLY-dead rows.
+        rows = rows.join(
+            keys.select(*key_cols), on=key_cols, how="left_semi"
+        )
 
     eq_files = table._abs_files(snap, buckets, "eq")
     if eq_files:
@@ -712,6 +723,13 @@ def _mor_file_masks(
     dead = _dead_rows_frame(table, snap, buckets)
     if dead is None:
         return {}
+    return _collect_masks(dead, location)
+
+
+def _collect_masks(dead, location: str) -> dict[str, tuple[bytes, int]]:
+    """Run the per-file bitmap build over a dead-rows frame and collect
+    ``{rel_path: (serialized DV, cardinality)}`` (the distributed half
+    shared by the full and incremental mask paths)."""
 
     def build(pdfs):
         # accumulate ACROSS the partition's Arrow batches before
@@ -758,6 +776,94 @@ def _mor_file_masks(
             out[rel] = (serialize_dv(merged), len(merged))
         else:
             out[rel] = (bytes(r["dv"]), int(r["card"]))
+    return out
+
+
+def _appended_keys_span(table, prior_snap, snap):
+    """Key frame of every file appended between two lake versions, or
+    None when the span is not eligible for incremental masking: any
+    pair fails the append-only gate (a rewrite resets masks — full
+    recompute is REQUIRED there), or any pair's byte gate says the
+    batch is bulk-shaped (restricting would cost more than the full
+    window — the same economics as the change-feed gate)."""
+    from datax_spark.lake.mor import eq_delete_schema
+
+    added_delta: list[str] = []
+    added_eq: list[str] = []
+    for v in range(int(prior_snap.version), int(snap.version)):
+        old_s, new_s = table.snapshot(v), table.snapshot(v + 1)
+        if new_s.rewrite_only:
+            return None  # a rewrite swapped files: masks reset
+        res = table._appended_files(old_s, new_s)
+        if res is None or not res[2]:
+            return None
+        added_delta.extend(res[0])
+        added_eq.extend(res[1])
+    if not added_delta and not added_eq:
+        return None
+    key_cols = snap.properties["key_cols"]
+    renames = snap.properties.get("renames")
+    parts = []
+    if added_delta:
+        parts.append(
+            table._read_files(
+                [os.path.join(table.path, r) for r in added_delta],
+                snap.schema, renames,
+            ).select(*key_cols)
+        )
+    if added_eq:
+        parts.append(
+            table._read_files(
+                [os.path.join(table.path, r) for r in added_eq],
+                eq_delete_schema(snap.schema, key_cols),
+            ).select(*key_cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _mor_file_masks_incremental(
+    table, snap, buckets, keys, prior_adds: dict, location: str
+) -> dict[str, tuple[bytes, int]]:
+    """Masks for an append-only span as prior-mask ∪ newly-dead.
+
+    Masks are MONOTONE between rewrites (the invariant the export's
+    equal-cardinality descriptor reuse already relies on): under
+    append-only commits a dead row can never revive, and only keys in
+    the appended files can have newly-dead rows. So the dead-rows job
+    runs key-restricted (O(batch), broadcastable) and each touched
+    file's mask is the set union with its prior deserialized DV —
+    byte-identical to the full recompute because the serialization is
+    canonical in the position set. Raises nothing: any trouble reading
+    a prior DV (vacuumed early, tampered) falls back to the caller's
+    full recompute via KeyError/OSError propagation."""
+    import numpy as np
+
+    dead = _dead_rows_frame(table, snap, buckets, keys=keys)
+    new_masks: dict[str, tuple[bytes, int]] = {}
+    if dead is not None:
+        new_masks = _collect_masks(dead, location)
+    prior_dv_of = {
+        urllib.parse.unquote(enc): a["deletionVector"]
+        for enc, a in prior_adds.items()
+        if a.get("deletionVector")
+    }
+    out: dict[str, tuple[bytes, int]] = {}
+    for rel, (dv, card) in new_masks.items():
+        prior_desc = prior_dv_of.get(rel)
+        if prior_desc is None:
+            out[rel] = (dv, card)
+            continue
+        prior_pos = np.asarray(
+            _read_dv_positions(location, prior_desc), dtype=np.uint64
+        )
+        merged = np.union1d(
+            prior_pos,
+            np.asarray(deserialize_dv(dv), dtype=np.uint64),
+        )
+        out[rel] = (serialize_dv(merged), int(merged.size))
     return out
 
 
@@ -952,14 +1058,29 @@ def export_delta(
     masks: dict[str, tuple[bytes, int]] = {}
     if mor_live:
         changed = None
+        keys = None
         if prior_lake_v is not None:
             try:
-                changed = _changed_buckets(
-                    snap, table.snapshot(prior_lake_v)
+                prior_snap = table.snapshot(prior_lake_v)
+                changed = _changed_buckets(snap, prior_snap)
+                # small append-only spans mask INCREMENTALLY: the
+                # dead-rows job restricts to the appended files' keys
+                # (O(batch)) and each touched file's mask unions with
+                # its prior DV — sound because masks are monotone
+                # between rewrites (the invariant the descriptor-reuse
+                # below already depends on)
+                keys = _appended_keys_span(table, prior_snap, snap)
+            except Exception:
+                changed = keys = None
+        if keys is not None:
+            try:
+                masks = _mor_file_masks_incremental(
+                    table, snap, changed, keys, prior_adds, location
                 )
             except Exception:
-                changed = None
-        masks = _mor_file_masks(table, snap, changed)
+                masks = _mor_file_masks(table, snap, changed)
+        else:
+            masks = _mor_file_masks(table, snap, changed)
     dv_mode = bool(masks) or "deletionVectors" in (
         prior_protocol.get("readerFeatures") or []
     )

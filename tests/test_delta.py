@@ -935,3 +935,85 @@ def test_stats_prune_fails_open_on_incomparable_types():
         [("k", "=", 7), ("n", ">", 5)],
         {"k": 3, "n": 4},
     )
+
+
+def test_incremental_masks_equal_full_recompute(spark, tmp_path):
+    """A small append-only commit masks INCREMENTALLY (prior DV ∪
+    newly-dead over the appended keys) — the result must be
+    BYTE-identical to the full dead-rows recompute, across several
+    batches (masks grow), a delete, and an eq-delete. Monotonicity is
+    the invariant: under append-only commits a dead row never revives."""
+    import datax_spark.lake.delta as D
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    t = MorTable.create(
+        spark, os.path.join(str(tmp_path), "t"), schema,
+        ["repo", "path", "commit"], "repo", num_buckets=4,
+    )
+    base = spark.range(0, 3000).select(
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("p").alias("path"), F.lit("c").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("b"), F.col("id"), F.lit("y" * 100)).alias("content"),
+        F.lit("insert").alias("op"), F.col("id").alias("seq"),
+    )
+    apply_batch(t, base, 0)
+    t.compact(max_files_per_bucket=0)
+    sync_delta(t)  # bootstrap export (clean, no masks)
+
+    spans_incremental = []
+    orig_inc = D._mor_file_masks_incremental
+
+    def spy(table, snap, buckets, keys, prior_adds, location):
+        out = orig_inc(table, snap, buckets, keys, prior_adds, location)
+        spans_incremental.append(snap.version)
+        return out
+
+    def batch(rows, bid, enc="inline"):
+        ev = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, "
+                  "content string, op string, seq long")
+        apply_batch(t, ev, bid, PipelineConfig(delete_encoding=enc))
+
+    D._mor_file_masks_incremental = spy
+    try:
+        batch([("r7", "p", "c", "py", "A2", "update", 10_000),
+               ("r9", "p", "c", None, None, "delete", 10_001)], 1)
+        sync_delta(t)
+        batch([("r7", "p", "c", "py", "A3", "update", 20_000),
+               ("r500", "p", "c", "py", "B1", "update", 20_001)], 2)
+        sync_delta(t)
+        batch([("r11", "p", "c", None, None, "delete", 30_000)], 3, "eq")
+        sync_delta(t)
+    finally:
+        D._mor_file_masks_incremental = orig_inc
+    assert len(spans_incremental) == 3  # every span took the fast path
+
+    # byte-identical to the full recompute of the CURRENT state
+    snap = t.snapshot()
+    prior = t.snapshot(snap.version)  # self; changed = all masked buckets
+    full = D._mor_file_masks(t, snap, None)
+    _protocol, _meta, adds, _removes, _v = D._replay(
+        os.path.abspath(t.path)
+    )
+    import urllib.parse
+    got = {}
+    for enc, a in adds.items():
+        if a.get("deletionVector"):
+            rel = urllib.parse.unquote(enc)
+            pos = D._read_dv_positions(
+                os.path.abspath(t.path), a["deletionVector"]
+            )
+            got[rel] = (sorted(pos), a["deletionVector"]["cardinality"])
+    want = {
+        rel: (sorted(D.deserialize_dv(dv)), card)
+        for rel, (dv, card) in full.items()
+    }
+    assert got == want
+    # and the mirror still reads back exactly the resolved state
+    assert sorted(
+        r["repo"] for r in read_delta(spark, t.path).select("repo").collect()
+    ) == sorted(r["repo"] for r in t.read().select("repo").collect())
