@@ -136,3 +136,105 @@ def test_asof_both_directions_vs_pandas_merge_asof(spark):
             for r in m.itertuples()
         }
         assert got == want, direction
+
+
+def _py_latest(events):
+    """latest-wins state: {key: content} from (key, op, seq, content)."""
+    best = {}
+    for k, op, s, c in events:
+        if k not in best or s > best[k][0]:
+            best[k] = (s, op, c)
+    return {k: c for k, (s, op, c) in best.items() if op != "delete"}
+
+
+def _py_feed(prev_events, batch):
+    """Per-commit change rows from a python replay: diff of the
+    latest-wins states before/after the batch."""
+    a = _py_latest(prev_events)
+    b = _py_latest(prev_events + batch)
+    out = []
+    for k in set(a) | set(b):
+        if k in a and k not in b:
+            out.append((k, a[k], "delete"))
+        elif k not in a and k in b:
+            out.append((k, b[k], "insert"))
+        elif a[k] != b[k]:
+            out.append((k, a[k], "update_preimage"))
+            out.append((k, b[k], "update_postimage"))
+    return out
+
+
+def test_change_feed_random_logs_vs_python_oracle(spark, tmp_path):
+    """Seeded-random logs, random batch splits (tiny batches hit the
+    restricted single-pass arm, big ones the unrestricted arm), random
+    delete encodings, a mid-log compaction (rewrite-skip), checked
+    against a from-scratch latest-wins python oracle — and the forced
+    generic diff must agree row-for-row."""
+    from datax_spark.lake.mor import MorTable
+    from datax_spark.streaming.pipeline import PipelineConfig, apply_batch
+
+    rng = random.Random(7)
+    schema = StructType(
+        [StructField("key", StringType()), StructField("content", StringType())]
+    )
+    for trial in range(3):
+        enc = rng.choice(["inline", "eq"])
+        n = 400
+        rows = []
+        for s in range(1, n + 1):
+            k = f"k{rng.randrange(30)}"
+            op = rng.choice(["insert", "update", "update", "delete"])
+            rows.append((k, op, s, None if op == "delete" else f"v{s}"))
+        cuts = sorted(rng.sample(range(50, n), rng.randrange(2, 5))) + [n]
+        # one tiny trailing batch to force the restricted arm
+        t = MorTable.create(
+            spark, os.path.join(str(tmp_path), f"cf{trial}"), schema,
+            key_cols=["key"], bucket_key="key", num_buckets=4,
+        )
+        compact_after = rng.randrange(len(cuts))
+        versions = [t.current_version()]
+        batches = []
+        lo = 0
+        for i, hi in enumerate(cuts):
+            batch = [r for r in rows if lo < r[2] <= hi]
+            batches.append(batch)
+            apply_batch(
+                t,
+                spark.createDataFrame(
+                    [(k, c, op, s) for k, op, s, c in batch],
+                    "key string, content string, op string, seq long",
+                ),
+                i,
+                PipelineConfig(delete_encoding=enc),
+            )
+            versions.append(t.current_version())
+            if i == compact_after:
+                t.compact()
+            lo = hi
+
+        def got_feed(a, b):
+            return sorted(
+                (r["key"], r["content"], r["_change_type"])
+                for r in t.read_changes(versions[a], versions[b]).collect()
+            )
+
+        # full range + a random sub-range
+        ranges = [(0, len(cuts))]
+        if len(cuts) > 2:
+            x = rng.randrange(len(cuts) - 1)
+            ranges.append((x, rng.randrange(x + 1, len(cuts) + 1)))
+        for a, b in ranges:
+            want = sorted(
+                ch
+                for i in range(a, b)
+                for ch in _py_feed(
+                    [r for bt in batches[:i] for r in bt], batches[i]
+                )
+            )
+            assert got_feed(a, b) == want, (trial, enc, a, b)
+            orig = MorTable._appended_files
+            MorTable._appended_files = lambda self, x, y: None
+            try:
+                assert got_feed(a, b) == want, ("generic", trial, enc, a, b)
+            finally:
+                MorTable._appended_files = orig
