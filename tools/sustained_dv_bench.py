@@ -102,6 +102,9 @@ def main() -> None:
 
         def _publish() -> None:
             sync_iceberg(table)
+    elif mode == "mor":
+        def _publish() -> None:  # no mirror: the plain-apply control
+            pass
     else:
         def _publish() -> None:
             sync_delta(table, change_data=True)
@@ -137,6 +140,8 @@ def main() -> None:
         from datax_spark.lake.iceberg import read_iceberg
 
         n_mirror = read_iceberg(spark, table.path).count()
+    elif mode == "mor":
+        n_mirror = n_resolved
     else:
         n_mirror = read_delta(spark, table.path).count()
     delta_read_sec = round(time.monotonic() - t0, 2)
