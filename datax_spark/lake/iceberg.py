@@ -844,7 +844,7 @@ _POS_DELETE_POS_ID = 2147483545
 
 def _synth_pos_delete_file(
     mdir: str, table, snap, snapshot_id: int,
-    buckets: list[int] | None = None,
+    buckets: list[int] | None = None, keys=None,
 ) -> tuple[str, int] | None:
     """Write the Iceberg v2 POSITION-delete parquet for a live MOR
     state: every row the engine's resolved read hides becomes a
@@ -868,7 +868,7 @@ def _synth_pos_delete_file(
 
     from datax_spark.lake.delta import _dead_rows_frame
 
-    dead = _dead_rows_frame(table, snap, buckets)
+    dead = _dead_rows_frame(table, snap, buckets, keys=keys)
     if dead is None:
         return None
     pdf = dead.toPandas()
@@ -1311,8 +1311,26 @@ def export_iceberg(
                 )
             except Exception:
                 changed = None
+        # small append-only spans synthesize NEWLY-dead positions only
+        # (the appended files' keys): previously-dead rows stay covered
+        # by the prior position-delete files riding below as EXISTING —
+        # Iceberg's accumulate-and-union delete semantics make the
+        # restricted file exactly sufficient. (file_path, pos)
+        # duplicates across delete files are spec-legal. Rewrite spans
+        # fail the gate and recompute in full (prior entries point at
+        # replaced files there and stop matching).
+        keys = None
+        if changed is not None:
+            from datax_spark.lake.delta import _appended_keys_span
+
+            try:
+                keys = _appended_keys_span(
+                    table, table.snapshot(prior_lake_v), snap
+                )
+            except Exception:
+                keys = None
         synth = _synth_pos_delete_file(
-            mdir, table, snap, snapshot_id, changed
+            mdir, table, snap, snapshot_id, changed, keys=keys
         )
         for path, prior in prior_files.items():
             if prior["data_file"]["content"] != 1:

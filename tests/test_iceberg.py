@@ -1553,3 +1553,82 @@ def test_create_iceberg_views_sql_surface(spark, exported):
     assert top["file_path"].endswith(".parquet")
     for v in names:
         spark.catalog.dropTempView(v)
+
+
+def test_pos_sync_newly_dead_only_for_small_batches(spark, tmp_path):
+    """A small append-only commit's pos sync writes ONLY the appended
+    keys' dead rows (round 5): previously-dead rows stay covered by the
+    prior position-delete files riding as EXISTING — Iceberg's
+    accumulate-and-union delete semantics. The restricted and
+    forced-full variants must read back identically, and the
+    incremental delete file must be batch-sized, not state-sized."""
+    import datax_spark.lake.delta as D
+    from datax_spark.lake.iceberg import read_iceberg, sync_iceberg
+    from datax_spark.streaming.pipeline import PipelineConfig
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    base = spark.range(0, 3000).select(
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("p").alias("path"), F.lit("c").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("b"), F.col("id"), F.lit("z" * 80)).alias("content"),
+        F.lit("insert").alias("op"), F.col("id").alias("seq"),
+    )
+    apply_batch(mor, base, 0)
+    # live deltas + a first full pos sync (bulk-shaped: gate off)
+    upd = spark.range(0, 1500).select(
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("p").alias("path"), F.lit("c").alias("commit"),
+        F.lit("py").alias("lang"), F.lit("u1").alias("content"),
+        F.lit("update").alias("op"), (F.col("id") + 10_000).alias("seq"),
+    )
+    apply_batch(mor, upd, 1)
+    sync_iceberg(mor, delete_files="pos")
+
+    # small batch: kill 3 keys -> the next sync must be batch-sized
+    small = spark.createDataFrame(
+        [("r7", "p", "c", "py", "X", "update", 100_000),
+         ("r9", "p", "c", None, None, "delete", 100_001),
+         ("r2999", "p", "c", "py", "Y", "update", 100_002)],
+        "repo string, path string, commit string, lang string, "
+        "content string, op string, seq long")
+    apply_batch(mor, small, 2)
+    spans = []
+    orig = D._appended_keys_span
+    D._appended_keys_span = lambda *a, **k: (spans.append(1), orig(*a, **k))[1]
+    try:
+        sync_iceberg(mor, delete_files="pos")
+    finally:
+        D._appended_keys_span = orig
+    assert spans, "pos sync never consulted the append-only span gate"
+    meta = _load_metadata(mor.path)
+    loc = os.path.abspath(mor.path)
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+    # the NEWEST pos-delete file covers only the small batch's keys:
+    # dead rows here = r7's and r9's and r2999's superseded images
+    import pyarrow.parquet as pq
+    import glob
+    pos_files = sorted(
+        glob.glob(os.path.join(loc, "metadata", "posdel-*.parquet")),
+        key=os.path.getmtime,
+    )
+    assert len(pos_files) >= 2
+    newest = pq.read_table(pos_files[-1])
+    assert newest.num_rows <= 8, newest.num_rows  # batch-sized
+    # forced-full on the same state reads identically
+    D._appended_keys_span = lambda *a, **k: None
+    try:
+        t2 = MorTable(spark, mor.path)
+        small2 = spark.createDataFrame(
+            [("r11", "p", "c", None, None, "delete", 200_000)],
+            "repo string, path string, commit string, lang string, "
+            "content string, op string, seq long")
+        apply_batch(t2, small2, 3)
+        sync_iceberg(t2, delete_files="pos")
+    finally:
+        D._appended_keys_span = orig
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(t2.read())
