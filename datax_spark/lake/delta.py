@@ -706,7 +706,7 @@ def _dead_rows_frame(
 
 
 def _mor_file_masks(
-    table, snap, buckets: list[int] | None = None
+    table, snap, buckets: list[int] | None = None, keys=None
 ) -> dict[str, tuple[bytes, int]]:
     """Per-file DEAD row positions of a live MOR state, as
     ``{rel_path: (serialized RoaringBitmapArray, cardinality)}`` —
@@ -720,7 +720,7 @@ def _mor_file_masks(
     last compaction — the same rows a compaction would drop, which is
     what DV generation inherently costs in any engine."""
     location = os.path.abspath(table.path)
-    dead = _dead_rows_frame(table, snap, buckets)
+    dead = _dead_rows_frame(table, snap, buckets, keys=keys)
     if dead is None:
         return {}
     return _collect_masks(dead, location)

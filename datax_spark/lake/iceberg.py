@@ -912,6 +912,8 @@ def _synth_dv_file(
     snap,
     snapshot_id: int,
     buckets: list[int] | None = None,
+    keys=None,
+    prior_union: dict | None = None,
 ) -> tuple[str, list[tuple[str, int, int, int]]] | None:
     """Write the **Iceberg v3 deletion vectors** of a live MOR state:
     one Puffin file holding one ``delete-vector-v1`` blob per data file
@@ -950,9 +952,38 @@ def _synth_dv_file(
             )
             for m in metas
         ]
-    masks = _mor_file_masks(table, snap, buckets)
+    masks = _mor_file_masks(table, snap, buckets, keys=keys)
     if not masks:
         return None
+    if prior_union:
+        # incremental (append-only span): the restricted mask holds only
+        # the appended keys' dead rows — union with the file's PRIOR DV
+        # (one blob read from the prior Puffin). Sound because masks are
+        # monotone between rewrites; byte-identical to a full recompute
+        # by canonical roaring serialization.
+        import numpy as np
+
+        from datax_spark.lake.delta import deserialize_dv, serialize_dv
+        from datax_spark.lake.puffin import (
+            dv_positions_from_blob,
+            read_puffin_blob,
+        )
+
+        for rel in list(masks):
+            prior = prior_union.get(os.path.join(location, rel))
+            if prior is None:
+                continue
+            ppath, off, ln = prior
+            prior_pos = np.asarray(
+                dv_positions_from_blob(read_puffin_blob(ppath, off, ln)),
+                dtype=np.uint64,
+            )
+            payload, _card = masks[rel]
+            merged = np.union1d(
+                prior_pos,
+                np.asarray(deserialize_dv(payload), dtype=np.uint64),
+            )
+            masks[rel] = (serialize_dv(merged), int(merged.size))
     blobs = []
     for rel in sorted(masks):
         payload, card = masks[rel]
@@ -1403,6 +1434,48 @@ def export_iceberg(
                 )
             except Exception:
                 changed = None
+        # small append-only spans recompute masks ONLY for the appended
+        # keys and union with each file's prior DV blob (one Puffin
+        # read per touched file); a changed-bucket file with no newly
+        # dead rows keeps its prior DV as an EXISTING entry instead of
+        # being recomputed. Bulk/rewrite spans take the full path.
+        keys = None
+        if changed is not None and prior_dvs:
+            from datax_spark.lake.delta import _appended_keys_span
+
+            try:
+                keys = _appended_keys_span(
+                    table, table.snapshot(prior_lake_v), snap
+                )
+            except Exception:
+                keys = None
+        prior_union = None
+        if keys is not None:
+            prior_union = {
+                ref: (
+                    p["data_file"]["file_path"],
+                    p["data_file"]["content_offset"],
+                    p["data_file"]["content_size_in_bytes"],
+                )
+                for ref, p in prior_dvs.items()
+            }
+        try:
+            synth_dv = _synth_dv_file(
+                mdir, table, snap, snapshot_id, changed,
+                keys=keys, prior_union=prior_union,
+            )
+        except Exception:
+            if keys is None:
+                raise
+            keys = prior_union = None  # fall back to the full recompute
+            synth_dv = _synth_dv_file(
+                mdir, table, snap, snapshot_id, changed
+            )
+        new_refs = (
+            {ref for ref, _o, _l, _c in synth_dv[1]}
+            if synth_dv is not None
+            else set()
+        )
         if changed is not None and prior_dvs:
             changed_set = set(changed)
             live_abs = set(abs_of.values())
@@ -1413,12 +1486,13 @@ def export_iceberg(
                         bucket_of[os.path.join(location, rel)] = int(b)
             for ref in sorted(prior_dvs):
                 prior = prior_dvs[ref]
-                if (
-                    ref not in live_abs
-                    or bucket_of.get(ref) is None
-                    or bucket_of[ref] in changed_set
-                ):
-                    continue  # referenced file gone or mask recomputed
+                if ref not in live_abs or bucket_of.get(ref) is None:
+                    continue  # referenced file gone
+                if keys is not None:
+                    if ref in new_refs:
+                        continue  # superseded by the unioned new DV
+                elif bucket_of[ref] in changed_set:
+                    continue  # full path: mask recomputed
                 del_existing += 1
                 del_rows_existing += prior["data_file"]["record_count"]
                 del_entries.append(
@@ -1430,7 +1504,6 @@ def export_iceberg(
                         "data_file": prior["data_file"],
                     }
                 )
-        synth_dv = _synth_dv_file(mdir, table, snap, snapshot_id, changed)
         if synth_dv is not None:
             dpath, dv_info = synth_dv
             dsize = os.path.getsize(dpath)

@@ -1632,3 +1632,66 @@ def test_pos_sync_newly_dead_only_for_small_batches(spark, tmp_path):
     finally:
         D._appended_keys_span = orig
     assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(t2.read())
+
+
+def test_dv_sync_incremental_union_with_prior_puffin(spark, tmp_path):
+    """v3 DV sync for a small append-only commit: masks recompute only
+    for the appended keys and union with each touched file's PRIOR
+    Puffin blob; untouched files keep their prior DVs as EXISTING even
+    inside changed buckets. Byte-level soundness is inherited from the
+    canonical roaring serialization; here we pin read equality, the
+    restricted path engaging, and equality with a forced full
+    recompute."""
+    import datax_spark.lake.delta as D
+    from datax_spark.lake.iceberg import read_iceberg, sync_iceberg
+
+    mor = MorTable.create(
+        spark, os.path.join(str(tmp_path), "m"), SCHEMA, KEYS, "repo",
+        num_buckets=4,
+    )
+    base = spark.range(0, 3000).select(
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("p").alias("path"), F.lit("c").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("b"), F.col("id"), F.lit("w" * 80)).alias("content"),
+        F.lit("insert").alias("op"), F.col("id").alias("seq"),
+    )
+    apply_batch(mor, base, 0)
+    upd = spark.range(0, 1500).select(
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("p").alias("path"), F.lit("c").alias("commit"),
+        F.lit("py").alias("lang"), F.lit("u1").alias("content"),
+        F.lit("update").alias("op"), (F.col("id") + 10_000).alias("seq"),
+    )
+    apply_batch(mor, upd, 1)
+    sync_iceberg(mor, delete_files="dv")  # bulk: full masks
+
+    small = spark.createDataFrame(
+        [("r7", "p", "c", "py", "X", "update", 100_000),
+         ("r9", "p", "c", None, None, "delete", 100_001)],
+        "repo string, path string, commit string, lang string, "
+        "content string, op string, seq long")
+    apply_batch(mor, small, 2)
+    spans = []
+    orig = D._appended_keys_span
+    D._appended_keys_span = lambda *a, **k: (spans.append(1), orig(*a, **k))[1]
+    try:
+        sync_iceberg(mor, delete_files="dv")
+    finally:
+        D._appended_keys_span = orig
+    assert spans, "dv sync never consulted the span gate"
+    loc = os.path.abspath(mor.path)
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
+
+    # forced-full third sync reads identically
+    D._appended_keys_span = lambda *a, **k: None
+    try:
+        small2 = spark.createDataFrame(
+            [("r11", "p", "c", None, None, "delete", 200_000)],
+            "repo string, path string, commit string, lang string, "
+            "content string, op string, seq long")
+        apply_batch(mor, small2, 3)
+        sync_iceberg(mor, delete_files="dv")
+    finally:
+        D._appended_keys_span = orig
+    assert _sorted_rows(read_iceberg(spark, loc)) == _sorted_rows(mor.read())
