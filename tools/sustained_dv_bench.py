@@ -97,11 +97,13 @@ def main() -> None:
     marks: list[float] = []
     sync_secs: list[float] = []
 
-    if mode == "ice":
+    if mode in ("ice", "icepos", "icedv"):
         from datax_spark.lake.iceberg import sync_iceberg
 
+        encoding = {"ice": "eq", "icepos": "pos", "icedv": "dv"}[mode]
+
         def _publish() -> None:
-            sync_iceberg(table)
+            sync_iceberg(table, delete_files=encoding)
     elif mode == "mor":
         def _publish() -> None:  # no mirror: the plain-apply control
             pass
@@ -121,7 +123,7 @@ def main() -> None:
         config=PipelineConfig(
             auto_compact=True,
             delete_encoding="eq" if mode == "ice" else "inline",
-            on_commit=[_sync],
+            on_commit=[_sync],  # icepos/icedv mirror the inline stream
         ),
     )
     total = time.monotonic() - t0
@@ -136,7 +138,7 @@ def main() -> None:
     n_resolved = table.read().count()
     read_sec = round(time.monotonic() - t0, 2)
     t0 = time.monotonic()
-    if mode == "ice":
+    if mode in ("ice", "icepos", "icedv"):
         from datax_spark.lake.iceberg import read_iceberg
 
         n_mirror = read_iceberg(spark, table.path).count()
